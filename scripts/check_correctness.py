@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Dev-loop tooling only (NOT part of the shipped Scala library): after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`, this script runs each
+oracle_sql.json entry in DuckDB over the same parquet tables and compares
+row count, column names, and a canonical value hash — approximating
+CORRECTNESS_r{N}.json so mismatches surface before the round gate.
+
+Usage: python3 scripts/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import hashlib
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest round-trip repr, type-stable
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("|".join(canon(row[i]) for i in order).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(got_cols) != sorted(exp_cols):
+            problems.append(f"cols {got_cols} != {exp_cols}")
+        if len(got_rows) != len(exp_rows):
+            problems.append(f"rows {len(got_rows)} != {len(exp_rows)}")
+        if not problems:
+            hg = table_hash(got_cols, got_rows)
+            he = table_hash(exp_cols, exp_rows)
+            if hg != he:
+                problems.append("value hash mismatch")
+                for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+                    go = [g[j] for j in sorted(range(len(got_cols)), key=lambda k: got_cols[k])]
+                    eo = [e[j] for j in sorted(range(len(exp_cols)), key=lambda k: exp_cols[k])]
+                    if [canon(x) for x in go] != [canon(x) for x in eo]:
+                        problems.append(f"first diff row {i}: spark={go} oracle={eo}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
