@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dashboard
+import graft.f1.Fixtures
+import graft.operators.F1Transforms
+import graft.sources.EventSource
+import graft.sources.EventSource.WireFormat
+
+/** The F1 pipeline surface as driver-checkable queries. These run the full
+  * decode path (P1 py-literal parse → topic filter → P3 inflate →
+  * from_json → explode → coerce → consolidate) over the deterministic
+  * generated fixture capture — the non-SQL-expressible operators of
+  * SURVEY §2, so no DuckDB oracle (driver records rows-only checks).
+  * `sfDir` is ignored: inputs are the embedded wire-format fixtures.
+  *
+  * Every output has a total ORDER BY so results are reproducible run-to-run.
+  */
+object F1Queries {
+
+  private def events(s: SparkSession): DataFrame =
+    EventSource.fromLines(s, Fixtures.pyLines ++ Fixtures.syntheticCapture(400))
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(col): _*)
+
+  val all: Seq[Q] = Seq(
+    // Q18 — the full compressed-telemetry decode pipeline (P1+P3+T9).
+    Q("q18_decode_telemetry",
+      (s, _) => ord(F1Transforms.telemetry(events(s)),
+        "timestamp", "driver_number"), None),
+
+    Q("f1_weather", (s, _) =>
+      ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"), None),
+
+    Q("f1_drivers", (s, _) =>
+      ord(F1Transforms.drivers(events(s)), "driver_number"), None),
+
+    Q("f1_sessions", (s, _) =>
+      ord(F1Transforms.sessions(events(s)), "session_key"), None),
+
+    Q("f1_laps", (s, _) =>
+      ord(F1Transforms.laps(events(s)), "driver_number", "lap_number"), None),
+
+    Q("f1_positions", (s, _) =>
+      ord(F1Transforms.positionsFromTiming(events(s)),
+        "timestamp", "driver_number"), None),
+
+    Q("f1_car_positions", (s, _) =>
+      ord(F1Transforms.carPositions(events(s)), "timestamp", "driver_number"), None),
+
+    Q("f1_race_control", (s, _) =>
+      ord(F1Transforms.raceControl(events(s)).dropDuplicates("msg_id"),
+        "timestamp", "msg_id").drop("line_id"), None),
+
+    // Second wire format (JSON lines; §1.2 codec #2).
+    Q("f1_json_wire_weather", (s, _) =>
+      ord(F1Transforms.weather(
+        EventSource.fromLines(s, Fixtures.jsonLines, WireFormat.Json)), "line_id")
+        .drop("line_id"), None),
+
+    // Dashboard analytics read path (A5/A6/A7) over derived tables; `now`
+    // pinned to the fixture capture's max event time for determinism.
+    Q("f1_dashboard_stats", (s, _) => {
+      val ev = events(s).cache()
+      val nowTs = lit("2025-05-17T15:00:00Z").cast("timestamp")
+      Dashboard.allStats(Seq(
+        ("weather", F1Transforms.weather(ev), "timestamp"),
+        ("laps", F1Transforms.laps(ev), "timestamp"),
+        ("telemetry", F1Transforms.telemetry(ev), "timestamp"),
+        ("race_control", F1Transforms.raceControl(ev), "timestamp")),
+        nowTs).orderBy("table_name")
+    }, None)
+  )
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Coercions, PyLiteral}
+
+/** Readers for the F1 live-timing event-line format (SURVEY §1.2), batch and
+  * streaming, covering BOTH wire encodings:
+  *
+  *  1. [[WireFormat.PyList]] — Python-list literal lines
+  *     `['Topic', payload, 'ISO-ts']` (the real `fastf1_livetiming` output;
+  *     /root/reference/extractor.py:23, monitor_*.py `parse_data_line`);
+  *  2. [[WireFormat.Json]] — JSON object lines
+  *     `{"topic":…, "data":…, "timestamp":…}` (the
+  *     /root/reference/transformer.py:41-46 path).
+  *
+  * Both normalize into the same event DataFrame:
+  * `topic STRING, payload STRING (JSON or base64), ts STRING,
+  * event_ts TIMESTAMP, line_id BIGINT`.
+  *
+  * The reference's byte-offset file tailing (/root/reference/extractor.py:60-80)
+  * maps to Structured Streaming's file source, whose checkpointed file
+  * tracking upgrades the reference's crash-unsafe in-memory offsets to
+  * exactly-once.
+  *
+  * Scale posture: format detection is explicit (never guessed per line);
+  * the py-literal UDF is the only non-codegen step and runs once per line
+  * on a projected single column; at 100 TB the event files would be
+  * date/session-partitioned directories so the file source lists
+  * incrementally.
+  */
+object EventSource {
+
+  sealed trait WireFormat
+  object WireFormat {
+    /** `['Topic', {...}, 'ts']` python-literal lines. */
+    case object PyList extends WireFormat
+    /** `{"topic":…, "data":…, "timestamp":…}` JSON lines. */
+    case object Json extends WireFormat
+  }
+
+  private val parsePyLine = udf((s: String) => PyLiteral.parseLine(s))
+
+  /** Normalize raw lines (column `value`) into the canonical event frame.
+    * Malformed lines are kept as `topic IS NULL` rows so callers can count
+    * them as a data-quality metric instead of silently dropping (T13;
+    * the reference logs-and-drops: /root/reference/transformer.py:65-68).
+    */
+  def normalize(lines: DataFrame, format: WireFormat): DataFrame = {
+    val parsed = format match {
+      case WireFormat.PyList =>
+        lines.select(parsePyLine(col("value")).as("e"))
+          .select(col("e.topic").as("topic"), col("e.payload").as("payload"), col("e.ts").as("ts"))
+      case WireFormat.Json =>
+        // get_json_object keeps `data` as its raw JSON text — exactly what
+        // the per-topic from_json needs — and stays fully codegen'd.
+        lines.select(
+          get_json_object(col("value"), "$.topic").as("topic"),
+          get_json_object(col("value"), "$.data").as("payload"),
+          get_json_object(col("value"), "$.timestamp").as("ts"))
+    }
+    parsed
+      .withColumn("event_ts", Coercions.parseTs(col("ts")))
+      // Arrival-order id for first-wins dedup (A1): valid because the text
+      // source assigns split indexes in file/offset order; documented caveat
+      // in SURVEY §7.4 — ids are ordered, not dense.
+      .withColumn("line_id", monotonically_increasing_id())
+  }
+
+  /** Batch scan of capture file(s) (S3; /root/reference/analyze_f1_data.py:12-36). */
+  def readBatch(spark: SparkSession, path: String,
+      format: WireFormat = WireFormat.PyList): DataFrame =
+    normalize(spark.read.text(path), format)
+
+  /** In-memory lines → events; used by fixtures/tests. */
+  def fromLines(spark: SparkSession, lines: Seq[String],
+      format: WireFormat = WireFormat.PyList): DataFrame = {
+    import spark.implicits._
+    normalize(lines.toDF("value"), format)
+  }
+
+  /** Streaming tail of a capture directory (S1/S2). `maxFilesPerTrigger`
+    * throttles replay pacing the way the reference's 100 ms batch interval
+    * does (/root/reference/config.py:36).
+    */
+  def readStream(spark: SparkSession, dir: String,
+      format: WireFormat = WireFormat.PyList,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    normalize(reader.text(dir), format)
+  }
+
+  /** Malformed-line count (T13 metric). */
+  def corruptCount(events: DataFrame): DataFrame =
+    events.filter(col("topic").isNull).select(count(lit(1)).as("corrupt_lines"))
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+/** FIXTURES.md §A.6 scalar-function edge-case vectors. */
+class CoercionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("lapSeconds: float passthrough, M:SS.mmm, MM:SS, junk, empty") {
+    val in = Seq("92.5", "1:32.500", "12:03.250", "", "abc", null).toDF("v")
+    val out = in.select(Coercions.lapSeconds(col("v"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 92.5)
+    assert(out(1) == 92.5)
+    assert(out(2) == 723.25)
+    assert(out(3) == null)
+    assert(out(4) == null)
+    assert(out(5) == null)
+  }
+
+  test("toNumeric: '', true/false strings and booleans, floats, junk") {
+    val in = Seq("", "true", "False", "22.2", "x", "0").toDF("v")
+    val out = in.select(Coercions.toNumeric(col("v"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out.toSeq == Seq(null, 1.0, 0.0, 22.2, null, 0.0))
+  }
+
+  test("toInt: '' → null, int strings, non-int → null") {
+    val in = Seq("", "301", "3.5", "  7 ").toDF("v")
+    val out = in.select(Coercions.toInt(col("v"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getInt(0))
+    assert(out.toSeq == Seq(null, 301, null, 7))
+  }
+
+  test("rainfall fork (R1): '0' → false/0.0, 'true' → true/1.0") {
+    val in = Seq("0", "true", "1").toDF("v")
+    val out = in.select(
+      Coercions.rainfallBool(col("v")).as("b"),
+      Coercions.toNumeric(col("v")).as("n")).collect()
+    assert(out(0).getBoolean(0) == false && out(0).getDouble(1) == 0.0)
+    assert(out(1).getBoolean(0) == true && out(1).getDouble(1) == 1.0)
+    assert(out(2).getBoolean(0) == true && out(2).getDouble(1) == 1.0)
+  }
+
+  test("parseTs: ISO-8601 with Z and 7-digit fractions; injectable fallback") {
+    val in = Seq("2025-05-17T14:00:04.128Z", "2025-05-17T13:59:20.6797217Z", "garbage").toDF("v")
+    val out = in.select(Coercions.parseTs(col("v"))).collect()
+    assert(out(0).getTimestamp(0).toInstant.toString == "2025-05-17T14:00:04.128Z")
+    // 7 fractional digits truncate to micros
+    assert(out(1).getTimestamp(0).toInstant.toString == "2025-05-17T13:59:20.679721Z")
+    assert(out(2).isNullAt(0))
+  }
+}
