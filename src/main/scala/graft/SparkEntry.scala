@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CoreQueries, F1Queries, Q}
+import graft.queries.{CoreQueries, ExtensionQueries, F1Queries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{CoreQueries, F1Queries, Q}
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] = CoreQueries.all ++ F1Queries.all
+  private def registry: Seq[Q] =
+    CoreQueries.all ++ F1Queries.all ++ ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per nation: broadcast dims, one shuffle (groupBy n_name) —

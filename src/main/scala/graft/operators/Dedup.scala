@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is O(n²). Candidate generation is always
+  * bucket-local — LSH band buckets (MinHash), hamming-band buckets
+  * (SimHash), or hyperplane-sign buckets (embeddings) — so the only
+  * shuffles are groupBy/join on bucket keys, and pair verification runs
+  * only within buckets. At 100 TB the bucket join is a standard shuffled
+  * equi-join AQE can skew-split; per-doc signature computation is a
+  * map-only pass.
+  */
+object Dedup {
+
+  /** Exact dedup by content: first (min id) per distinct key wins; emits
+    * keeper id + duplicate count per group.
+    */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dupes"))
+      .select(col("keep_id"), col("n_dupes"))
+
+  /** MinHash signature of the document's word-`n`-gram shingle set:
+    * `numHashes` independent hash functions h_i(s) = xxhash64(i, s), each
+    * minimized over the shingles. Pure higher-order-function pipeline.
+    */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(TextOps.shingles(text, shingleN),
+        s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH banding candidate pairs with estimated Jaccard.
+    *
+    * signature → `bands` bands of `numHashes/bands` rows; docs sharing any
+    * band hash become candidates (one self-equi-join on the band bucket);
+    * candidate pairs are then scored by signature agreement (the unbiased
+    * Jaccard estimate) and filtered at `minJaccard`.
+    *
+    * Output: (a_id, b_id, est_jaccard), a_id < b_id.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / numHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token
+    * hashes. Expressed with higher-order functions (fold over tokens into a
+    * 64-long bit-count array) — stays declarative, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextOps.wsTokens(lower(text)), t => xxhash64(t))
+    // counts[i] = sum over tokens of (bit i set ? 1 : -1)
+    val counts = aggregate(
+      tokenHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    // assemble the sign bits into a long
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by 16-bit bands (a doc pair within
+    * hamming distance ≤3 shares at least one of 4 bands — pigeonhole), then
+    * verify exact hamming within buckets.
+    */
+  def simhashDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("band_bits"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Exact word-n-gram Jaccard for candidate pairs: candidates from MinHash
+    * LSH (cheap), verification on true shingle sets (array_intersect /
+    * array_union) — the two-phase shape that scales.
+    */
+  def ngramJaccardDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val candidates = minhashLsh(docs, idCol, textCol, shingleN,
+      numHashes = 32, bands = 16, minJaccard = math.max(0.1, minJaccard - 0.25))
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("set"))
+    candidates
+      .join(sets.withColumnRenamed("id", "a_id").withColumnRenamed("set", "a_set"), "a_id")
+      .join(sets.withColumnRenamed("id", "b_id").withColumnRenamed("set", "b_set"), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("double") /
+          size(array_union(col("a_set"), col("b_set"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs by cosine ≥ `minCos`: random-hyperplane LSH
+    * buckets (sign bits of `planes` fixed pseudo-random hyperplanes — seeded
+    * deterministic, built from xxhash64 of (plane, dim)), verify exact
+    * cosine within buckets. Near-identical vectors agree on all sign bits
+    * with high probability; multiprobe (flipping one bit) covers boundary
+    * cases.
+    */
+  def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = 0.99, planes: Int = 8): DataFrame = {
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    // multiprobe: original bucket + each single-bit flip
+    val probed = withSig.select(col("id"), col("v"),
+      explode(concat(array(col("bucket")),
+        transform(sequence(lit(0), lit(planes - 1)),
+          i => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("probe"))
+    val a = probed.select(col("probe"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("probe"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", Similarity.cosine(col("a_v"), col("b_v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+}

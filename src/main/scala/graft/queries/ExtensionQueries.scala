@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.tables.Tables
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (BASELINE.json north star): dedup (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute force + LSH),
+  * text analysis (language ID, quality, token counts, fingerprints), and
+  * multimodal-column plumbing.
+  *
+  * The near-dup operators are demonstrated on the input corpus augmented
+  * with deterministic perturbed copies of its own rows ("planted"
+  * duplicates — the testdata's documents are all-distinct, so an unplanted
+  * run finds nothing to dedup). Planting is derived purely from the input
+  * table, keeping runs reproducible.
+  */
+object ExtensionQueries {
+
+  /** Planted near-duplicates: docs with id < 20 copied at id+1000000 with
+    * the last ~15 characters dropped.
+    */
+  private def plantTextDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1), greatest(length(col("text")) - 15, lit(1)).cast("int"))
+          .as("text")))
+
+  private def plantVecDups(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding")).unionByName(
+      emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deduplication ----
+
+    Q("x01_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("keep_id"),
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_dupes " +
+        "FROM documents GROUP BY text ORDER BY keep_id")),
+
+    Q("x02_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(plantTextDups(Tables.documents(s, d)),
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .orderBy("a_id", "b_id"), None),
+
+    Q("x03_dedup_simhash",
+      (s, d) => Dedup.simhashDups(plantTextDups(Tables.documents(s, d)),
+        "doc_id", "text", maxHamming = 3)
+        .orderBy("a_id", "b_id"), None),
+
+    Q("x04_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardDups(plantTextDups(Tables.documents(s, d)),
+        "doc_id", "text", shingleN = 3, minJaccard = 0.6)
+        .orderBy("a_id", "b_id"), None),
+
+    Q("x05_dedup_embedding",
+      (s, d) => Dedup.embeddingDups(plantVecDups(Tables.embeddings(s, d)),
+        "vec_id", "embedding", minCos = 0.99)
+        .orderBy("a_id", "b_id"), None),
+
+    // ---- similarity search ----
+
+    Q("x06_ann_brute_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5)
+          .orderBy("query_id", "rank")
+      }, None),
+
+    Q("x07_ann_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5, planes = 8)
+          .orderBy("query_id", "rank")
+      }, None),
+
+    // ---- text analysis ----
+
+    Q("x08_text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"), None),
+
+    Q("x09_text_stats",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        TextOps.wsTokenCount(col("text")).cast("bigint").as("n_tokens_ws"),
+        TextOps.bpeTokenCount(col("text")).cast("bigint").as("n_tokens_bpe"),
+        TextOps.punctCount(col("text")).cast("bigint").as("n_punct"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, length(text) AS n_chars, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws, " +
+        "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens_bpe, " +
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS n_punct, " +
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) / greatest(length(text), 1) AS punct_ratio " +
+        "FROM documents ORDER BY doc_id")),
+
+    Q("x10_text_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"), None),
+
+    Q("x11_text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp.full_hash").as("full_hash"),
+          col("fp.min_shingle_hash").as("min_shingle_hash"))
+        .orderBy("doc_id"), None),
+
+    // ---- multimodal columns ----
+
+    Q("x12_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .select(col("asset_id"), col("media_type"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 16), 4).as("f15"))
+        .orderBy("asset_id"), None),
+
+    Q("x13_multimodal_metadata",
+      (s, d) => Multimodal.metadataStats(
+        Multimodal.syntheticAssets(Tables.documents(s, d))), None)
+  )
+}

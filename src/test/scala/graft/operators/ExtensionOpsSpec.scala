@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Training-data operator semantics on small controlled corpora. */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso en la ribera del rio"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: min-id keeper with duplicate count") {
+    val out = Dedup.exact(corpus, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L) // 1 & 5 collapse
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L))) // exact dup certainly caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within 3; unrelated far") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+    val dups = Dedup.simhashDups(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 5L)))
+  }
+
+  test("ngram jaccard verification bounds the LSH estimate") {
+    val out = Dedup.ngramJaccardDups(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 5L)) == 1.0)
+    assert(out((1L, 2L)) > 0.7 && out((1L, 2L)) < 1.0)
+    assert(!out.contains((1L, 3L)))
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine + embedding near-dup LSH") {
+    val cos = vecs.filter(col("vec_id") === 1).crossJoin(
+      vecs.filter(col("vec_id") === 3).select(col("embedding").as("other")))
+      .select(Similarity.cosine(col("embedding"), col("other"))).head().getDouble(0)
+    assert(math.abs(cos) < 1e-9)
+    val dups = Dedup.embeddingDups(vecs, "vec_id", "embedding", minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)))
+  }
+
+  test("brute-force topk ranks by cosine with deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(
+      vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      vecs.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "c_id", "c_vec", "q_id", "q_vec", k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 5L))
+  }
+
+  test("LSH topk returns the planted near-neighbor for near-dup vectors") {
+    val out = Similarity.lshTopK(
+      vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      vecs.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "c_id", "c_vec", "q_id", "q_vec", k = 2, planes = 8).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).contains(2L))
+  }
+
+  test("text stats: token counts, punct, empty-string safety") {
+    val df = Seq("a b  c", "", "hello, world! x2").toDF("text")
+    val out = df.select(
+      TextOps.wsTokenCount(col("text")).as("ws"),
+      TextOps.bpeTokenCount(col("text")).as("bpe"),
+      TextOps.punctCount(col("text")).as("punct")).collect()
+    assert(out(0).getInt(0) == 3 && out(0).getInt(1) == 3 && out(0).getInt(2) == 0)
+    assert(out(1).getInt(0) == 0 && out(1).getInt(1) == 0)
+    assert(out(2).getInt(0) == 3)
+    assert(out(2).getInt(1) == 5) // [hello][,][world][!][x2]
+  }
+
+  test("langId picks stopword-dominant language; CJK → zh") {
+    val df = Seq(
+      ("en", "the cat and the dog went to the park in the morning"),
+      ("es", "el gato y la casa de los amigos en un lugar del mundo"),
+      ("zh", "这是一个中文句子用来测试语言识别功能"),
+      ("und", "xyzzy plugh qwerty asdf")).toDF("expected", "text")
+    val out = df.select(col("expected"), TextOps.langId(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is stable and shingle-minimum based") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val a = df.select(TextOps.fingerprint(col("text"))).head().getStruct(0)
+    val b = df.select(TextOps.fingerprint(col("text"))).head().getStruct(0)
+    assert(a == b)
+  }
+
+  test("multimodal: synthetic assets, stubbed decode, metadata pruning") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(docs)
+    assert(assets.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.getSeq[Double](2).length == 16))
+    val stats = Multimodal.metadataStats(assets).collect()
+    assert(stats.map(_.getLong(1)).sum == 3)
+  }
+}
