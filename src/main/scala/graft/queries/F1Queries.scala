@@ -61,6 +61,29 @@ object F1Queries {
         EventSource.fromLines(s, Fixtures.jsonLines, WireFormat.Json)), "line_id")
         .drop("line_id"), None),
 
+    // Full streaming ETL (ST1–ST6): file source → unified foreachBatch
+    // multi-table load → read back the consolidated lap table. Runs the
+    // actual Structured Streaming machinery (checkpointed file source,
+    // micro-batches, _seq-ordered upsert sinks) inside the query.
+    Q("f1_streaming_laps", (s, _) => {
+      val base = java.nio.file.Files.createTempDirectory("f1stream").toString
+      val src = s"$base/src"; val tables = s"$base/tables"; val ckpt = s"$base/ckpt"
+      new java.io.File(src).mkdirs()
+      val (p1, p2) = Fixtures.pyLines.splitAt(6)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/p1.txt"),
+        p1.mkString("\n").getBytes)
+      val q = graft.streaming.F1Pipeline.startUnified(s, src, tables, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/p2.txt"),
+          p2.mkString("\n").getBytes)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$tables/lap_data").drop("_seq", "line_id")
+        .orderBy("driver_number", "lap_number")
+    }, None),
+
     // Dashboard analytics read path (A5/A6/A7) over derived tables; `now`
     // pinned to the fixture capture's max event time for determinism.
     Q("f1_dashboard_stats", (s, _) => {

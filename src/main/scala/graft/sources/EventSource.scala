@@ -64,8 +64,12 @@ object EventSource {
       .withColumn("event_ts", Coercions.parseTs(col("ts")))
       // Arrival-order id for first-wins dedup (A1): valid because the text
       // source assigns split indexes in file/offset order; documented caveat
-      // in SURVEY §7.4 — ids are ordered, not dense.
-      .withColumn("line_id", monotonically_increasing_id())
+      // in SURVEY §7.4 — ids are ordered, not dense. Streaming frames can't
+      // host monotonically_increasing_id — there the micro-batch loader
+      // reassigns it per batch (F1Pipeline.loadBatch), and pure-append
+      // streaming sinks use the 0 placeholder (in-batch order irrelevant).
+      .withColumn("line_id",
+        if (lines.isStreaming) lit(0L) else monotonically_increasing_id())
   }
 
   /** Batch scan of capture file(s) (S3; /root/reference/analyze_f1_data.py:12-36). */

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.F1Transforms
+import graft.sinks.TableSink
+import graft.sources.EventSource
+import graft.sources.EventSource.WireFormat
+
+/** The full streaming ETL (SURVEY §3.1 / §2.8): Structured Streaming over
+  * the capture directory → per-topic transforms → multi-table sinks.
+  *
+  * Reference mechanisms → Spark mappings:
+  *  - 100 ms adaptive batch cadence (ST1, main_supabase.py:79,173-185)
+  *    → `Trigger.ProcessingTime` (configurable);
+  *  - per-topic monitor processes sharing one file with independent offsets
+  *    (ST2, orchestrator-simple.py:24-49) → [[startPerTopic]]: N concurrent
+  *    streaming queries on one session, independent checkpoints;
+  *  - one transaction per batch across 7 tables (S6, supabase_loader.py:134-172)
+  *    → [[startUnified]]: one foreachBatch deriving every table; Spark has
+  *    no cross-table transaction, so the contract is at-least-once delivery
+  *    + idempotent `_seq`-ordered merges in [[TableSink]] (documented);
+  *  - cross-batch message-id dedup with an unbounded in-memory set
+  *    (A2/ST6, monitor_race_control.py:38,124-149) → `withWatermark` +
+  *    `dropDuplicates` — bounded state store instead of unbounded set;
+  *  - crash-unsafe byte-offset tailing (S2, extractor.py:60-80) → file
+  *    source + checkpointed offsets, exactly-once source tracking.
+  */
+object F1Pipeline {
+
+  /** Which derived tables the unified pipeline maintains, with their sink
+    * semantics (upsert keys or append).
+    */
+  sealed trait SinkKind
+  case class Upsert(keys: Seq[String]) extends SinkKind
+  case class Coalescing(keys: Seq[String]) extends SinkKind
+  case object Append extends SinkKind
+
+  val tableSinks: Seq[(String, DataFrame => DataFrame, SinkKind)] = Seq(
+    ("sessions", F1Transforms.sessions _, Upsert(Seq("session_key"))),
+    ("drivers", F1Transforms.drivers _, Upsert(Seq("driver_number"))),
+    ("lap_data", (e: DataFrame) => F1Transforms.laps(e), Coalescing(Seq("driver_number", "lap_number"))),
+    ("positions", F1Transforms.positionsFromTiming _, Append),
+    ("telemetry", F1Transforms.telemetry _, Append),
+    ("car_positions", F1Transforms.carPositions _, Append),
+    ("race_control", F1Transforms.raceControl _, Append),
+    ("weather", F1Transforms.weather _, Append))
+
+  /** Sessions/drivers/laps need `line_id` to survive into the sink for
+    * `_seq`; transforms that already drop it get it re-attached as 0 (their
+    * outputs are append-only, order within batch irrelevant).
+    */
+  private def ensureLineId(df: DataFrame): DataFrame =
+    if (df.columns.contains("line_id")) df else df.withColumn("line_id", lit(0L))
+
+  /** Load one micro-batch into every derived table (S6). Also used by the
+    * batch (non-streaming) pipeline with batchId=0.
+    */
+  def loadBatch(spark: SparkSession, events: DataFrame, tablesDir: String,
+      batchId: Long): Unit = {
+    // The streaming source carries a placeholder line_id (see EventSource);
+    // inside foreachBatch this is a plain batch frame, so assign the real
+    // in-batch arrival order here.
+    val cached = events.withColumn("line_id", monotonically_increasing_id()).cache()
+    try {
+      tableSinks.foreach { case (name, transform, kind) =>
+        val path = s"$tablesDir/$name"
+        val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
+        kind match {
+          case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
+          case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
+          case Append           => TableSink.append(path, out.drop("_seq", "line_id"))
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Unified pipeline: one streaming query, all tables per micro-batch. */
+  def startUnified(spark: SparkSession, sourceDir: String, tablesDir: String,
+      checkpointDir: String, format: WireFormat = WireFormat.PyList,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+    val events = EventSource.readStream(spark, sourceDir, format)
+    events.writeStream
+      .queryName("f1_unified")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        loadBatch(spark, batch, tablesDir, batchId)
+      }
+      .start()
+  }
+
+  /** Per-topic parallelism (ST2): independent queries with independent
+    * checkpoints — the monitors' process-level parallelism, minus the
+    * processes. Race control gets the watermarked streaming dedup (A2).
+    */
+  def startPerTopic(spark: SparkSession, sourceDir: String, tablesDir: String,
+      checkpointRoot: String, format: WireFormat = WireFormat.PyList,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): Seq[StreamingQuery] = {
+
+    def sink(name: String)(build: DataFrame => DataFrame): StreamingQuery =
+      build(EventSource.readStream(spark, sourceDir, format))
+        .writeStream
+        .queryName(s"f1_$name")
+        .option("checkpointLocation", s"$checkpointRoot/$name")
+        .option("path", s"$tablesDir/$name")
+        .trigger(trigger)
+        .format("parquet")
+        .outputMode("append")
+        .start()
+
+    Seq(
+      sink("weather")(e => F1Transforms.weather(e).drop("line_id")),
+      sink("telemetry")(F1Transforms.telemetry),
+      sink("car_positions")(F1Transforms.carPositions),
+      // A2: drop duplicate message ids across batches; watermark bounds the
+      // dedup state (the reference's `processed_ids` set grows forever).
+      sink("race_control")(e =>
+        F1Transforms.raceControl(e).drop("line_id")
+          .withWatermark("timestamp", "10 minutes")
+          .dropDuplicatesWithinWatermark("msg_id")))
+  }
+}

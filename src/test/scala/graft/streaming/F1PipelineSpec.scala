@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.f1.Fixtures
+import graft.sinks.TableSink
+
+/** Streaming-semantics tests (SURVEY §5 plan #5): the unified pipeline over
+  * a file source, cross-batch upsert convergence, replay idempotence, and
+  * watermarked dedup.
+  */
+class F1PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("unified streaming pipeline: two files → two batches → converged tables") {
+    val src = tmp("f1src")
+    val tables = tmp("f1tables")
+    val ckpt = tmp("f1ckpt")
+    // split the fixture capture in two files: laps arrive across batches,
+    // so lap consolidation must merge cross-batch via the coalescing sink
+    val (part1, part2) = Fixtures.pyLines.splitAt(6)
+    Files.write(java.nio.file.Paths.get(s"$src/p1.txt"),
+      part1.mkString("\n").getBytes)
+    val q = F1Pipeline.startUnified(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$src/p2.txt"),
+        part2.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val laps = spark.read.parquet(s"$tables/lap_data")
+      .orderBy("driver_number", "lap_number").collect()
+    assert(laps.length == 2)
+    val l1 = laps(0)
+    assert(l1.getAs[Int]("driver_number") == 1)
+    assert(math.abs(l1.getAs[Double]("lap_time") - 92.633) < 1e-9)
+    assert(l1.getAs[Int]("speed_trap") == 315) // app-data fragment from batch 2 merged in
+
+    val drivers = spark.read.parquet(s"$tables/drivers")
+    assert(drivers.count() == 3)
+    assert(drivers.filter($"driver_number" === 1).head().getAs[String]("name")
+      == "A DRIVERONE") // first-wins survived the upsert across batches
+
+    assert(spark.read.parquet(s"$tables/weather").count() == 3)
+    assert(spark.read.parquet(s"$tables/telemetry").count() == 5)
+    assert(spark.read.parquet(s"$tables/sessions").count() == 1)
+  }
+
+  test("coalescing upsert is idempotent under batch replay (U3)") {
+    val path = tmp("lapsink") + "/lap_data"
+    val frag1 = Seq((1, 1, Some(92.5), None: Option[Double], 10L))
+      .toDF("driver_number", "lap_number", "lap_time", "sector_1_time", "line_id")
+    val frag2 = Seq((1, 1, None: Option[Double], Some(28.1), 11L))
+      .toDF("driver_number", "lap_number", "lap_time", "sector_1_time", "line_id")
+    val keys = Seq("driver_number", "lap_number")
+
+    TableSink.coalescingUpsert(spark, path, TableSink.withSeq(frag1, 1), keys)
+    TableSink.coalescingUpsert(spark, path, TableSink.withSeq(frag2, 2), keys)
+    val once = spark.read.parquet(path).collect()
+    assert(once.length == 1)
+    assert(once.head.getAs[Double]("lap_time") == 92.5)      // kept from batch 1
+    assert(once.head.getAs[Double]("sector_1_time") == 28.1) // filled by batch 2
+
+    // replay batch 2 (at-least-once delivery) → nothing changes
+    TableSink.coalescingUpsert(spark, path, TableSink.withSeq(frag2, 2), keys)
+    val replayed = spark.read.parquet(path).collect()
+    assert(replayed.length == 1)
+    assert(replayed.head.getAs[Double]("lap_time") == 92.5)
+    assert(replayed.head.getAs[Double]("sector_1_time") == 28.1)
+  }
+
+  test("keyed upsert: later _seq wins, replay idempotent (U1)") {
+    val path = tmp("sessink") + "/sessions"
+    val v1 = Seq((9001, "Quali v1", 5L)).toDF("session_key", "name", "line_id")
+    val v2 = Seq((9001, "Quali v2", 3L)).toDF("session_key", "name", "line_id")
+    TableSink.upsert(spark, path, TableSink.withSeq(v1, 1), Seq("session_key"))
+    TableSink.upsert(spark, path, TableSink.withSeq(v2, 2), Seq("session_key"))
+    assert(spark.read.parquet(path).head().getAs[String]("name") == "Quali v2")
+    TableSink.upsert(spark, path, TableSink.withSeq(v1, 1), Seq("session_key"))
+    // replaying the OLDER batch must not regress the row (lower _seq loses)
+    assert(spark.read.parquet(path).head().getAs[String]("name") == "Quali v2")
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("per-topic queries with watermarked race-control dedup (ST2/A2)") {
+    val src = tmp("f1src2")
+    val tables = tmp("f1tables2")
+    val ckpt = tmp("f1ckpt2")
+    Files.write(java.nio.file.Paths.get(s"$src/all.txt"),
+      Fixtures.pyLines.mkString("\n").getBytes)
+    val queries = F1Pipeline.startPerTopic(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+
+    assert(spark.read.parquet(s"$tables/weather").count() == 3)
+    assert(spark.read.parquet(s"$tables/telemetry").count() == 5)
+    assert(spark.read.parquet(s"$tables/car_positions").count() == 5)
+    // 3 raw race-control rows, one duplicated msg_id → 2 after streaming dedup
+    assert(spark.read.parquet(s"$tables/race_control").count() == 2)
+  }
+}
