@@ -51,7 +51,9 @@ object PyLiteral {
         case _ => null
       }
     } catch {
-      case _: ParseError => null
+      // ParseError for structural issues; NonFatal as the totality backstop
+      // (e.g. malformed \x escapes) — wire lines are untrusted (T13)
+      case scala.util.control.NonFatal(_) => null
     }
   }
 
@@ -65,7 +67,7 @@ object PyLiteral {
       p.skipWs()
       if (!p.atEnd) null else renderJson(v)
     } catch {
-      case _: ParseError => null
+      case scala.util.control.NonFatal(_) => null
     }
   }
 
@@ -149,8 +151,10 @@ object PyLiteral {
       }
       val tok = s.substring(start, i)
       if (tok.isEmpty || tok == "-" || tok == "+") fail()
-      if (isFloat) java.lang.Double.parseDouble(tok)
-      else java.lang.Long.parseLong(tok)
+      try {
+        if (isFloat) java.lang.Double.parseDouble(tok)
+        else java.lang.Long.parseLong(tok)
+      } catch { case _: NumberFormatException => fail() }
     }
 
     private def parseSeq(): List[Any] = {

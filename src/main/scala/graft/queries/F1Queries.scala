@@ -61,6 +61,26 @@ object F1Queries {
         EventSource.fromLines(s, Fixtures.jsonLines, WireFormat.Json)), "line_id")
         .drop("line_id"), None),
 
+    // C1–C4 — the schema-verification harness over every derived table
+    // (the reference's verify_tables.py as data): one row per expected
+    // column with existence/compatibility flags, plus the referential
+    // orphan probe folded in as a pseudo-table row.
+    Q("f1_schema_verify", (s, _) => {
+      val ev = events(s).cache()
+      val derived = Seq(
+        "sessions" -> F1Transforms.sessions(ev),
+        "drivers" -> F1Transforms.drivers(ev),
+        "lap_data" -> F1Transforms.laps(ev),
+        "positions" -> F1Transforms.positionsFromTiming(ev),
+        "telemetry" -> F1Transforms.telemetry(ev),
+        "race_control" -> F1Transforms.raceControl(ev),
+        "weather" -> F1Transforms.weather(ev))
+      derived.map { case (name, df) =>
+        graft.catalog.SchemaVerify.verifySchema(df, name,
+          graft.catalog.SchemaVerify.expectedTables(name))
+      }.reduce(_ unionByName _).orderBy("table_name", "column_name")
+    }, None),
+
     // Full streaming ETL (ST1–ST6): file source → unified foreachBatch
     // multi-table load → read back the consolidated lap table. Runs the
     // actual Structured Streaming machinery (checkpointed file source,

@@ -98,4 +98,21 @@ object TableSink {
   /** U4 — plain append. High-volume path: no read, no rewrite. */
   def append(path: String, batch: DataFrame): Unit =
     batch.write.mode(SaveMode.Append).parquet(path)
+
+  /** A9/A2 — append only keys not already in the table: in-batch dedup
+    * (first wins) + left-anti join against existing keys. Reads only the
+    * key column of the existing table (column pruning), so the probe stays
+    * cheap even on a large table; at 100 TB this would be partition-pruned
+    * by session/date first.
+    */
+  def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
+      key: String): Unit = {
+    val inBatch = batch.dropDuplicates(key)
+    val fresh = readIfExists(spark, path) match {
+      case Some(existing) =>
+        inBatch.join(existing.select(col(key)), Seq(key), "left_anti")
+      case None => inBatch
+    }
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
 }

@@ -37,6 +37,12 @@ object F1Pipeline {
   case class Upsert(keys: Seq[String]) extends SinkKind
   case class Coalescing(keys: Seq[String]) extends SinkKind
   case object Append extends SinkKind
+  /** Append with cross-batch key dedup: new rows anti-joined against the
+    * existing table (A9/A2 — the reference seeds its dedup set from
+    * `SELECT id … WHERE session_id=$1`, monitor_race_control.py:87-92;
+    * here the table itself is the state).
+    */
+  case class DedupAppend(key: String) extends SinkKind
 
   val tableSinks: Seq[(String, DataFrame => DataFrame, SinkKind)] = Seq(
     ("sessions", F1Transforms.sessions _, Upsert(Seq("session_key"))),
@@ -45,7 +51,7 @@ object F1Pipeline {
     ("positions", F1Transforms.positionsFromTiming _, Append),
     ("telemetry", F1Transforms.telemetry _, Append),
     ("car_positions", F1Transforms.carPositions _, Append),
-    ("race_control", F1Transforms.raceControl _, Append),
+    ("race_control", F1Transforms.raceControl _, DedupAppend("msg_id")),
     ("weather", F1Transforms.weather _, Append))
 
   /** Sessions/drivers/laps need `line_id` to survive into the sink for
@@ -72,6 +78,8 @@ object F1Pipeline {
           case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
           case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
           case Append           => TableSink.append(path, out.drop("_seq", "line_id"))
+          case DedupAppend(key) => TableSink.dedupAppend(spark, path,
+            out.drop("_seq", "line_id"), key)
         }
       }
     } finally cached.unpersist()

@@ -28,6 +28,8 @@ class F1PipelineSpec extends SparkSpec {
     val (part1, part2) = Fixtures.pyLines.splitAt(6)
     Files.write(java.nio.file.Paths.get(s"$src/p1.txt"),
       part1.mkString("\n").getBytes)
+    val metrics = new Metrics(batchIntervalMs = 50)
+    spark.streams.addListener(metrics)
     val q = F1Pipeline.startUnified(spark, src, tables, ckpt,
       trigger = Trigger.ProcessingTime("50 milliseconds"))
     try {
@@ -35,7 +37,16 @@ class F1PipelineSpec extends SparkSpec {
       Files.write(java.nio.file.Paths.get(s"$src/p2.txt"),
         part2.mkString("\n").getBytes)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+
+    // ST5/A4: the listener observed the batches and their row counts
+    val (nBatches, nRows, _, _, _) = metrics.summary
+    assert(nBatches >= 2, s"expected >=2 progress reports, got $nBatches")
+    assert(nRows == Fixtures.pyLines.length,
+      s"listener counted $nRows input rows")
 
     val laps = spark.read.parquet(s"$tables/lap_data")
       .orderBy("driver_number", "lap_number").collect()
@@ -53,6 +64,8 @@ class F1PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tables/weather").count() == 3)
     assert(spark.read.parquet(s"$tables/telemetry").count() == 5)
     assert(spark.read.parquet(s"$tables/sessions").count() == 1)
+    // A9: dict-form duplicate msg_id collapsed across the whole run
+    assert(spark.read.parquet(s"$tables/race_control").count() == 2)
   }
 
   test("coalescing upsert is idempotent under batch replay (U3)") {
