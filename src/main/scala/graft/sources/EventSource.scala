@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Coercions, PyLiteral}
+import graft.functions.{Coercions, ParsePyLine}
 
 /** Readers for the F1 live-timing event-line format (SURVEY §1.2), batch and
   * streaming, covering BOTH wire encodings:
@@ -40,7 +40,9 @@ object EventSource {
     case object Json extends WireFormat
   }
 
-  private val parsePyLine = udf((s: String) => PyLiteral.parseLine(s))
+  // Native Catalyst expression (stays in whole-stage codegen), not a UDF.
+  private def parsePyLine(c: org.apache.spark.sql.Column) =
+    ParsePyLine.parse_pyline(c)
 
   /** Normalize raw lines (column `value`) into the canonical event frame.
     * Malformed lines are kept as `topic IS NULL` rows so callers can count
