@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{InflateRaw, ParsePyLine}
+import graft.functions.{HyperplaneBucketExpr, InflateRaw, MinHashSignature, ParsePyLine, ShingleHashes, SimHash64, VecDot}
 
 /** Session-extension installer: makes the engine's custom expressions
   * (`inflate_raw`, `parse_pyline`) available in every session created with
@@ -24,5 +24,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_pyline"),
       new ExpressionInfo(classOf[ParsePyLine].getName, "parse_pyline"),
       (exprs: Seq[Expression]) => ParsePyLine(exprs.head)))
+
+    def litInt(e: Expression): Int = e.eval(null) match {
+      case i: Int => i; case l: Long => l.toInt
+      case other  => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0), litInt(exprs(1)))))
   }
 }

@@ -1,0 +1,299 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the text/vector hot paths.
+  *
+  * The declarative higher-order-function formulations (transform/aggregate/
+  * zip_with) are CodegenFallback and re-evaluate captured expressions per
+  * array element in interpreted mode — fine for correctness, ~100× too slow
+  * for the dedup/ANN operators at scale. Each kernel here is a single
+  * codegen'd expression backed by a tight static JVM loop; the declarative
+  * shapes remain in Dedup/Similarity scaladoc as the semantic reference.
+  *
+  * Hashing: splitmix64 over token bytes — deterministic, seed-free,
+  * engine-internal (these feed rows-only operators, never the DuckDB
+  * oracle).
+  */
+object TextVectorKernels {
+
+  @inline final def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Whitespace-token hashes of the lowercased text. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val s = text.toString.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xCBF29CE484222325L
+        while (i < n && !Character.isWhitespace(s.charAt(i))) {
+          h = (h ^ s.charAt(i)) * 0x100000001B3L
+          i += 1
+        }
+        out += mix64(h)
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct rolling word-n-gram shingle hashes (polynomial combine of n
+    * consecutive token hashes). Fewer than n tokens → one shingle of all.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val h = tokenHashes(text)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (h.length == 0) {
+      set.add(mix64(0L))
+    } else if (h.length < n) {
+      var acc = 1125899906842597L
+      var i = 0
+      while (i < h.length) { acc = acc * 31 + h(i); i += 1 }
+      set.add(mix64(acc))
+    } else {
+      var i = 0
+      while (i <= h.length - n) {
+        var acc = 1125899906842597L
+        var j = 0
+        while (j < n) { acc = acc * 31 + h(i + j); j += 1 }
+        set.add(mix64(acc))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** k-permutation MinHash signature over precomputed shingle hashes. */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = mix64(i + 0x51L)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = mix64(shingles.getLong(j) ^ seed)
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of token hashes. */
+  def simhash64(text: UTF8String): Long = {
+    val hs = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) a.toFloatArray().map(_.toDouble) else a.toDoubleArray()
+
+  /** Dot product of two numeric arrays (float or double elements). */
+  def vecDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val x = toDoubles(a, aFloat)
+    val y = toDoubles(b, bFloat)
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  /** Sign-bit bucket under `planes` deterministic pseudo-random hyperplanes
+    * (component for (plane p, dim d) = mix64(p*1315423911 + d) scaled to
+    * [-1, 1)).
+    */
+  def hyperplaneBucket(v: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val x = toDoubles(v, isFloat)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < x.length) {
+        proj += x(d) * (mix64(p.toLong * 1315423911L + d).toDouble / Long.MaxValue.toDouble)
+        d += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** array<long> shingle hashes of text (word n-grams). SQL: shingle_hashes(text, n). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hashes requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.shingleHashes($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** array<long> k-permutation MinHash signature of an array<long> shingle set. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_signature requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.minhashSignature($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash of text. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextVectorKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Dot product of two numeric array columns. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires ARRAY<FLOAT|DOUBLE>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextVectorKernels.vecDot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Hyperplane-LSH sign bucket of a numeric array column. */
+case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"hyperplane_bucket requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextVectorKernels.hyperplaneBucket($c, $planes, $elemIsFloat)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Column wrappers + SQL registration for the kernels. Int parameters are
+  * passed as literal expressions in SQL and folded at build time.
+  */
+object TextVectorExpressions {
+
+  private def litInt(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
+    r.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0), litInt(exprs(1))), "built-in")
+    r.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("hyperplane_bucket",
+      exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1))), "built-in")
+  }
+
+  def shingle_hashes(c: Column, n: Int): Column = {
+    register(SparkSession.active); call_function("shingle_hashes", c, lit(n))
+  }
+  def minhash_signature(c: Column, k: Int): Column = {
+    register(SparkSession.active); call_function("minhash_signature", c, lit(k))
+  }
+  def simhash64(c: Column): Column = {
+    register(SparkSession.active); call_function("simhash64", c)
+  }
+  def vec_dot(a: Column, b: Column): Column = {
+    register(SparkSession.active); call_function("vec_dot", a, b)
+  }
+  def hyperplane_bucket(c: Column, planes: Int): Column = {
+    register(SparkSession.active); call_function("hyperplane_bucket", c, lit(planes))
+  }
+}

@@ -25,26 +25,20 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dupes"))
       .select(col("keep_id"), col("n_dupes"))
 
-  /** Base shingle-set hashes: each distinct word-n-gram hashed ONCE.
-    * The `numHashes` MinHash "permutations" are then derived from these
-    * 64-bit values with fixed-width hashing (xxhash64 over (i, hash)) —
-    * hashing a long per permutation instead of re-hashing the shingle
-    * string `numHashes` times. This cut the sf0.1 minhash pass from ~230 s
-    * to seconds.
+  /** Base shingle-set hashes: each distinct word-n-gram hashed ONCE, as a
+    * native kernel ([[graft.functions.ShingleHashes]]) — the declarative
+    * HOF formulation (transform+xxhash64 over [[TextOps.shingles]])
+    * re-evaluates the token split per array element in interpreted mode,
+    * ~100× slower at sf0.1.
     */
   def shingleHashes(text: Column, shingleN: Int): Column =
-    array_distinct(transform(TextOps.shingles(text, shingleN), s => xxhash64(s)))
+    graft.functions.TextVectorExpressions.shingle_hashes(text, shingleN)
 
-  /** MinHash signature from precomputed base hashes (see [[shingleHashes]]).
-    * Must be applied to a *column reference* holding the base hashes, not
-    * the expression itself — CollapseProject keeps multi-referenced
-    * non-cheap expressions in their own project, so the base hashes are
-    * evaluated once per row, not `numHashes` times.
+  /** MinHash signature from precomputed base hashes: k permutations derived
+    * by fixed-width mixing of the 64-bit base hash in one codegen'd pass.
     */
   def minhashSignatureFromHashes(baseHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(baseHashes, v => xxhash64(lit(i), v)))
-    }: _*)
+    graft.functions.TextVectorExpressions.minhash_signature(baseHashes, numHashes)
 
   /** MinHash signature of the document's word-`n`-gram shingle set. */
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
@@ -89,23 +83,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token
-    * hashes. Expressed with higher-order functions (fold over tokens into a
-    * 64-long bit-count array) — stays declarative, no UDF.
+    * hashes ([[graft.functions.SimHash64]] native kernel).
     */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextOps.wsTokens(lower(text)), t => xxhash64(t))
-    // counts[i] = sum over tokens of (bit i set ? 1 : -1)
-    val counts = aggregate(
-      tokenHashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    // assemble the sign bits into a long
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextVectorExpressions.simhash64(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -139,8 +120,10 @@ object Dedup {
       shingleN: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     val candidates = minhashLsh(docs, idCol, textCol, shingleN,
       numHashes = 32, bands = 16, minJaccard = math.max(0.1, minJaccard - 0.25))
+    // exact verification on the shingle-hash sets (64-bit hash identity —
+    // collision probability negligible vs string sets, far cheaper to ship)
     val sets = docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("set"))
+      shingleHashes(col(textCol), shingleN).as("set"))
     candidates
       .join(sets.withColumnRenamed("id", "a_id").withColumnRenamed("set", "a_set"), "a_id")
       .join(sets.withColumnRenamed("id", "b_id").withColumnRenamed("set", "b_set"), "b_id")
@@ -161,18 +144,19 @@ object Dedup {
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double = 0.99, planes: Int = 8): DataFrame = {
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"),
+      Similarity.norm(col(vecCol)).as("n"))
     // multiprobe: original bucket + each single-bit flip
-    val probed = withSig.select(col("id"), col("v"),
+    val probed = withSig.select(col("id"), col("v"), col("n"),
       explode(concat(array(col("bucket")),
         transform(sequence(lit(0), lit(planes - 1)),
           i => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("probe"))
-    val a = probed.select(col("probe"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"), col("v").as("b_v"))
+    val a = probed.select(col("probe"), col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
+    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
     a.join(b, Seq("probe"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("cos", Similarity.cosine(col("a_v"), col("b_v")))
+      .withColumn("cos", Similarity.cosineWithNorms(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float-array columns. */
+  /** Dot product of two equal-length numeric-array columns
+    * ([[graft.functions.VecDot]] native kernel — the zip_with/aggregate
+    * HOF formulation is interpreted per element).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.TextVectorExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,22 +34,20 @@ object Similarity {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** Cosine from a precomputed-norm pair: in top-k scans the corpus norm
+    * must be computed once per row, not once per (row, query) pair.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
   /** Sign-bit bucket of `v` under `planes` fixed hyperplanes, packed into a
-    * long. Hyperplane components are deterministic pseudo-random values
-    * xxhash64(plane, dim) → [-1, 1) — no RNG state, identical on every
-    * executor, which is the property LSH needs. Vectors with high cosine
-    * land in the same bucket w.h.p.
+    * long ([[graft.functions.HyperplaneBucketExpr]] kernel). Hyperplane
+    * components are deterministic pseudo-random values — no RNG state,
+    * identical on every executor, which is the property LSH needs. Vectors
+    * with high cosine land in the same bucket w.h.p.
     */
   def hyperplaneBucket(v: Column, planes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * (xxhash64(p, i).cast("double") / lit(Long.MaxValue.toDouble))),
-          lit(0.0d), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+    graft.functions.TextVectorExpressions.hyperplane_bucket(v, planes)
 
   /** Brute-force cosine top-k: for each row of `queries` (id + vector),
     * the `k` nearest corpus rows. `queries` must be small — it is broadcast.
@@ -54,9 +55,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val joined = corpus.withColumn("_cn", norm(col(corpusVec)))
+      .crossJoin(broadcast(queries.withColumn("_qn", norm(col(queryVec)))))
       .filter(col(queryId) =!= col(corpusId))
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec), col("_cn"), col("_qn")))
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -74,14 +76,16 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = corpus.withColumn("bucket", hyperplaneBucket(col(corpusVec), planes))
-    val qb = queries.withColumn("qbucket", hyperplaneBucket(col(queryVec), planes))
+      .withColumn("_cn", norm(col(corpusVec)))
+    val qb = queries.withColumn("_qn", norm(col(queryVec)))
+      .withColumn("qbucket", hyperplaneBucket(col(queryVec), planes))
       .withColumn("probe", explode(concat(array(col("qbucket")),
         transform(sequence(lit(0), lit(planes - 1)),
           i => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))))
     val candidates = bucketed.join(broadcast(qb), col("bucket") === col("probe"))
       .filter(col(queryId) =!= col(corpusId))
       .dropDuplicates(queryId, corpusId)
-      .withColumn("cos", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec), col("_cn"), col("_qn")))
     val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
     candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

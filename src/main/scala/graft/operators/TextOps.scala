@@ -99,11 +99,12 @@ object TextOps {
 
   /** Document fingerprint: min-hash of word-5-gram shingle hashes (a
     * winnowing-style rolling fingerprint — the minimum of the shingle hash
-    * sequence), plus the full-text hash. Identical pipeline on every
-    * executor → deterministic.
+    * sequence, via the [[graft.functions.ShingleHashes]] kernel), plus the
+    * full-text hash. Identical pipeline on every executor → deterministic.
     */
   def fingerprint(text: Column): Column =
     struct(
       xxhash64(text).as("full_hash"),
-      array_min(transform(shingles(text, 5), s => xxhash64(s))).as("min_shingle_hash"))
+      array_min(graft.functions.TextVectorExpressions.shingle_hashes(text, 5))
+        .as("min_shingle_hash"))
 }

@@ -44,15 +44,21 @@ object F1Pipeline {
     */
   case class DedupAppend(key: String) extends SinkKind
 
-  val tableSinks: Seq[(String, DataFrame => DataFrame, SinkKind)] = Seq(
-    ("sessions", F1Transforms.sessions _, Upsert(Seq("session_key"))),
-    ("drivers", F1Transforms.drivers _, Upsert(Seq("driver_number"))),
-    ("lap_data", (e: DataFrame) => F1Transforms.laps(e), Coalescing(Seq("driver_number", "lap_number"))),
-    ("positions", F1Transforms.positionsFromTiming _, Append),
-    ("telemetry", F1Transforms.telemetry _, Append),
-    ("car_positions", F1Transforms.carPositions _, Append),
-    ("race_control", F1Transforms.raceControl _, DedupAppend("msg_id")),
-    ("weather", F1Transforms.weather _, Append))
+  /** (table, source topics, transform, sink semantics). Source topics gate
+    * per-batch work: a micro-batch carrying no DriverList lines skips the
+    * drivers merge entirely — in a live stream most batches touch only a
+    * few topics, so this avoids 8 read-merge-write jobs per batch.
+    */
+  val tableSinks: Seq[(String, Set[String], DataFrame => DataFrame, SinkKind)] = Seq(
+    ("sessions", Set("SessionInfo"), F1Transforms.sessions _, Upsert(Seq("session_key"))),
+    ("drivers", Set("DriverList"), F1Transforms.drivers _, Upsert(Seq("driver_number"))),
+    ("lap_data", Set("TimingData", "TimingAppData"),
+      (e: DataFrame) => F1Transforms.laps(e), Coalescing(Seq("driver_number", "lap_number"))),
+    ("positions", Set("TimingData"), F1Transforms.positionsFromTiming _, Append),
+    ("telemetry", Set("CarData.z"), F1Transforms.telemetry _, Append),
+    ("car_positions", Set("Position.z"), F1Transforms.carPositions _, Append),
+    ("race_control", Set("RaceControlMessages"), F1Transforms.raceControl _, DedupAppend("msg_id")),
+    ("weather", Set("WeatherData"), F1Transforms.weather _, Append))
 
   /** Sessions/drivers/laps need `line_id` to survive into the sink for
     * `_seq`; transforms that already drop it get it re-attached as 0 (their
@@ -71,15 +77,20 @@ object F1Pipeline {
     // in-batch arrival order here.
     val cached = events.withColumn("line_id", monotonically_increasing_id()).cache()
     try {
-      tableSinks.foreach { case (name, transform, kind) =>
-        val path = s"$tablesDir/$name"
-        val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
-        kind match {
-          case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
-          case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
-          case Append           => TableSink.append(path, out.drop("_seq", "line_id"))
-          case DedupAppend(key) => TableSink.dedupAppend(spark, path,
-            out.drop("_seq", "line_id"), key)
+      // one tiny job over the cached batch decides which tables have work
+      val presentTopics = cached.select("topic").distinct()
+        .collect().map(_.getString(0)).toSet
+      tableSinks.foreach { case (name, topics, transform, kind) =>
+        if (topics.intersect(presentTopics).nonEmpty) {
+          val path = s"$tablesDir/$name"
+          val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
+          kind match {
+            case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
+            case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
+            case Append           => TableSink.append(path, out.drop("_seq", "line_id"))
+            case DedupAppend(key) => TableSink.dedupAppend(spark, path,
+              out.drop("_seq", "line_id"), key)
+          }
         }
       }
     } finally cached.unpersist()
