@@ -138,6 +138,33 @@ object TextVectorKernels {
     s
   }
 
+  /** Nearest-`nprobe` centroid ids by cosine, descending (ties → lower id).
+    * Returns 1-based ids matching the IVF index's `cid` column.
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]],
+      cnorms: Array[Double], nprobe: Int, isFloat: Boolean): ArrayData = {
+    val x = toDoubles(v, isFloat)
+    var xn = 0.0
+    var xi = 0
+    while (xi < x.length) { xn += x(xi) * x(xi); xi += 1 }
+    xn = math.sqrt(xn)
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = centroids(c)
+      var s = 0.0
+      val n = math.min(x.length, cv.length)
+      var i = 0
+      while (i < n) { s += x(i) * cv(i); i += 1 }
+      val denom = xn * cnorms(c)
+      sims(c) = if (denom == 0.0) 0.0 else s / denom
+      c += 1
+    }
+    val order = (0 until k).sortBy(i => (-sims(i), i)).take(math.min(nprobe, k))
+    new GenericArrayData(order.map(_ + 1).toArray)
+  }
+
   /** Sign-bit bucket under `planes` deterministic pseudo-random hyperplanes
     * (component for (plane p, dim d) = mix64(p*1315423911 + d) scaled to
     * [-1, 1)).
@@ -255,6 +282,40 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExp
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** Nearest-centroid ids (cosine, descending) of a vector against a centroid
+  * matrix EMBEDDED in the expression — the broadcast-model-scoring shape:
+  * assignment to a coarse quantizer must be a map-only pass at scale, never
+  * a crossJoin + window per row. Centroid norms are precomputed at
+  * construction.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  @transient private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"nearest_centroids requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.nearestCentroids(input.asInstanceOf[ArrayData],
+      centroids, cnorms, nprobe, elemIsFloat)
+  // codegen would need the matrix as a generated static field; the
+  // interpreted path is already a tight loop per row, so fall back.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Column wrappers + SQL registration for the kernels. Int parameters are
   * passed as literal expressions in SQL and folded at build time.
   */
@@ -295,5 +356,19 @@ object TextVectorExpressions {
   }
   def hyperplane_bucket(c: Column, planes: Int): Column = {
     register(SparkSession.active); call_function("hyperplane_bucket", c, lit(planes))
+  }
+
+  /** Model-state expressions can't ship their matrix through SQL literals;
+    * register a closure-capturing builder under a content-derived name and
+    * call it. The registry is the only public Expression→Column seam.
+    */
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val spark = SparkSession.active
+    val name = "nearest_centroids_" +
+      java.lang.Integer.toHexString(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])) + "_" + nprobe
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestCentroids(exprs.head, centroids, nprobe), "built-in")
+    call_function(name, c)
   }
 }

@@ -66,6 +66,85 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer over the corpus
+    * vectors, trained with a few Lloyd iterations expressed relationally
+    * (assign = broadcast-centroids argmax-cosine; update = posexplode →
+    * per-(cluster, dim) mean → re-assemble). Fully deterministic: centroids
+    * initialize from the k lowest-id vectors.
+    *
+    * Scale shape: training touches the corpus `iters`+1 times, each pass a
+    * broadcast join + one shuffle on (cluster, dim); the search reads only
+    * the `nprobe` matching inverted lists — the corpus-fraction read that
+    * makes ANN affordable when the corpus no longer fits a scan budget.
+    */
+  /** `centroids` is the local k×dim quantizer matrix (driver-sized by
+    * construction — the same position MLlib's KMeansModel takes); `assigned`
+    * is the corpus with its inverted-list id (`cid`, 1-based).
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Map-only assignment: nearest-centroid id via the broadcast-quantizer
+    * kernel ([[graft.functions.NearestCentroids]]) — no join, no shuffle.
+    */
+  private def assignCid(corpus: DataFrame, corpusVec: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("cid", element_at(
+      graft.functions.TextVectorExpressions.nearest_centroids(
+        col(corpusVec), centroids, 1), 1))
+
+  private def rowVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  def buildIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, iters: Int = 2): IvfIndex = {
+    // init: the k lowest-id vectors (deterministic); k×dim doubles on the
+    // driver — the quantizer is model state, not data
+    var centroids: Array[Array[Double]] = corpus.orderBy(col(corpusId)).limit(k)
+      .select(col(corpusVec)).collect().map(rowVec(_, 0))
+    (1 to iters).foreach { _ =>
+      // Lloyd step: map-only assign, then per-(cluster, dim) mean — one
+      // shuffle on (cid, pos) per iteration, nothing else
+      val means = assignCid(corpus, corpusVec, centroids)
+        .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty clusters keep old centroid
+      means.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    IvfIndex(centroids, assignCid(corpus, corpusVec, centroids))
+  }
+
+  /** IVF top-k: route each query to its `nprobe` nearest inverted lists
+    * (map-only), then rank only within those lists.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = queries
+      .withColumn("_qn", norm(col(queryVec)))
+      .withColumn("cid", explode(
+        graft.functions.TextVectorExpressions.nearest_centroids(
+          col(queryVec), index.centroids, nprobe)))
+    val candidates = index.assigned
+      .withColumn("_cn", norm(col(corpusVec)))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec),
+        col("_cn"), col("_qn")))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: corpus pre-bucketed by hyperplane signs; each
     * query probes its own bucket plus all single-bit-flip buckets
     * (multiprobe), then ranks within the candidates. Approximate: recall

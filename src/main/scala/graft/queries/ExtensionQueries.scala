@@ -90,6 +90,18 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, None),
 
+    Q("x14_ann_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val index = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        Similarity.ivfTopK(index,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      }, None),
+
     // ---- text analysis ----
 
     Q("x08_text_langid",

@@ -88,6 +88,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("IVF: index assigns every vector; probe search finds the near-dup") {
+    val corpus = vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val index = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 2, iters = 2)
+    assert(index.assigned.count() == 5)
+    assert(index.centroids.length == 2)
+    val out = Similarity.ivfTopK(index,
+      vecs.filter(col("vec_id") === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "c_id", "c_vec", "q_id", "q_vec", k = 2, nprobe = 2).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).contains(2L))
+  }
+
   test("text stats: token counts, punct, empty-string safety") {
     val df = Seq("a b  c", "", "hello, world! x2").toDF("text")
     val out = df.select(
