@@ -161,8 +161,24 @@ object TextVectorKernels {
       sims(c) = if (denom == 0.0) 0.0 else s / denom
       c += 1
     }
-    val order = (0 until k).sortBy(i => (-sims(i), i)).take(math.min(nprobe, k))
-    new GenericArrayData(order.map(_ + 1).toArray)
+    // allocation-free partial selection of the nprobe best (ties → lower id)
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var sel = 0
+    while (sel < m) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(sel) = best + 1
+      sel += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Sign-bit bucket under `planes` deterministic pseudo-random hyperplanes
@@ -358,17 +374,26 @@ object TextVectorExpressions {
     register(SparkSession.active); call_function("hyperplane_bucket", c, lit(planes))
   }
 
-  /** Model-state expressions can't ship their matrix through SQL literals;
-    * register a closure-capturing builder under a content-derived name and
-    * call it. The registry is the only public Expression→Column seam.
+  /** The centroid matrix travels as a foldable nested-array literal and is
+    * extracted once at expression build — one fixed registration, no
+    * closure capture, no registry growth per index build.
     */
-  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val spark = SparkSession.active
-    val name = "nearest_centroids_" +
-      java.lang.Integer.toHexString(java.util.Arrays.deepHashCode(
-        centroids.asInstanceOf[Array[AnyRef]])) + "_" + nprobe
+  private def foldableMatrix(e: Expression): Array[Array[Double]] = {
+    val arr = e.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      arr.getArray(i).toDoubleArray()
+    }.toArray
+  }
+
+  private def registerNearestCentroids(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => NearestCentroids(exprs.head, centroids, nprobe), "built-in")
-    call_function(name, c)
+      "nearest_centroids",
+      exprs => NearestCentroids(exprs(0), foldableMatrix(exprs(1)), litInt(exprs(2))),
+      "built-in")
+
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    registerNearestCentroids(SparkSession.active)
+    call_function("nearest_centroids", c,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
   }
 }

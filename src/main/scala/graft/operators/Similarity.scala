@@ -40,6 +40,19 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
+  /** Shared output contract of every top-k variant: rank candidates per
+    * query by cosine (deterministic id tie-break), keep k, project
+    * (query_id, neighbor_id, cos rounded to 4, rank).
+    */
+  private def rankTopK(candidates: DataFrame, queryId: String,
+      corpusId: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Sign-bit bucket of `v` under `planes` fixed hyperplanes, packed into a
     * long ([[graft.functions.HyperplaneBucketExpr]] kernel). Hyperplane
     * components are deterministic pseudo-random values — no RNG state,
@@ -59,11 +72,7 @@ object Similarity {
       .crossJoin(broadcast(queries.withColumn("_qn", norm(col(queryVec)))))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec), col("_cn"), col("_qn")))
-    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+    rankTopK(joined, queryId, corpusId, k)
   }
 
   /** IVF (inverted-file) index: a coarse k-means quantizer over the corpus
@@ -76,8 +85,8 @@ object Similarity {
     * broadcast join + one shuffle on (cluster, dim); the search reads only
     * the `nprobe` matching inverted lists — the corpus-fraction read that
     * makes ANN affordable when the corpus no longer fits a scan budget.
-    */
-  /** `centroids` is the local k×dim quantizer matrix (driver-sized by
+    *
+    * `centroids` is the local k×dim quantizer matrix (driver-sized by
     * construction — the same position MLlib's KMeansModel takes); `assigned`
     * is the corpus with its inverted-list id (`cid`, 1-based).
     */
@@ -97,6 +106,7 @@ object Similarity {
       case f: Float  => f.toDouble
       case d: Double => d
       case n: Number => n.doubleValue()
+      case null      => 0.0 // embedding columns are containsNull=true in parquet
     }.toArray
 
   def buildIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -114,7 +124,11 @@ object Similarity {
         .collect()
       val next = centroids.map(_.clone()) // empty clusters keep old centroid
       means.foreach { r =>
-        next(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2)
+        val cid = r.getInt(0) - 1
+        val pos = r.getInt(1)
+        // ragged corpora can emit positions beyond the centroid dim (set by
+        // the init vectors); ignore the tail rather than crash
+        if (pos < next(cid).length) next(cid)(pos) = r.getDouble(2)
       }
       centroids = next
     }
@@ -138,11 +152,7 @@ object Similarity {
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec),
         col("_cn"), col("_qn")))
-    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+    rankTopK(candidates, queryId, corpusId, k)
   }
 
   /** LSH-bucketed top-k: corpus pre-bucketed by hyperplane signs; each
@@ -165,10 +175,6 @@ object Similarity {
       .filter(col(queryId) =!= col(corpusId))
       .dropDuplicates(queryId, corpusId)
       .withColumn("cos", cosineWithNorms(col(corpusVec), col(queryVec), col("_cn"), col("_qn")))
-    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+    rankTopK(candidates, queryId, corpusId, k)
   }
 }
