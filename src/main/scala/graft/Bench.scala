@@ -32,7 +32,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release per-query persisted intermediates
+      secs
     }
 
     // JVM/codegen warm-up on the smallest SF so measured numbers reflect

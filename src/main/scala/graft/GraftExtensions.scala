@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneBucketExpr, InflateRaw, MinHashSignature, ParsePyLine, ShingleHashes, SimHash64, VecDot}
+import graft.functions.{HyperplaneBucketExpr, InflateRaw, LangId, MinHashSignature, ParsePyLine, ShingleHashes, SimHash64, StopwordRatios, VecDot}
 
 /** Session-extension installer: makes the engine's custom expressions
   * (`inflate_raw`, `parse_pyline`) available in every session created with
@@ -49,5 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_ratios"),
+      new ExpressionInfo(classOf[StopwordRatios].getName, "stopword_ratios"),
+      (exprs: Seq[Expression]) => StopwordRatios(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (exprs: Seq[Expression]) => LangId(exprs.head)))
   }
 }

@@ -38,39 +38,26 @@ object TextOps {
   def punctRatio(text: Column): Column =
     punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
 
-  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
-    * heuristic. Deliberately small and hard-coded: language ID here is a
-    * cheap distributed heuristic, not a model.
+  /** Per-language stopword lists (single source of truth lives with the
+    * [[graft.functions.Stopwords]] kernel).
     */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "with"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
-    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"))
+  val stopwords: Map[String, Seq[String]] = graft.functions.Stopwords.lists
 
-  /** Fraction of whitespace tokens that are stopwords of `lang`. */
-  def stopwordRatio(text: Column, lang: String): Column = {
-    val toks = wsTokens(lower(text))
-    val stops = array(stopwords(lang).map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  /** Fraction of whitespace tokens that are stopwords of `lang`
+    * ([[graft.functions.StopwordRatios]] kernel — tokenizes once per row,
+    * not once per language).
+    */
+  def stopwordRatio(text: Column, lang: String): Column =
+    element_at(graft.functions.LangExpressions.stopword_ratios(text),
+      graft.functions.Stopwords.langs.indexOf(lang) + 1)
 
   /** Language-ID heuristic: CJK-character density decides zh; otherwise the
-    * language whose stopword list hits most tokens. Ties break to the
-    * lexicographically larger code (array_max over (score, lang) structs) —
-    * deterministic.
+    * language whose stopword list hits most tokens (ties break to the
+    * lexicographically larger code — deterministic).
+    * [[graft.functions.LangId]] kernel.
     */
-  def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]+", ""))
-    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang"))
-    }: _*)
-    val best = array_max(scored)
-    when(cjk.cast("double") / greatest(length(text), lit(1)) > 0.05, lit("zh"))
-      .when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.LangExpressions.lang_id(text)
 
   /** Quality score in [0,1]: blend of length band, punctuation sanity,
     * mean-word-length band, and stopword presence — the standard cheap
@@ -83,7 +70,7 @@ object TextOps {
     val toks = wsTokenCount(text).cast("double")
     val meanWord = len / greatest(toks, lit(1.0))
     val wordScore = when(meanWord < 2 || meanWord > 12, 0.5).otherwise(1.0)
-    val anyStop = greatest(stopwords.keys.toSeq.sorted.map(l => stopwordRatio(text, l)): _*)
+    val anyStop = array_max(graft.functions.LangExpressions.stopword_ratios(text))
     val stopScore = when(anyStop > 0.05, 1.0).otherwise(0.7)
     round(lenScore * punctScore * wordScore * stopScore, 4)
   }

@@ -139,6 +139,26 @@ class F1TransformsSpec extends SparkSpec {
     assert(F1Transforms.weather(ev2).count() == 1)
   }
 
+  test("q18 golden: decode pipeline output is pinned row-for-row") {
+    // SURVEY §2.10 Q18: oracle is a pre-computed golden, not DuckDB — pin
+    // the exact decoded telemetry rows from the fixture capture
+    val rows = F1Transforms.telemetry(events)
+      .orderBy("timestamp", "driver_number")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("timestamp").toInstant.toString,
+        r.getAs[Int]("driver_number"), r.getAs[Int]("rpm"), r.getAs[Int]("speed"),
+        r.getAs[Int]("gear"), r.getAs[Int]("throttle"), r.getAs[Int]("brake"),
+        r.getAs[Int]("drs")))
+      .toSeq
+    val golden = Seq(
+      ("2025-05-17T14:00:01.100Z", 1, 10500, 280, 7, 99, 0, 12),
+      ("2025-05-17T14:00:01.100Z", 16, 9800, 255, 6, 80, 0, 8),
+      ("2025-05-17T14:00:01.340Z", 1, 10700, 288, 7, 100, 0, 12),
+      ("2025-05-17T14:00:01.340Z", 16, 4200, 120, 3, 0, 100, 8),
+      ("2025-05-17T14:00:01.340Z", 55, 7000, 190, 5, 50, 0, 8))
+    assert(rows == golden)
+  }
+
   test("lap consolidation is idempotent under replay (U3 semantics)") {
     val once = F1Transforms.laps(events)
     // Replaying the same fragments (batch re-delivery) must not change results.
