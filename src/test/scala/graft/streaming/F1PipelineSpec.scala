@@ -68,6 +68,32 @@ class F1PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tables/race_control").count() == 2)
   }
 
+  test("restart from checkpoint: no duplicates, upserts converge (S2/S6)") {
+    val src = tmp("f1srcR")
+    val tables = tmp("f1tablesR")
+    val ckpt = tmp("f1ckptR")
+    val (part1, part2) = Fixtures.pyLines.splitAt(6)
+    Files.write(java.nio.file.Paths.get(s"$src/p1.txt"), part1.mkString("\n").getBytes)
+    val q1 = F1Pipeline.startUnified(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // new query, same checkpoint: file source must not re-deliver p1
+    Files.write(java.nio.file.Paths.get(s"$src/p2.txt"), part2.mkString("\n").getBytes)
+    val q2 = F1Pipeline.startUnified(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(spark.read.parquet(s"$tables/weather").count() == 3)      // not 6
+    assert(spark.read.parquet(s"$tables/telemetry").count() == 5)    // not 10
+    assert(spark.read.parquet(s"$tables/drivers").count() == 3)
+    assert(spark.read.parquet(s"$tables/race_control").count() == 2)
+    val laps = spark.read.parquet(s"$tables/lap_data")
+      .orderBy("driver_number").collect()
+    assert(laps.length == 2)
+    assert(laps.head.getAs[Int]("speed_trap") == 315)
+  }
+
   test("coalescing upsert is idempotent under batch replay (U3)") {
     val path = tmp("lapsink") + "/lap_data"
     val frag1 = Seq((1, 1, Some(92.5), None: Option[Double], 10L))
