@@ -14,12 +14,15 @@ object Coercions {
 
   /** P6 — lap-time parse `"M:SS.mmm"` or plain seconds → seconds as double.
     * Reference: /root/reference/transformer.py:434-456 (`_parse_lap_time`):
-    * float passthrough, else `(\d+):(\d+\.?\d*)` → min*60+sec, else null.
+    * float passthrough, else `(\d+):(\d+\.\d+)` → min*60+sec, else null.
+    * The regex mirrors the reference's `re.match` exactly: anchored at the
+    * start only (trailing garbage tolerated, as in Python), fractional
+    * seconds REQUIRED (`1:23` is null in both engines).
     */
   def lapSeconds(c: Column): Column = {
     val direct = c.try_cast("double")
-    val m = regexp_extract(c, "^(\\d+):(\\d+\\.?\\d*)$", 1)
-    val s = regexp_extract(c, "^(\\d+):(\\d+\\.?\\d*)$", 2)
+    val m = regexp_extract(c, "^(\\d+):(\\d+\\.\\d+)", 1)
+    val s = regexp_extract(c, "^(\\d+):(\\d+\\.\\d+)", 2)
     when(c.isNull || c === "", lit(null).cast("double"))
       .when(direct.isNotNull, direct)
       .when(m =!= "", m.try_cast("double") * 60.0 + s.try_cast("double"))
@@ -44,14 +47,15 @@ object Coercions {
   def toInt(c: Column): Column =
     trim(c.cast("string")).try_cast("int")
 
-  /** P9 (bool flavor) — rainfall as boolean: lowercase 'true' test.
-    * Reference: /root/reference/transformer.py:403. The numeric flavor
-    * (monitor_weather.py:113) is [[toNumeric]]. The engine exposes both
-    * (SURVEY note R1).
+  /** P9 (bool flavor) — rainfall as boolean: EXACTLY the reference's
+    * `value.lower() == 'true'` test (/root/reference/transformer.py:403) —
+    * note `'1'` is false here; the numeric flavor (monitor_weather.py:113,
+    * [[toNumeric]]) is where `'1'` registers as rain. The engine exposes
+    * both columns (SURVEY note R1).
     */
   def rainfallBool(c: Column): Column =
     when(c.isNull, lit(null).cast("boolean"))
-      .otherwise(lower(trim(c.cast("string"))).isin("true", "1", "1.0"))
+      .otherwise(lower(trim(c.cast("string"))) === "true")
 
   /** P4 — ISO-8601 timestamp parse with `Z` handling; the reference's
     * fallback-to-`datetime.now()` (/root/reference/transformer.py:422-432) is
@@ -87,6 +91,10 @@ object Coercions {
     val stripped = stripQuotes(c)
     val valid = stripped.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
       length(stripped) % 4 === 0 && length(stripped) > 0
-    decode(InflateRaw.inflate_raw(unbase64(when(valid, stripped))), "UTF-8")
+    // binary→string CAST, not decode(): under ANSI, decode() throws
+    // MALFORMED_CHARACTER_CODING on non-UTF-8 bytes, killing the task on a
+    // corrupt-but-inflatable payload; the cast carries the bytes through
+    // and the downstream from_json yields null (T13 skip semantics).
+    InflateRaw.inflate_raw(unbase64(when(valid, stripped))).cast("string")
   }
 }

@@ -174,6 +174,12 @@ object TextVectorKernels {
         if (!taken(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
         i += 1
       }
+      if (best < 0) {
+        // all remaining sims are NaN (NaN-poisoned vector): fall back to the
+        // lowest untaken id instead of crashing the task
+        var j = 0
+        while (best < 0 && j < k) { if (!taken(j)) best = j; j += 1 }
+      }
       taken(best) = true
       out(sel) = best + 1
       sel += 1

@@ -56,6 +56,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — otherwise part " +
+        "of the signature is silently ignored, or (bands > numHashes) every " +
+        "doc shares every band hash and the candidate join degenerates to all pairs")
     val rows = numHashes / bands
     val sigs = docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
@@ -65,7 +69,11 @@ object Dedup {
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
       // both legs of the self-join read this frame: persist so signatures
-      // are computed once (at cluster scale: write to a staging table)
+      // are computed once. Lifecycle note: the cached blocks live until the
+      // session's cache is cleared — batch drivers (Verify/Bench) call
+      // spark.catalog.clearCache() between queries; a long-lived service
+      // should own persistence itself (at cluster scale: write signatures
+      // to a staging table instead).
       .persist()
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("a_id"), col("sig").as("a_sig"))

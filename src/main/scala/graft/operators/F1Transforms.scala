@@ -118,7 +118,11 @@ object F1Transforms {
             col("f.Sector3Time").isNotNull || col("f.BestSpeed").isNotNull)))
       .select(
         col("driver_number"),
-        col("f.NumberOfLaps").as("lap_number"),
+        // delta events can carry LastLapTime without repeating NumberOfLaps;
+        // the reference keys those to lap 0 (int(fields.get('NumberOfLaps',
+        // 0)), transformer.py) — a NULL key would collapse all such deltas
+        // of a driver into one consolidation group
+        coalesce(col("f.NumberOfLaps"), lit(0)).as("lap_number"),
         lapSeconds(col("f.LastLapTime.Value")).as("lap_time"),
         lapSeconds(col("f.Sector1Time.Value")).as("sector_1_time"),
         lapSeconds(col("f.Sector2Time.Value")).as("sector_2_time"),

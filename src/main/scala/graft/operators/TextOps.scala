@@ -47,9 +47,12 @@ object TextOps {
     * ([[graft.functions.StopwordRatios]] kernel — tokenizes once per row,
     * not once per language).
     */
-  def stopwordRatio(text: Column, lang: String): Column =
-    element_at(graft.functions.LangExpressions.stopword_ratios(text),
-      graft.functions.Stopwords.langs.indexOf(lang) + 1)
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val idx = graft.functions.Stopwords.langs.indexOf(lang)
+    require(idx >= 0,
+      s"unsupported language '$lang' (supported: ${graft.functions.Stopwords.langs.mkString(", ")})")
+    element_at(graft.functions.LangExpressions.stopword_ratios(text), idx + 1)
+  }
 
   /** Language-ID heuristic: CJK-character density decides zh; otherwise the
     * language whose stopword list hits most tokens (ties break to the

@@ -100,7 +100,7 @@ object F1Queries {
           p2.mkString("\n").getBytes)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(s"$tables/lap_data").drop("_seq", "line_id")
+      s.read.parquet(s"$tables/lap_data").drop("_batch", "_line", "line_id")
         .orderBy("driver_number", "lap_number")
     }, None),
 

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Vanilla Spark has no MERGE on parquet, so upserts are read-merge-write
   * with an atomic directory swap. Precedence is explicit: every stored row
-  * carries `_seq` (monotone per arrival: micro-batch id × 2^20 + in-batch
-  * line id) and merges keep the last non-null per key in `_seq` order —
-  * which makes batch replay IDEMPOTENT: re-merging rows with equal `_seq`
-  * cannot change the last-non-null outcome. That converts the streaming
-  * at-least-once delivery of foreachBatch into effectively-once table
-  * contents (the reference, by contrast, double-inserts on crash-replay).
+  * carries `(_batch, _line)` (micro-batch id, in-batch arrival id) and
+  * merges keep the last non-null per key in that lexicographic order —
+  * which makes batch replay IDEMPOTENT: re-merging rows with an equal
+  * order key cannot change the last-non-null outcome. That converts the
+  * streaming at-least-once delivery of foreachBatch into effectively-once
+  * table contents (the reference, by contrast, double-inserts on
+  * crash-replay).
   *
   * Scale posture: read-merge-write rewrites the table, which is fine for
   * dimension-sized tables (sessions/drivers/laps — what U1–U3 serve). The
@@ -32,21 +33,45 @@ import org.apache.spark.sql.functions._
   */
 object TableSink {
 
-  /** Attach the arrival-order sequence column. */
+  /** Attach the arrival-order columns: `_batch` (micro-batch id) and
+    * `_line` (in-batch arrival id). Kept as TWO columns ordered
+    * lexicographically — packing them into one long would overflow:
+    * `monotonically_increasing_id` values carry the partition index in the
+    * upper 31 bits, so any single-long encoding lets a high-partition row
+    * of an old batch outrank every later batch.
+    */
   def withSeq(batch: DataFrame, batchId: Long, lineIdCol: String = "line_id"): DataFrame =
-    batch.withColumn("_seq", lit(batchId) * lit(1L << 20) + col(lineIdCol))
+    batch.withColumn("_batch", lit(batchId)).withColumn("_line", col(lineIdCol))
+
+  private val seqCols = Seq("_batch", "_line")
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    recover(spark, path)
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Crash recovery for the swap window in [[replaceTable]]: if a previous
+    * merge died between `rename(target → .old)` and `rename(.staging →
+    * target)`, the table directory is missing but `.old` holds the intact
+    * pre-merge contents — restore it so the replayed merge starts from the
+    * right base instead of silently rebuilding from one batch.
+    */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val tmpOld = new Path(path + ".old")
+    if (!fs.exists(target) && fs.exists(tmpOld)) fs.rename(tmpOld, target)
+  }
 
   /** Atomic-ish replace: write to `<path>.staging`, then swap directories.
     * (HDFS/posix rename is atomic per directory; object stores would use a
-    * manifest commit — out of scope here.)
+    * manifest commit — out of scope here.) The one non-atomic window —
+    * between the two renames — is covered by [[recover]].
     */
   private def replaceTable(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -61,21 +86,22 @@ object TableSink {
     fs.delete(tmpOld, true)
   }
 
-  /** U1/U2 — keyed upsert, whole-row last-wins by `_seq`. */
+  /** U1/U2 — keyed upsert, whole-row last-wins by (_batch, _line). */
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String]): Unit = {
     val all = readIfExists(spark, path) match {
       case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
       case None           => batch
     }
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_seq").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch").desc, col("_line").desc)
     val merged = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     replaceTable(merged, path)
   }
 
-  /** U3 — coalescing upsert: per-column last-non-null in `_seq` order
-    * across existing + incoming rows of each key.
+  /** U3 — coalescing upsert: per-column last-non-null in (_batch, _line)
+    * order across existing + incoming rows of each key.
     */
   def coalescingUpsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String]): Unit = {
@@ -83,12 +109,14 @@ object TableSink {
       case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
       case None           => batch
     }
-    val valueCols = all.columns.filterNot(c => keys.contains(c) || c == "_seq")
-    val frame = Window.partitionBy(keys.map(col): _*).orderBy(col("_seq"))
+    val valueCols = all.columns.filterNot(c => keys.contains(c) || seqCols.contains(c))
+    val frame = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch"), col("_line"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val latest = Window.partitionBy(keys.map(col): _*).orderBy(col("_seq").desc)
+    val latest = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch").desc, col("_line").desc)
     val merged = all
-      .select(keys.map(col) ++ Seq(col("_seq")) ++
+      .select(keys.map(col) ++ seqCols.map(col) ++
         valueCols.map(c => last(col(c), ignoreNulls = true).over(frame).as(c)): _*)
       .withColumn("_rn", row_number().over(latest))
       .filter(col("_rn") === 1).drop("_rn")

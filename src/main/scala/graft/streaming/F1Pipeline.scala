@@ -87,9 +87,9 @@ object F1Pipeline {
           kind match {
             case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
             case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
-            case Append           => TableSink.append(path, out.drop("_seq", "line_id"))
+            case Append           => TableSink.append(path, out.drop("_batch", "_line", "line_id"))
             case DedupAppend(key) => TableSink.dedupAppend(spark, path,
-              out.drop("_seq", "line_id"), key)
+              out.drop("_batch", "_line", "line_id"), key)
           }
         }
       }

@@ -36,14 +36,23 @@ class CoercionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(null, 301, null, 7))
   }
 
-  test("rainfall fork (R1): '0' → false/0.0, 'true' → true/1.0") {
+  test("rainfall fork (R1): bool flavor is exactly lower()=='true'; numeric sees 1") {
     val in = Seq("0", "true", "1").toDF("v")
     val out = in.select(
       Coercions.rainfallBool(col("v")).as("b"),
       Coercions.toNumeric(col("v")).as("n")).collect()
     assert(out(0).getBoolean(0) == false && out(0).getDouble(1) == 0.0)
     assert(out(1).getBoolean(0) == true && out(1).getDouble(1) == 1.0)
-    assert(out(2).getBoolean(0) == true && out(2).getDouble(1) == 1.0)
+    // reference transformer.py:403: '1'.lower() != 'true' → False; the
+    // NUMERIC flavor is where '1' registers as rain (monitor_weather.py:113)
+    assert(out(2).getBoolean(0) == false && out(2).getDouble(1) == 1.0)
+  }
+
+  test("lapSeconds mirrors the reference regex: no-fraction null, trailing garbage tolerated") {
+    val in = Seq("1:23", "1:23.45xyz").toDF("v")
+    val out = in.select(Coercions.lapSeconds(col("v"))).collect()
+    assert(out(0).isNullAt(0))            // re.match needs (\d+):(\d+\.\d+)
+    assert(out(1).getDouble(0) == 83.45)  // unanchored tail, like re.match
   }
 
   test("parseTs: ISO-8601 with Z and 7-digit fractions; injectable fallback") {
