@@ -100,4 +100,48 @@ object Multimodal {
         max(col("width")).as("max_width"),
         avg(col("duration_ms")).cast("double").as("avg_duration_ms"))
       .orderBy("media_type")
+
+  /** STUB image resize: ??? a real implementation decodes `content`,
+    * rescales, re-encodes. The stub emits a deterministic byte slice scaled
+    * to the target area so downstream sizing/partitioning logic is
+    * exercised with realistic byte-length variation. The Spark contract —
+    * metadata recomputed alongside the bytes, map-only, no shuffle — is the
+    * real part.
+    */
+  def resizeStub(content: Array[Byte], w: Int, h: Int,
+      targetW: Int, targetH: Int): Array[Byte] = {
+    if (content == null || w <= 0 || h <= 0) return Array.emptyByteArray
+    val ratio = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
+    val n = math.max(1, math.min(content.length, (content.length * ratio).toInt))
+    java.util.Arrays.copyOf(content, n)
+  }
+
+  /** Resize every image asset to `targetW`×`targetH` (stubbed decode). */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val fn = udf((c: Array[Byte], w: Int, h: Int) => resizeStub(c, w, h, targetW, targetH))
+    assets.filter(col("media_type") === "image")
+      .withColumn("content", fn(col("content"), col("width"), col("height")))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+  }
+
+  /** STUB video frame sampling: ??? a real implementation seeks the
+    * container and decodes one frame per sample point. The stub emits one
+    * row per sample timestamp with a deterministic byte slice — the fan-out
+    * shape (one asset row → N frame rows via explode, no shuffle) is the
+    * real part.
+    */
+  def sampleFrames(assets: DataFrame, everyMs: Int): DataFrame = {
+    val frameBytes = udf((c: Array[Byte], tMs: Int) =>
+      if (c == null || c.isEmpty) Array.emptyByteArray
+      else {
+        val off = math.abs(tMs) % math.max(1, c.length)
+        java.util.Arrays.copyOfRange(c, off, math.min(c.length, off + 64))
+      })
+    assets.filter(col("media_type") === "video" && col("duration_ms") > 0)
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0), col("duration_ms") - 1, lit(everyMs))))
+      .select(col("asset_id"), col("frame_ts_ms"),
+        frameBytes(col("content"), col("frame_ts_ms")).as("frame"))
+  }
 }

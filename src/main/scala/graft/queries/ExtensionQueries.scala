@@ -150,6 +150,19 @@ object ExtensionQueries {
 
     Q("x13_multimodal_metadata",
       (s, d) => Multimodal.metadataStats(
-        Multimodal.syntheticAssets(Tables.documents(s, d))), None)
+        Multimodal.syntheticAssets(Tables.documents(s, d))), None),
+
+    Q("x15_multimodal_resize",
+      (s, d) => Multimodal.resizeImages(
+        Multimodal.syntheticAssets(Tables.documents(s, d)), 224, 224)
+        .select(col("asset_id"), col("width"), col("height"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("asset_id"), None),
+
+    Q("x16_multimodal_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(Tables.documents(s, d)), everyMs = 5000)
+        .select(col("asset_id"), col("frame_ts_ms"), length(col("frame")).as("n_bytes"))
+        .orderBy("asset_id", "frame_ts_ms"), None)
   )
 }

@@ -140,4 +140,20 @@ class ExtensionOpsSpec extends SparkSpec {
     val stats = Multimodal.metadataStats(assets).collect()
     assert(stats.map(_.getLong(1)).sum == 3)
   }
+
+  test("multimodal: resize updates metadata; frame sampling fans out per interval") {
+    val docs = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticAssets(docs)
+    val resized = Multimodal.resizeImages(assets, 224, 224).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
+    val frames = Multimodal.sampleFrames(assets, everyMs = 100)
+    val perAsset = frames.groupBy("asset_id").count().collect()
+    assert(perAsset.nonEmpty)
+    // duration_ms = (doc_id % 300) * 100; sampling every 100 ms → duration/100 frames
+    perAsset.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (id % 300) * 100 / 100, s"asset $id")
+    }
+  }
 }
