@@ -21,7 +21,11 @@ import graft.sources.EventSource.WireFormat
 object F1Queries {
 
   private def events(s: SparkSession): DataFrame =
+    // ~1200 fixture lines: default parallelism would spread them over 32
+    // splits and every downstream stage pays 32-task overhead; 4 partitions
+    // keeps the demo queries task-overhead-free without changing semantics
     EventSource.fromLines(s, Fixtures.pyLines ++ Fixtures.syntheticCapture(400))
+      .coalesce(4)
 
   private def ord(df: DataFrame, cols: String*): DataFrame =
     df.orderBy(cols.map(col): _*)
