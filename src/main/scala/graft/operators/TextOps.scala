@@ -78,7 +78,11 @@ object TextOps {
     round(lenScore * punctScore * wordScore * stopScore, 4)
   }
 
-  /** Word n-gram shingles of the lowercased text. */
+  /** Word n-gram shingles of the lowercased text — the declarative
+    * reference semantics for [[graft.functions.ShingleHashes]] (which the
+    * dedup/fingerprint operators use; this Column form re-evaluates the
+    * token split per element and is kept for documentation/tests).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = wsTokens(lower(text))
     when(size(toks) < n, array(concat_ws(" ", toks)))

@@ -244,6 +244,41 @@ object CoreQueries {
       },
       Some("SELECT user_id, event_id, event_type, value, epoch_ns(ts)//1000000 AS ts_ms FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
-        "FROM events) t WHERE rn = 1 ORDER BY user_id"))
+        "FROM events) t WHERE rn = 1 ORDER BY user_id")),
+
+    // Q19 — fact×fact join + grouped exact-decimal revenue (the flagship
+    // entry() shape, oracle-checked; per-row double product is IEEE-exact
+    // identical on both engines, the 4-decimal cast pins it, the decimal
+    // sum is order-independent). At scale: shuffle join on the fact key —
+    // the correct plan; AQE handles skew.
+    Q("q19_join_agg_revenue",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+        "count(*) AS n FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // Q20 — EXISTS correlated-subquery semantics as a left-semi join
+    // (J3's heavier sibling; the reference's per-key existence probes J2
+    // batched into one set-membership pass).
+    Q("q20_exists_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT count(*) AS n FROM customer c WHERE EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 400000)"))
   )
 }
