@@ -43,6 +43,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(dups.contains((1L, 5L)))
   }
 
+  test("minhash estimate tracks exact jaccard within sampling error") {
+    val est = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.ngramJaccardDups(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach { e =>
+        // 64 hashes → stderr ≈ sqrt(j(1-j)/64) ≤ 0.063; allow 4σ
+        assert(math.abs(e - j) < 0.26, s"$pair est=$e exact=$j")
+      }
+    }
+    assert(est.contains((1L, 5L)) && est((1L, 5L)) == 1.0)
+  }
+
   test("ngram jaccard verification bounds the LSH estimate") {
     val out = Dedup.ngramJaccardDups(corpus, "doc_id", "text",
       shingleN = 3, minJaccard = 0.6)
