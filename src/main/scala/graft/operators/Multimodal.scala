@@ -120,7 +120,11 @@ object Multimodal {
   def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val fn = udf((c: Array[Byte], w: Int, h: Int) => resizeStub(c, w, h, targetW, targetH))
     assets.filter(col("media_type") === "image")
-      .withColumn("content", fn(col("content"), col("width"), col("height")))
+      // metadata columns are nullable; a primitive-typed UDF null-shorts to
+      // NULL output, bypassing the stub's degenerate-dimension fallback —
+      // coalesce to 0 so such rows take the documented empty-bytes path
+      .withColumn("content",
+        fn(col("content"), coalesce(col("width"), lit(0)), coalesce(col("height"), lit(0))))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
   }
@@ -132,6 +136,8 @@ object Multimodal {
     * real part.
     */
   def sampleFrames(assets: DataFrame, everyMs: Int): DataFrame = {
+    require(everyMs > 0,
+      s"everyMs ($everyMs) must be positive — sequence() would fail per-row at execution")
     val frameBytes = udf((c: Array[Byte], tMs: Int) =>
       if (c == null || c.isEmpty) Array.emptyByteArray
       else {

@@ -81,7 +81,8 @@ object TextOps {
   /** Word n-gram shingles of the lowercased text — the declarative
     * reference semantics for [[graft.functions.ShingleHashes]] (which the
     * dedup/fingerprint operators use; this Column form re-evaluates the
-    * token split per element and is kept for documentation/tests).
+    * token split per element). ExtensionOpsSpec cross-checks the two
+    * agree on shingle-set size so kernel semantics can't silently drift.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = wsTokens(lower(text))

@@ -30,10 +30,12 @@ final case class Q(
   *  - every ordered output has a unique-key tiebreaker so row order is
   *    total.
   *
-  * Scale posture (local[32] today, 1000 executors tomorrow): all queries are
-  * single-pass scans with at most one shuffle (the groupBy/window key);
-  * dimension joins broadcast; filters/projections reach the parquet scan
-  * (verified via explain in QueriesPlanSpec).
+  * Scale posture (local[32] today, 1000 executors tomorrow): queries are
+  * single-pass scans with at most one shuffle (the groupBy/window key) and
+  * broadcast dimension joins — except q19, which joins fact to fact and
+  * deliberately takes the shuffle join + aggregation exchange (the correct
+  * plan at scale). Filters/projections reach the parquet scan (verified via
+  * explain in QueriesPlanSpec).
   */
 object CoreQueries {
 

@@ -50,13 +50,30 @@ class ExtensionOpsSpec extends SparkSpec {
     val exact = Dedup.ngramJaccardDups(corpus, "doc_id", "text",
       shingleN = 3, minJaccard = 0.1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
     exact.foreach { case (pair, j) =>
       est.get(pair).foreach { e =>
         // 64 hashes → stderr ≈ sqrt(j(1-j)/64) ≤ 0.063; allow 4σ
         assert(math.abs(e - j) < 0.26, s"$pair est=$e exact=$j")
       }
     }
+    // false-positive direction: a confidently-high estimate must have a
+    // real exact counterpart (guards against a broken hash mix inflating
+    // agreement between unrelated docs)
+    est.filter(_._2 >= 0.35).keys.foreach { pair =>
+      assert(exact.contains(pair), s"est-only pair $pair at ${est(pair)}")
+    }
     assert(est.contains((1L, 5L)) && est((1L, 5L)) == 1.0)
+  }
+
+  test("declarative shingles agree with the ShingleHashes kernel on set size") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "single", "").toDF("text")
+    val out = df.select(
+      size(array_distinct(TextOps.shingles(col("text"), 3))).as("decl"),
+      size(graft.functions.TextVectorExpressions.shingle_hashes(col("text"), 3)).as("kern"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
   test("ngram jaccard verification bounds the LSH estimate") {
