@@ -36,6 +36,15 @@ object F1Queries {
       (s, _) => ord(F1Transforms.telemetry(events(s)),
         "timestamp", "driver_number"), None),
 
+    // Topic census (T1 envelope level): every topic in the multiplexed
+    // stream is counted, including topics the reference captures but never
+    // transforms (Heartbeat, TrackStatus, …) and the corrupt-line bucket
+    // (T13) — nothing in the stream is silently invisible.
+    Q("f1_topic_counts", (s, _) =>
+      events(s).groupBy(coalesce(col("topic"), lit("_corrupt")).as("topic"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("topic"), None),
+
     Q("f1_weather", (s, _) =>
       ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"), None),
 
