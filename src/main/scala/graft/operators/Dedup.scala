@@ -174,20 +174,37 @@ object Dedup {
     * cases.
     */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
-      minCos: Double = 0.99, planes: Int = 8): DataFrame = {
+      minCos: Double = 0.99, planes: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    // 16 planes → 65k buckets: at 8 the bucket count (256) is far below
+    // realistic corpus direction-diversity, so every bucket is hot and the
+    // candidate set quadratic regardless of caps. For cos ≥ 0.99 pairs the
+    // per-plane agreement is ~0.986; all-16-agree ≈ 0.79 and the single-bit
+    // multiprobe lifts recall to ~0.98.
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"),
       Similarity.norm(col(vecCol)).as("n"))
-    // multiprobe: original bucket + each single-bit flip
-    val probed = withSig.select(col("id"), col("v"), col("n"),
+      .persist()
+    // multiprobe: original bucket + each single-bit flip — id+probe only;
+    // vectors attach after pair dedup (same hot-bucket memory hazard as
+    // minhashLsh: 20k replicated vectors ran 107 s / multi-GB shipping
+    // vectors through the probe join, ~seconds with id pairs + caps)
+    val probed = withSig.select(col("id"),
       explode(concat(array(col("bucket")),
         transform(sequence(lit(0), lit(planes - 1)),
           i => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("probe"))
-    val a = probed.select(col("probe"), col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n"))
-    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n"))
-    a.join(b, Seq("probe"))
+    val bucketSizes = withSig.groupBy(col("bucket").as("probe"))
+      .agg(count(lit(1)).as("_bucket_n"))
+    val a = probed.join(bucketSizes, Seq("probe"))
+      .filter(col("_bucket_n") <= maxBucket)
+      .select(col("probe"), col("id").as("a_id"))
+    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"))
+    val candidates = a.join(b, Seq("probe"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(withSig.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n")), "a_id")
+      .join(withSig.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n")), "b_id")
       .withColumn("cos", Similarity.cosineWithNorms(col("a_v"), col("b_v"), col("a_n"), col("b_n")))
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
