@@ -19,9 +19,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * `QueryProgressEvent` timing instead of wall-clock bookkeeping.
   */
 class Metrics(batchIntervalMs: Long = 100) extends StreamingQueryListener {
-
-  final case class BatchReport(queryName: String, batchId: Long,
-      numInputRows: Long, processMs: Long, lagged: Boolean)
+  import Metrics.BatchReport
 
   private val reports = new ConcurrentLinkedQueue[BatchReport]()
 
@@ -52,6 +50,9 @@ class Metrics(batchIntervalMs: Long = 100) extends StreamingQueryListener {
 }
 
 object Metrics {
+
+  final case class BatchReport(queryName: String, batchId: Long,
+      numInputRows: Long, processMs: Long, lagged: Boolean)
   /** Attach observed per-batch metrics to an event frame (`df.observe`):
     * row count + corrupt-line count, readable from QueryProgress without a
     * second pass (the reference's "found vs inserted" counters, T13).
