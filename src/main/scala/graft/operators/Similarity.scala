@@ -157,9 +157,14 @@ object Similarity {
 
   /** LSH-bucketed top-k: corpus pre-bucketed by hyperplane signs; each
     * query probes its own bucket plus all single-bit-flip buckets
-    * (multiprobe), then ranks within the candidates. Approximate: recall
-    * depends on `planes` and probe count; the correctness baseline is
-    * [[bruteForceTopK]].
+    * (multiprobe), then ranks within the candidates.
+    *
+    * Regime note (measured at sf0.001): sign-LSH retrieves HIGH-cosine
+    * neighbors — planted cos≥0.99 pairs are found reliably, but on random
+    * vectors whose "top-5" sit near cos≈0.4 recall@5 is only ~0.07 (the
+    * per-plane agreement probability 1−θ/π decays fast with angle). For
+    * general mid-similarity top-k at scale use [[ivfTopK]] (~0.82 recall@5
+    * with nprobe=4 of 16 lists); [[bruteForceTopK]] is the exact baseline.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,

