@@ -167,11 +167,17 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs by cosine ≥ `minCos`: random-hyperplane LSH
-    * buckets (sign bits of `planes` fixed pseudo-random hyperplanes — seeded
-    * deterministic, built from xxhash64 of (plane, dim)), verify exact
-    * cosine within buckets. Near-identical vectors agree on all sign bits
-    * with high probability; multiprobe (flipping one bit) covers boundary
-    * cases.
+    * buckets (sign bits of `planes` fixed deterministic hyperplanes),
+    * verify exact cosine within buckets. Near-identical vectors agree on
+    * all sign bits with high probability; multiprobe (flipping one bit)
+    * covers boundary cases.
+    *
+    * `maxBucket` caps bucket size like [[simhashDups]] — oversized buckets
+    * are skipped (documented recall tradeoff for pairs whose ONLY shared
+    * bucket is hot; pairs also reachable via the partner's probe still
+    * surface thanks to post-join orientation normalization). Default 16
+    * planes: 256 buckets (8 planes) is below realistic direction-diversity,
+    * making every bucket hot regardless of caps.
     */
   def embeddingDups(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double = 0.99, planes: Int = 16, maxBucket: Int = 1000): DataFrame = {
@@ -196,11 +202,16 @@ object Dedup {
       .agg(count(lit(1)).as("_bucket_n"))
     val a = probed.join(bucketSizes, Seq("probe"))
       .filter(col("_bucket_n") <= maxBucket)
-      .select(col("probe"), col("id").as("a_id"))
-    val b = withSig.select(col("bucket").as("probe"), col("id").as("b_id"))
+      .select(col("probe"), col("id").as("p_id"))
+    val b = withSig.select(col("bucket").as("probe"), col("id").as("r_id"))
+    // normalize orientation AFTER the join, not via a p_id < r_id
+    // pre-filter: with the bucket cap, a pair may only survive in the
+    // reverse direction (low-id vector's probe dropped because the high-id
+    // vector's bucket is hot) — least/greatest keeps that candidate
     val candidates = a.join(b, Seq("probe"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+      .filter(col("p_id") =!= col("r_id"))
+      .select(least(col("p_id"), col("r_id")).as("a_id"),
+        greatest(col("p_id"), col("r_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
     candidates
       .join(withSig.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n")), "a_id")
