@@ -33,10 +33,15 @@ def canon(v):
 
 
 def table_hash(cols, rows):
+    # Hash canonicalized rows order-insensitively: every query guarantees a
+    # total ORDER BY for the semantic compare, but the *physical* fetch order
+    # of a multi-file parquet glob is an engine implementation detail
+    # (DuckDB glob ordering / parallel scan), not part of correctness.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(row[i]) for i in order) for row in rows)
     h = hashlib.sha256()
-    for row in rows:
-        h.update("|".join(canon(row[i]) for i in order).encode())
+    for line in lines:
+        h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
 

@@ -27,14 +27,18 @@ object Bench {
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
+      } finally {
+        // Release per-query persisted intermediates on BOTH paths — a
+        // failed LSH/dedup query must not leave its cache behind to skew
+        // every subsequent timing.
+        spark.catalog.clearCache()
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release per-query persisted intermediates
-      secs
     }
 
     // JVM/codegen warm-up on the smallest SF so measured numbers reflect
@@ -48,7 +52,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for the driver: also persist the JSON line to a file
+    // so log decoration/interleaving can never make it unparseable.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

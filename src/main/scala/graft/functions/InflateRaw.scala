@@ -81,8 +81,7 @@ object InflateRaw {
     * making it callable from SQL text as well as the Column API.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "inflate_raw", exprs => InflateRaw(exprs.head), "built-in")
+    Registry.registerOnce(spark, "inflate_raw")(exprs => InflateRaw(exprs.head))
 
   /** Column wrapper: raw-inflate a BINARY column. Registers the function in
     * the active session on first use (the registry is the public seam for

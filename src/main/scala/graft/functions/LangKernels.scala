@@ -123,11 +123,9 @@ case class LangId(child: Expression) extends UnaryExpression {
 
 object LangExpressions {
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("stopword_ratios",
-      exprs => StopwordRatios(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("lang_id",
-      exprs => LangId(exprs.head), "built-in")
+    Registry.registerOnce(spark, "stopword_ratios")(
+      exprs => StopwordRatios(exprs.head))
+    Registry.registerOnce(spark, "lang_id")(exprs => LangId(exprs.head))
   }
   def stopword_ratios(c: Column): Column = {
     register(SparkSession.active); call_function("stopword_ratios", c)

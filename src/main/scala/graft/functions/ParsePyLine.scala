@@ -67,8 +67,7 @@ object ParsePyLine {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_pyline", exprs => ParsePyLine(exprs.head), "built-in")
+    Registry.registerOnce(spark, "parse_pyline")(exprs => ParsePyLine(exprs.head))
 
   def parse_pyline(c: Column): Column = {
     register(SparkSession.active)

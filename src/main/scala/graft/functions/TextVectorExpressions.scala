@@ -351,17 +351,14 @@ object TextVectorExpressions {
     }
 
   def register(spark: SparkSession): Unit = {
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
-    r.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), litInt(exprs(1))), "built-in")
-    r.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("vec_dot",
-      exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    r.createOrReplaceTempFunction("hyperplane_bucket",
-      exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1))), "built-in")
+    Registry.registerOnce(spark, "shingle_hashes")(
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1))))
+    Registry.registerOnce(spark, "minhash_signature")(
+      exprs => MinHashSignature(exprs(0), litInt(exprs(1))))
+    Registry.registerOnce(spark, "simhash64")(exprs => SimHash64(exprs.head))
+    Registry.registerOnce(spark, "vec_dot")(exprs => VecDot(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "hyperplane_bucket")(
+      exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1))))
   }
 
   def shingle_hashes(c: Column, n: Int): Column = {
@@ -392,10 +389,8 @@ object TextVectorExpressions {
   }
 
   private def registerNearestCentroids(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroids",
-      exprs => NearestCentroids(exprs(0), foldableMatrix(exprs(1)), litInt(exprs(2))),
-      "built-in")
+    Registry.registerOnce(spark, "nearest_centroids")(
+      exprs => NearestCentroids(exprs(0), foldableMatrix(exprs(1)), litInt(exprs(2))))
 
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     registerNearestCentroids(SparkSession.active)

@@ -58,13 +58,18 @@ object CoreQueries {
       Some("SELECT count(*) AS n FROM events WHERE event_type = 'click'")),
 
     // Q2 — projection + numeric cast (T12/P7; transformer.py:384-420).
+    // Rounds through DECIMAL(10,2) for the exact 2-decimal semantics, but
+    // emits DOUBLE per the repo determinism rule above: raw DECIMAL output
+    // canonicalizes differently across engines (the round-1 driver hashed
+    // it unequal even though DuckDB-reads-both-sides agreed).
     Q("q02_project_cast",
       (s, d) => Tables.events(s, d)
         .filter(col("value").isNotNull)
-        .select(col("event_id"), col("value").cast(DecimalType(10, 2)).as("v"))
+        .select(col("event_id"),
+          col("value").cast(DecimalType(10, 2)).cast("double").as("v"))
         .orderBy("event_id")
         .limit(100),
-      Some("SELECT event_id, CAST(value AS DECIMAL(10,2)) AS v FROM events " +
+      Some("SELECT event_id, CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS v FROM events " +
         "WHERE value IS NOT NULL ORDER BY event_id LIMIT 100")),
 
     // Q3 — time-window filter, last 5 minutes relative to max(ts)
