@@ -18,6 +18,13 @@ object Coercions {
     * The regex mirrors the reference's `re.match` exactly: anchored at the
     * start only (trailing garbage tolerated, as in Python), fractional
     * seconds REQUIRED (`1:23` is null in both engines).
+    *
+    * The `M:SS.mmm` arithmetic runs in exact DECIMAL and rounds to double
+    * ONCE, so `"1:32.633"` and `"92.633"` produce the bit-identical
+    * double. With FP accumulation (`m*60.0 + s`) they differ in the last
+    * ulp, and when a stream carries the same lap in both wire shapes the
+    * coalescing upsert's survivor — hence the table's bytes — would depend
+    * on micro-batch boundary timing.
     */
   def lapSeconds(c: Column): Column = {
     val direct = c.try_cast("double")
@@ -25,7 +32,9 @@ object Coercions {
     val s = regexp_extract(c, "^(\\d+):(\\d+\\.\\d+)", 2)
     when(c.isNull || c === "", lit(null).cast("double"))
       .when(direct.isNotNull, direct)
-      .when(m =!= "", m.try_cast("double") * 60.0 + s.try_cast("double"))
+      .when(m =!= "",
+        (m.try_cast("decimal(10,0)") * 60 + s.try_cast("decimal(16,6)"))
+          .cast("double"))
       .otherwise(lit(null).cast("double"))
   }
 

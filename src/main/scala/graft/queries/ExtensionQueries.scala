@@ -148,21 +148,45 @@ object ExtensionQueries {
           round(element_at(col("feature"), 16), 4).as("f15"))
         .orderBy("asset_id"), None),
 
+    // The synthetic asset metadata is a pure function of doc_id
+    // (Multimodal.syntheticAssets), so the oracle re-derives it in SQL —
+    // sf-independent, unlike a frozen VALUES literal.
     Q("x13_multimodal_metadata",
       (s, d) => Multimodal.metadataStats(
-        Multimodal.syntheticAssets(Tables.documents(s, d))), None),
+        Multimodal.syntheticAssets(Tables.documents(s, d))),
+      Some("SELECT media_type, count(*) AS n, max(width) AS max_width, " +
+        "CAST(avg(duration_ms) AS DOUBLE) AS avg_duration_ms FROM (" +
+        "SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+        "(doc_id % 64) * 16 + 64 AS width, (doc_id % 300) * 100 AS duration_ms " +
+        "FROM documents) t GROUP BY media_type ORDER BY media_type")),
 
+    // Oracle re-derives the stub geometry in SQL: content is always 256
+    // bytes (4× 64-hex-char sha2), images are doc_id%3==0, and resizeStub
+    // keeps max(1, min(len, trunc(len * targetArea/srcArea))) bytes.
     Q("x15_multimodal_resize",
       (s, d) => Multimodal.resizeImages(
         Multimodal.syntheticAssets(Tables.documents(s, d)), 224, 224)
         .select(col("asset_id"), col("width"), col("height"),
           length(col("content")).as("n_bytes"))
-        .orderBy("asset_id"), None),
+        .orderBy("asset_id"),
+      Some("SELECT doc_id AS asset_id, 224 AS width, 224 AS height, " +
+        "GREATEST(1, LEAST(256, CAST(trunc(256 * (50176.0 / " +
+        "CAST(((doc_id % 64) * 16 + 64) * ((doc_id % 48) * 16 + 64) AS DOUBLE))) AS BIGINT))) AS n_bytes " +
+        "FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id")),
 
+    // Oracle: videos are doc_id%3==2 with duration (doc_id%300)*100 > 0;
+    // frames sample every 5000 ms and each keeps min(64, 256-off) bytes
+    // where off = frame_ts % 256 (sampleFrames stub slice).
     Q("x16_multimodal_frame_sample",
       (s, d) => Multimodal.sampleFrames(
         Multimodal.syntheticAssets(Tables.documents(s, d)), everyMs = 5000)
         .select(col("asset_id"), col("frame_ts_ms"), length(col("frame")).as("n_bytes"))
-        .orderBy("asset_id", "frame_ts_ms"), None)
+        .orderBy("asset_id", "frame_ts_ms"),
+      Some("SELECT asset_id, frame_ts_ms, " +
+        "LEAST(64, 256 - (frame_ts_ms % 256)) AS n_bytes FROM (" +
+        "SELECT doc_id AS asset_id, " +
+        "unnest(range(0, (doc_id % 300) * 100, 5000)) AS frame_ts_ms " +
+        "FROM documents WHERE doc_id % 3 = 2 AND doc_id % 300 > 0) t " +
+        "ORDER BY asset_id, frame_ts_ms"))
   )
 }

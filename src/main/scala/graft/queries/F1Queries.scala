@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Dashboard
@@ -30,11 +30,46 @@ object F1Queries {
   private def ord(df: DataFrame, cols: String*): DataFrame =
     df.orderBy(cols.map(col): _*)
 
+  /** Canonicalize timestamp columns to epoch-ms BIGINT (`<name>_ms`) for
+    * the driver-facing query surface, per the repo determinism rule
+    * (CoreQueries scaladoc): raw temporal types canonicalize differently
+    * across parquet readers; epoch-ms bigints never do. The underlying
+    * transforms keep full timestamp fidelity for library users.
+    */
+  private def tsMs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c + "_ms", unix_millis(col(c).cast("timestamp"))).drop(c))
+
+  /** Exact sum of a small-decimal double column, returned as DOUBLE —
+    * associative (partitioning-independent), same convention as
+    * CoreQueries.
+    */
+  private def exactSum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+
   val all: Seq[Q] = Seq(
     // Q18 — the full compressed-telemetry decode pipeline (P1+P3+T9).
+    // 305 rows; the driver-checkable pin is q18b's aggregate checksum.
     Q("q18_decode_telemetry",
       (s, _) => ord(F1Transforms.telemetry(events(s)),
         "timestamp", "driver_number"), None),
+
+    // Q18b — single-row aggregate checksum over the decoded telemetry,
+    // pinned by a VALUES oracle: covers P1+P3+T9 with a hash-green driver
+    // entry (the 305-row detail output stays rows-only).
+    Q("q18b_telemetry_checksum",
+      (s, _) => tsMs(F1Transforms.telemetry(events(s)), "timestamp")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("driver_number")).as("n_drivers"),
+          sum(col("rpm")).as("sum_rpm"),
+          sum(col("speed")).as("sum_speed"),
+          sum(col("gear")).as("sum_gear"),
+          sum(col("throttle")).as("sum_throttle"),
+          sum(col("brake")).as("sum_brake"),
+          sum(col("drs")).as("sum_drs"),
+          min(col("timestamp_ms")).as("min_ts_ms"),
+          max(col("timestamp_ms")).as("max_ts_ms")),
+      F1OracleSql.sql.get("q18b_telemetry_checksum")),
 
     // Topic census (T1 envelope level): every topic in the multiplexed
     // stream is counted, including topics the reference captures but never
@@ -43,36 +78,82 @@ object F1Queries {
     Q("f1_topic_counts", (s, _) =>
       events(s).groupBy(coalesce(col("topic"), lit("_corrupt")).as("topic"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("topic"), None),
+        .orderBy("topic"),
+      F1OracleSql.sql.get("f1_topic_counts")),
 
     Q("f1_weather", (s, _) =>
       ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"), None),
 
+    // T12/P9 aggregate checksum (the 403-row detail stays rows-only).
+    Q("f1_weather_checksum", (s, _) =>
+      tsMs(F1Transforms.weather(events(s)), "timestamp")
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("air_temp")).as("sum_air_temp"),
+          exactSum(col("track_temp")).as("sum_track_temp"),
+          exactSum(col("humidity")).as("sum_humidity"),
+          exactSum(col("pressure")).as("sum_pressure"),
+          exactSum(col("wind_speed")).as("sum_wind_speed"),
+          sum(col("wind_direction")).as("sum_wind_dir"),
+          count(when(col("rainfall_bool"), 1)).as("n_rain"),
+          exactSum(col("rainfall_num")).as("sum_rain"),
+          max(col("timestamp_ms")).as("max_ts_ms")),
+      F1OracleSql.sql.get("f1_weather_checksum")),
+
     Q("f1_drivers", (s, _) =>
-      ord(F1Transforms.drivers(events(s)), "driver_number"), None),
+      ord(F1Transforms.drivers(events(s)), "driver_number"),
+      F1OracleSql.sql.get("f1_drivers")),
 
     Q("f1_sessions", (s, _) =>
-      ord(F1Transforms.sessions(events(s)), "session_key"), None),
+      tsMs(ord(F1Transforms.sessions(events(s)), "session_key"), "date"),
+      F1OracleSql.sql.get("f1_sessions")),
 
     Q("f1_laps", (s, _) =>
       ord(F1Transforms.laps(events(s)), "driver_number", "lap_number"), None),
+
+    // T4/T6 aggregate checksum (the 200-row detail stays rows-only).
+    Q("f1_laps_checksum", (s, _) =>
+      tsMs(F1Transforms.laps(events(s)), "timestamp")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("driver_number")).as("n_drivers"),
+          max(col("lap_number")).as("max_lap"),
+          exactSum(col("lap_time")).as("sum_lap_time"),
+          exactSum(col("sector_1_time")).as("sum_s1"),
+          exactSum(col("sector_2_time")).as("sum_s2"),
+          exactSum(col("sector_3_time")).as("sum_s3"),
+          sum(col("speed_trap")).as("sum_speed_trap"),
+          max(col("timestamp_ms")).as("max_ts_ms")),
+      F1OracleSql.sql.get("f1_laps_checksum")),
 
     Q("f1_positions", (s, _) =>
       ord(F1Transforms.positionsFromTiming(events(s)),
         "timestamp", "driver_number"), None),
 
+    // T5 aggregate checksum (the 403-row detail stays rows-only).
+    Q("f1_positions_checksum", (s, _) =>
+      tsMs(F1Transforms.positionsFromTiming(events(s)), "timestamp")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("driver_number")).as("n_drivers"),
+          sum(col("position")).as("sum_position"),
+          min(col("timestamp_ms")).as("min_ts_ms"),
+          max(col("timestamp_ms")).as("max_ts_ms")),
+      F1OracleSql.sql.get("f1_positions_checksum")),
+
     Q("f1_car_positions", (s, _) =>
-      ord(F1Transforms.carPositions(events(s)), "timestamp", "driver_number"), None),
+      tsMs(ord(F1Transforms.carPositions(events(s)), "timestamp", "driver_number"),
+        "timestamp"),
+      F1OracleSql.sql.get("f1_car_positions")),
 
     Q("f1_race_control", (s, _) =>
-      ord(F1Transforms.raceControl(events(s)).dropDuplicates("msg_id"),
-        "timestamp", "msg_id").drop("line_id"), None),
+      tsMs(ord(F1Transforms.raceControl(events(s)).dropDuplicates("msg_id"),
+        "timestamp", "msg_id").drop("line_id"), "timestamp"),
+      F1OracleSql.sql.get("f1_race_control")),
 
     // Second wire format (JSON lines; §1.2 codec #2).
     Q("f1_json_wire_weather", (s, _) =>
-      ord(F1Transforms.weather(
+      tsMs(ord(F1Transforms.weather(
         EventSource.fromLines(s, Fixtures.jsonLines, WireFormat.Json)), "line_id")
-        .drop("line_id"), None),
+        .drop("line_id"), "timestamp"),
+      F1OracleSql.sql.get("f1_json_wire_weather")),
 
     // C1–C4 — the schema-verification harness over every derived table
     // (the reference's verify_tables.py as data): one row per expected
@@ -92,7 +173,7 @@ object F1Queries {
         graft.catalog.SchemaVerify.verifySchema(df, name,
           graft.catalog.SchemaVerify.expectedTables(name))
       }.reduce(_ unionByName _).orderBy("table_name", "column_name")
-    }, None),
+    }, F1OracleSql.sql.get("f1_schema_verify")),
 
     // Full streaming ETL (ST1–ST6): file source → unified foreachBatch
     // multi-table load → read back the consolidated lap table. Runs the
@@ -113,21 +194,21 @@ object F1Queries {
           p2.mkString("\n").getBytes)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(s"$tables/lap_data").drop("_batch", "_line", "line_id")
-        .orderBy("driver_number", "lap_number")
-    }, None),
+      tsMs(s.read.parquet(s"$tables/lap_data").drop("_batch", "_line", "line_id")
+        .orderBy("driver_number", "lap_number"), "timestamp")
+    }, F1OracleSql.sql.get("f1_streaming_laps")),
 
     // Dashboard analytics read path (A5/A6/A7) over derived tables; `now`
     // pinned to the fixture capture's max event time for determinism.
     Q("f1_dashboard_stats", (s, _) => {
       val ev = events(s).cache()
       val nowTs = lit("2025-05-17T15:00:00Z").cast("timestamp")
-      Dashboard.allStats(Seq(
+      tsMs(Dashboard.allStats(Seq(
         ("weather", F1Transforms.weather(ev), "timestamp"),
         ("laps", F1Transforms.laps(ev), "timestamp"),
         ("telemetry", F1Transforms.telemetry(ev), "timestamp"),
         ("race_control", F1Transforms.raceControl(ev), "timestamp")),
-        nowTs).orderBy("table_name")
-    }, None)
+        nowTs).orderBy("table_name"), "latest_ts")
+    }, F1OracleSql.sql.get("f1_dashboard_stats"))
   )
 }
