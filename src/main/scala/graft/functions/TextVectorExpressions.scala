@@ -138,6 +138,18 @@ object TextVectorKernels {
     s
   }
 
+  /** Positions at which two MinHash signatures agree — the numerator of
+    * the unbiased Jaccard estimate. Ragged inputs compare the common
+    * prefix (signatures from the same pipeline are always equal-length).
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
   /** Nearest-`nprobe` centroid ids by cosine, descending (ties → lower id).
     * Returns 1-based ids matching the IVF index's `cid` column.
     */
@@ -283,6 +295,33 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** Count of agreeing positions between two MinHash signatures
+  * (ARRAY<BIGINT>). Replaces the `aggregate(zip_with(...))` HOF
+  * formulation, which is CodegenFallback and re-evaluates captured
+  * expressions per element — the exact pathology BASELINE.md measured at
+  * ~100× on the shingle path; on a dup-heavy corpus this runs per
+  * candidate pair, i.e. billions of times at 100 TB.
+  */
+case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement requires ARRAY<BIGINT>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextVectorKernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agreement"
+}
+
 /** Hyperplane-LSH sign bucket of a numeric array column. */
 case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
   private def elemIsFloat: Boolean = child.dataType match {
@@ -357,6 +396,8 @@ object TextVectorExpressions {
       exprs => MinHashSignature(exprs(0), litInt(exprs(1))))
     Registry.registerOnce(spark, "simhash64")(exprs => SimHash64(exprs.head))
     Registry.registerOnce(spark, "vec_dot")(exprs => VecDot(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "sig_agreement")(
+      exprs => SigAgreement(exprs(0), exprs(1)))
     Registry.registerOnce(spark, "hyperplane_bucket")(
       exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1))))
   }
@@ -372,6 +413,9 @@ object TextVectorExpressions {
   }
   def vec_dot(a: Column, b: Column): Column = {
     register(SparkSession.active); call_function("vec_dot", a, b)
+  }
+  def sig_agreement(a: Column, b: Column): Column = {
+    register(SparkSession.active); call_function("sig_agreement", a, b)
   }
   def hyperplane_bucket(c: Column, planes: Int): Column = {
     register(SparkSession.active); call_function("hyperplane_bucket", c, lit(planes))

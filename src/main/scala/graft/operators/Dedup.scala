@@ -86,13 +86,16 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    // signature agreement via the native SigAgreement kernel — the
+    // aggregate(zip_with(...)) HOF formulation is CodegenFallback and
+    // re-evaluates per element; this runs once per candidate pair, which
+    // on a dup-heavy 100 TB corpus is billions of evaluations
     candidates
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / numHashes)
+        graft.functions.TextVectorExpressions.sig_agreement(col("a_sig"), col("b_sig"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

@@ -43,6 +43,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(dups.contains((1L, 5L)))
   }
 
+  test("sig_agreement kernel: identical, disjoint, partial, ragged") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 4L), 4),
+      (Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L), 0),
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 9L), 2),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L, 4L), 3) // common-prefix compare
+    ).toDF("a", "b", "expect")
+    val bad = df.select(
+      graft.functions.TextVectorExpressions.sig_agreement(col("a"), col("b")).as("got"),
+      col("expect")).filter(col("got") =!= col("expect")).count()
+    assert(bad == 0)
+  }
+
   test("minhash estimate tracks exact jaccard within sampling error") {
     val est = Dedup.minhashLsh(corpus, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.1)
