@@ -95,4 +95,40 @@ object SchemaVerify {
       "pressure" -> "numeric", "wind_speed" -> "numeric",
       "wind_direction" -> "integer", "rainfall_bool" -> "boolean",
       "rainfall_num" -> "numeric"))
+
+  /** The reference's divergent Supabase deployment shapes (§1.4): what
+    * verify_tables.py:310-473 asserts against the hosted schema —
+    * `driver_number` as text, NTZ timestamps, renamed columns/tables.
+    * [[graft.sinks.SupabaseShapes]] emits these shapes.
+    */
+  val expectedSupabaseTables: Map[String, Seq[(String, String)]] = Map(
+    "sessions" -> Seq("key" -> "integer", "type" -> "text", "name" -> "text",
+      "start_date" -> "timestamp", "race_id" -> "integer",
+      "end_date" -> "timestamp", "gmt_offset" -> "text", "path" -> "text"),
+    "session_drivers" -> Seq("session_id" -> "integer",
+      "driver_number" -> "text", "full_name" -> "text",
+      "broadcast_name" -> "text", "tla" -> "text", "team_name" -> "text",
+      "team_color" -> "text", "first_name" -> "text", "last_name" -> "text",
+      "headshot_url" -> "text"),
+    "driver_positions" -> Seq("session_id" -> "integer",
+      "timestamp" -> "timestamp", "driver_number" -> "text",
+      "position" -> "integer"),
+    "car_telemetry" -> Seq("timestamp" -> "timestamp",
+      "utc_timestamp" -> "timestamp", "session_id" -> "integer",
+      "driver_number" -> "text", "rpm" -> "integer", "speed" -> "integer",
+      "gear" -> "integer", "throttle" -> "numeric", "brake" -> "numeric",
+      "drs" -> "integer"),
+    "race_control_messages" -> Seq("session_id" -> "integer",
+      "timestamp" -> "timestamp", "utc_time" -> "timestamp",
+      "category" -> "text", "message" -> "text", "flag" -> "text",
+      "scope" -> "text", "sector" -> "integer"),
+    "car_positions" -> Seq("session_id" -> "integer",
+      "timestamp" -> "timestamp", "utc_time" -> "timestamp",
+      "driver_number" -> "text", "x_coord" -> "integer",
+      "y_coord" -> "integer", "z_coord" -> "integer"),
+    "weather_data" -> Seq("session_id" -> "integer",
+      "timestamp" -> "timestamp", "air_temp" -> "numeric",
+      "track_temp" -> "numeric", "humidity" -> "numeric",
+      "pressure" -> "numeric", "wind_speed" -> "numeric",
+      "wind_direction" -> "integer", "rainfall" -> "numeric"))
 }

@@ -175,6 +175,25 @@ object F1Queries {
       }.reduce(_ unionByName _).orderBy("table_name", "column_name")
     }, F1OracleSql.sql.get("f1_schema_verify")),
 
+    // §1.4 — the same verification harness over the SUPABASE-shaped
+    // outputs (graft.sinks.SupabaseShapes): driver_number as text, NTZ
+    // timestamps, renamed columns/tables — every row compatible=true.
+    Q("f1_supabase_schema_verify", (s, _) => {
+      val ev = events(s).cache()
+      val canonical = Map(
+        "sessions" -> F1Transforms.sessions(ev),
+        "drivers" -> F1Transforms.drivers(ev),
+        "positions" -> F1Transforms.positionsFromTiming(ev),
+        "telemetry" -> F1Transforms.telemetry(ev),
+        "race_control" -> F1Transforms.raceControl(ev),
+        "car_positions" -> F1Transforms.carPositions(ev),
+        "weather" -> F1Transforms.weather(ev))
+      graft.sinks.SupabaseShapes.mappings.map { case (supaName, srcName, shape) =>
+        graft.catalog.SchemaVerify.verifySchema(shape(canonical(srcName)), supaName,
+          graft.catalog.SchemaVerify.expectedSupabaseTables(supaName))
+      }.reduce(_ unionByName _).orderBy("table_name", "column_name")
+    }, F1OracleSql.sql.get("f1_supabase_schema_verify")),
+
     // Full streaming ETL (ST1–ST6): file source → unified foreachBatch
     // multi-table load → read back the consolidated lap table. Runs the
     // actual Structured Streaming machinery (checkpointed file source,

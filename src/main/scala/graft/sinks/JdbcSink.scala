@@ -1,0 +1,106 @@
+package graft.sinks
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC sink variant of [[TableSink]] — the reference's ACTUAL sink is
+  * Postgres over asyncpg (/root/reference/supabase_loader.py:134-172,
+  * /root/reference/loader.py:159-193); this reproduces that deployment
+  * option with `df.write.jdbc`.
+  *
+  *  - Appends mirror the reference's batched `executemany` with
+  *    `batch_size = 1000` (supabase_loader.py:296-310) via the JDBC
+  *    `batchsize` option — one multi-row round trip per batch, not the
+  *    per-row INSERT that bottlenecked the reference at 23 rows/s.
+  *  - Spark's JDBC writer has no MERGE, so keyed upserts are
+  *    read-merge-overwrite with the SAME merge semantics as the parquet
+  *    sink ([[TableSink.mergeLastWins]]/[[TableSink.mergeCoalescing]] —
+  *    `(_batch, _line)` precedence, replay-idempotent). `truncate=true`
+  *    keeps the table's DDL (and any DB-side DEFAULTs) across overwrites.
+  *    On a database with real MERGE (Postgres `ON CONFLICT`, the
+  *    reference's path) a production deployment would push the merge down;
+  *    the call-site seam is identical.
+  *
+  * Scale posture: same as the reference's — the JDBC sink is for
+  * dimension/serving tables (what Supabase held). The 100 TB fact tables
+  * stay on parquet/lakehouse appends; nobody JDBC-inserts 100 TB.
+  */
+object JdbcSink {
+
+  /** Connection target. `batchSize` mirrors supabase_loader.py:296. */
+  final case class JdbcTarget(url: String,
+      props: Properties = new Properties,
+      batchSize: Int = 1000)
+
+  private def readIfExists(spark: SparkSession, t: JdbcTarget,
+      table: String): Option[DataFrame] =
+    try Some(spark.read.jdbc(t.url, table, t.props))
+    catch { case _: Exception => None } // table does not exist yet
+
+  /** The merged frame reads from the table it is about to overwrite, so it
+    * must be materialized BEFORE the truncate — `localCheckpoint(eager)`
+    * cuts the lineage; without it the lazy JDBC scan would re-execute
+    * against the already-truncated table and lose the pre-merge rows.
+    */
+  private def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  private def overwrite(t: JdbcTarget, table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", t.batchSize)
+      .jdbc(t.url, table, t.props)
+
+  /** U4 — batched append (supabase_loader.py:296-310). */
+  def append(t: JdbcTarget, table: String, batch: DataFrame): Unit =
+    batch.write.mode(SaveMode.Append)
+      .option("batchsize", t.batchSize)
+      .jdbc(t.url, table, t.props)
+
+  /** U1/U2 — keyed last-wins upsert (ON CONFLICT DO UPDATE semantics,
+    * supabase_loader.py:182-204, computed in Spark).
+    */
+  def upsert(spark: SparkSession, t: JdbcTarget, table: String,
+      batch: DataFrame, keys: Seq[String]): Unit = {
+    val all = readIfExists(spark, t, table) match {
+      case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
+      case None           => batch
+    }
+    overwrite(t, table, snapshot(TableSink.mergeLastWins(all, keys)))
+  }
+
+  /** U3 — per-column last-non-null coalescing upsert (loader.py:262-277). */
+  def coalescingUpsert(spark: SparkSession, t: JdbcTarget, table: String,
+      batch: DataFrame, keys: Seq[String]): Unit = {
+    val all = readIfExists(spark, t, table) match {
+      case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
+      case None           => batch
+    }
+    overwrite(t, table, snapshot(TableSink.mergeCoalescing(all, keys)))
+  }
+
+  /** A9/A2 — append only keys not already present; deterministic
+    * first-wins in-batch like [[TableSink.dedupAppend]]. Snapshotted so a
+    * task retry cannot observe its own partial inserts through the lazy
+    * anti-join scan.
+    */
+  def dedupAppend(spark: SparkSession, t: JdbcTarget, table: String,
+      batch: DataFrame, key: String): Unit = {
+    val ordCols = Seq("_batch", "_line").filter(batch.columns.contains)
+    val inBatch =
+      if (ordCols.nonEmpty) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(ordCols.map(col): _*)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn" +: ordCols: _*)
+      } else batch.dropDuplicates(key)
+    val fresh = readIfExists(spark, t, table) match {
+      case Some(existing) =>
+        inBatch.join(existing.select(col(key)), Seq(key), "left_anti")
+      case None => inBatch
+    }
+    append(t, table, snapshot(fresh))
+  }
+}

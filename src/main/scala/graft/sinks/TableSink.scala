@@ -86,6 +86,33 @@ object TableSink {
     fs.delete(tmpOld, true)
   }
 
+  /** Whole-row last-wins per key by (_batch, _line) — shared by the
+    * parquet and JDBC upsert sinks.
+    */
+  private[sinks] def mergeLastWins(all: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch").desc, col("_line").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Per-column last-non-null per key in (_batch, _line) order — shared by
+    * the parquet and JDBC coalescing sinks.
+    */
+  private[sinks] def mergeCoalescing(all: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = all.columns.filterNot(c => keys.contains(c) || seqCols.contains(c))
+    val frame = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch"), col("_line"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val latest = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_batch").desc, col("_line").desc)
+    all
+      .select(keys.map(col) ++ seqCols.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(frame).as(c)): _*)
+      .withColumn("_rn", row_number().over(latest))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** U1/U2 — keyed upsert, whole-row last-wins by (_batch, _line). */
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String]): Unit = {
@@ -93,11 +120,7 @@ object TableSink {
       case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
       case None           => batch
     }
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_batch").desc, col("_line").desc)
-    val merged = all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    replaceTable(merged, path)
+    replaceTable(mergeLastWins(all, keys), path)
   }
 
   /** U3 — coalescing upsert: per-column last-non-null in (_batch, _line)
@@ -109,18 +132,7 @@ object TableSink {
       case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
       case None           => batch
     }
-    val valueCols = all.columns.filterNot(c => keys.contains(c) || seqCols.contains(c))
-    val frame = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_batch"), col("_line"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val latest = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_batch").desc, col("_line").desc)
-    val merged = all
-      .select(keys.map(col) ++ seqCols.map(col) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(frame).as(c)): _*)
-      .withColumn("_rn", row_number().over(latest))
-      .filter(col("_rn") === 1).drop("_rn")
-    replaceTable(merged, path)
+    replaceTable(mergeCoalescing(all, keys), path)
   }
 
   /** U4 — plain append. High-volume path: no read, no rewrite. */
@@ -132,10 +144,23 @@ object TableSink {
     * key column of the existing table (column pruning), so the probe stays
     * cheap even on a large table; at 100 TB this would be partition-pruned
     * by session/date first.
+    *
+    * First-wins is DETERMINISTIC when the batch carries the `(_batch,
+    * _line)` arrival columns (they are consumed and not written):
+    * `dropDuplicates` alone keeps an arbitrary row per key, so duplicate
+    * keys whose payloads differ would survive nondeterministically across
+    * runs — the same A1 semantics drift the transforms guard against.
     */
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit = {
-    val inBatch = batch.dropDuplicates(key)
+    val ordCols = seqCols.filter(batch.columns.contains)
+    val inBatch =
+      if (ordCols.nonEmpty) {
+        val w = Window.partitionBy(col(key)).orderBy(ordCols.map(col): _*)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn" +: ordCols: _*)
+      } else batch.dropDuplicates(key)
     val fresh = readIfExists(spark, path) match {
       case Some(existing) =>
         inBatch.join(existing.select(col(key)), Seq(key), "left_anti")

@@ -88,19 +88,76 @@ object F1Pipeline {
             case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
             case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
             case Append           => TableSink.append(path, out.drop("_batch", "_line", "line_id"))
+            // keeps (_batch, _line) so first-wins is deterministic; the
+            // sink consumes them before writing
             case DedupAppend(key) => TableSink.dedupAppend(spark, path,
-              out.drop("_batch", "_line", "line_id"), key)
+              out.drop("line_id"), key)
           }
         }
       }
     } finally cached.unpersist()
   }
 
-  /** Unified pipeline: one streaming query, all tables per micro-batch. */
+  /** [[loadBatch]] against a JDBC database instead of parquet — the
+    * reference's actual deployment (Postgres/Supabase,
+    * supabase_loader.py:134-172). Same [[tableSinks]] seam, same per-kind
+    * semantics, routed through [[JdbcSink]]'s batched writes.
+    */
+  def loadBatchJdbc(spark: SparkSession, events: DataFrame,
+      target: graft.sinks.JdbcSink.JdbcTarget, batchId: Long): Unit = {
+    val cached = events.withColumn("line_id", monotonically_increasing_id()).cache()
+    try {
+      val presentTopics = cached.select("topic").distinct()
+        .collect().map(_.getString(0)).toSet
+      tableSinks.foreach { case (name, topics, transform, kind) =>
+        if (topics.intersect(presentTopics).nonEmpty) {
+          val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
+          kind match {
+            case Upsert(keys)     => graft.sinks.JdbcSink.upsert(spark, target, name, out, keys)
+            case Coalescing(keys) => graft.sinks.JdbcSink.coalescingUpsert(spark, target, name, out, keys)
+            case Append           => graft.sinks.JdbcSink.append(target, name,
+              out.drop("_batch", "_line", "line_id"))
+            case DedupAppend(key) => graft.sinks.JdbcSink.dedupAppend(spark, target, name,
+              out.drop("line_id"), key)
+          }
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Unified streaming pipeline with the JDBC sink ([[loadBatchJdbc]]). */
+  def startUnifiedJdbc(spark: SparkSession, sourceDir: String,
+      target: graft.sinks.JdbcSink.JdbcTarget, checkpointDir: String,
+      format: WireFormat = WireFormat.PyList,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val events = Metrics.observed(
+      EventSource.readStream(spark, sourceDir, format, maxFilesPerTrigger))
+    events.writeStream
+      .queryName("f1_unified_jdbc")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        loadBatchJdbc(spark, batch, target, batchId)
+      }
+      .start()
+  }
+
+  /** Unified pipeline: one streaming query, all tables per micro-batch.
+    *
+    * `maxFilesPerTrigger` is the replay-pacing knob (ST1): combined with
+    * `trigger` it reproduces the reference's 100 ms-paced trickle replay
+    * (config.py:36) — bound files-per-batch instead of ingesting the whole
+    * backlog in one micro-batch. Per-batch observed metrics
+    * (rows + corrupt lines, ST5/T13) ride on the frame via
+    * [[Metrics.observed]] and surface in QueryProgress.
+    */
   def startUnified(spark: SparkSession, sourceDir: String, tablesDir: String,
       checkpointDir: String, format: WireFormat = WireFormat.PyList,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
-    val events = EventSource.readStream(spark, sourceDir, format)
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val events = Metrics.observed(
+      EventSource.readStream(spark, sourceDir, format, maxFilesPerTrigger))
     events.writeStream
       .queryName("f1_unified")
       .option("checkpointLocation", checkpointDir)
@@ -114,13 +171,16 @@ object F1Pipeline {
   /** Per-topic parallelism (ST2): independent queries with independent
     * checkpoints — the monitors' process-level parallelism, minus the
     * processes. Race control gets the watermarked streaming dedup (A2).
+    * `maxFilesPerTrigger` paces each query's replay independently (ST1).
     */
   def startPerTopic(spark: SparkSession, sourceDir: String, tablesDir: String,
       checkpointRoot: String, format: WireFormat = WireFormat.PyList,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): Seq[StreamingQuery] = {
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      maxFilesPerTrigger: Option[Int] = None): Seq[StreamingQuery] = {
 
     def sink(name: String)(build: DataFrame => DataFrame): StreamingQuery =
-      build(EventSource.readStream(spark, sourceDir, format))
+      build(Metrics.observed(
+        EventSource.readStream(spark, sourceDir, format, maxFilesPerTrigger)))
         .writeStream
         .queryName(s"f1_$name")
         .option("checkpointLocation", s"$checkpointRoot/$name")

@@ -27,6 +27,28 @@ class SchemaVerifySpec extends SparkSpec {
     }
   }
 
+  test("C3/§1.4: Supabase-shaped tables match the reference's hosted schema") {
+    val canonical = Map(
+      "sessions" -> F1Transforms.sessions(events),
+      "drivers" -> F1Transforms.drivers(events),
+      "positions" -> F1Transforms.positionsFromTiming(events),
+      "telemetry" -> F1Transforms.telemetry(events),
+      "race_control" -> F1Transforms.raceControl(events),
+      "car_positions" -> F1Transforms.carPositions(events),
+      "weather" -> F1Transforms.weather(events))
+    graft.sinks.SupabaseShapes.mappings.foreach { case (supaName, srcName, shape) =>
+      val shaped = shape(canonical(srcName))
+      val report = SchemaVerify.verifySchema(shaped, supaName,
+        SchemaVerify.expectedSupabaseTables(supaName))
+      val bad = report.filter(!col("compatible")).collect()
+      assert(bad.isEmpty, s"$supaName: ${bad.mkString(", ")}")
+      // the §1.4 divergences are real in the output, not just declared:
+      if (shaped.columns.contains("driver_number"))
+        assert(shaped.schema("driver_number").dataType.typeName == "string",
+          s"$supaName driver_number must be varchar-shaped")
+    }
+  }
+
   test("C3: incompatibilities and missing columns are reported, not thrown") {
     val df = Seq((1, "x")).toDF("driver_number", "name")
     val report = SchemaVerify.verifySchema(df, "drivers",

@@ -67,14 +67,21 @@ class QueriesPlanSpec extends SparkSpec {
     java.nio.file.Files.write(f.resolve("cap.txt"),
       graft.f1.Fixtures.pyLines.mkString("\n").getBytes)
     val events = graft.sources.EventSource.readBatch(spark, f.toString)
-    val p = graft.operators.F1Transforms.telemetry(events)
-      .queryExecution.executedPlan.toString
-    val filterIdx = p.indexOf("Filter")
-    val inflateIdx = p.indexOf("inflate_raw")
-    assert(filterIdx >= 0 && inflateIdx >= 0, p)
-    // the Filter on topic sits below (later in the printed tree than) the
-    // projection computing inflate_raw — decode only touches surviving rows
-    assert(inflateIdx < p.indexOf("topic#", inflateIdx).max(inflateIdx + 1), p)
+    val plan = graft.operators.F1Transforms.telemetry(events)
+      .queryExecution.executedPlan
+    // structural check (string offsets can't express tree order): the
+    // topic Filter must be a DESCENDANT of the node computing inflate_raw,
+    // i.e. rows are filtered before the decode ever evaluates
+    val inflateNode = plan.collectFirst {
+      case n if n.expressions.exists(_.exists(_.toString.contains("inflate_raw"))) => n
+    }
+    assert(inflateNode.isDefined, s"no node computes inflate_raw:\n$plan")
+    val topicFilterBelow = inflateNode.get.children.flatMap(_.collect {
+      case fx: org.apache.spark.sql.execution.FilterExec
+        if fx.condition.exists(_.toString.contains("topic")) => fx
+    })
+    assert(topicFilterBelow.nonEmpty,
+      s"topic Filter is not below the inflate_raw projection:\n$plan")
   }
 
   test("entry: all dimension joins broadcast; single agg shuffle") {

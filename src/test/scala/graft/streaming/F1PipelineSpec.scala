@@ -68,6 +68,36 @@ class F1PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tables/race_control").count() == 2)
   }
 
+  test("maxFilesPerTrigger paces a multi-file replay (ST1) and observed metrics surface") {
+    val src = tmp("f1srcP")
+    val tables = tmp("f1tablesP")
+    val ckpt = tmp("f1ckptP")
+    // 4 single-line-ish files, paced at 1 file per trigger → >=4 batches:
+    // the reference's 100ms trickle replay shape (config.py:36)
+    val parts = Fixtures.pyLines.grouped((Fixtures.pyLines.length + 3) / 4).toSeq
+    parts.zipWithIndex.foreach { case (lines, i) =>
+      Files.write(java.nio.file.Paths.get(s"$src/p$i.txt"),
+        lines.mkString("\n").getBytes)
+    }
+    val metrics = new Metrics(batchIntervalMs = 50)
+    spark.streams.addListener(metrics)
+    val q = F1Pipeline.startUnified(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"),
+      maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+    val nonEmpty = metrics.batchReports.filter(_.numInputRows > 0)
+    assert(nonEmpty.size >= parts.size,
+      s"paced replay should take >=${parts.size} batches, got ${nonEmpty.size}")
+    assert(nonEmpty.map(_.numInputRows).sum == Fixtures.pyLines.length)
+    // tables still converge identically to the unpaced run
+    assert(spark.read.parquet(s"$tables/lap_data").count() == 2)
+    assert(spark.read.parquet(s"$tables/weather").count() == 3)
+  }
+
   test("restart from checkpoint: no duplicates, upserts converge (S2/S6)") {
     val src = tmp("f1srcR")
     val tables = tmp("f1tablesR")
@@ -128,6 +158,36 @@ class F1PipelineSpec extends SparkSpec {
     // replaying the OLDER batch must not regress the row (lower _seq loses)
     assert(spark.read.parquet(path).head().getAs[String]("name") == "Quali v2")
     assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("unified pipeline through the JDBC sink (embedded Derby) converges like parquet") {
+    val src = tmp("f1srcJ")
+    val ckpt = tmp("f1ckptJ")
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val target = graft.sinks.JdbcSink.JdbcTarget(
+      "jdbc:derby:memory:f1jdbc;create=true", props)
+    val (part1, part2) = Fixtures.pyLines.splitAt(6)
+    Files.write(java.nio.file.Paths.get(s"$src/p1.txt"), part1.mkString("\n").getBytes)
+    val q = F1Pipeline.startUnifiedJdbc(spark, src, target, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$src/p2.txt"), part2.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def table(name: String) = spark.read.jdbc(target.url, name, props)
+    // cross-batch upsert convergence through read-merge-overwrite
+    val laps = table("lap_data").orderBy("driver_number", "lap_number").collect()
+    assert(laps.length == 2)
+    assert(math.abs(laps.head.getAs[Double]("lap_time") - 92.633) < 1e-9)
+    assert(laps.head.getAs[Int]("speed_trap") == 315) // merged across batches
+    assert(table("drivers").count() == 3)
+    assert(table("weather").count() == 3)
+    assert(table("telemetry").count() == 5)
+    assert(table("sessions").count() == 1)
+    assert(table("race_control").count() == 2) // dedup-append collapsed the dup
   }
 
   test("per-topic queries with watermarked race-control dedup (ST2/A2)") {
