@@ -46,25 +46,30 @@ object ExtensionQueries {
       Some("SELECT min(doc_id) AS keep_id, count(*) AS n_dupes " +
         "FROM documents GROUP BY text ORDER BY keep_id")),
 
+    // x02–x08 oracles are sf0.01-frozen VALUES literals (the driver's
+    // verify SF): the outputs are deterministic functions of the input
+    // table and the fixed kernel seeds, so freezing them pins BOTH the
+    // operator semantics and the kernel hash functions against drift.
+    // Regenerate via scripts/gen_values_oracles.py if testdata changes.
     Q("x02_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(plantTextDups(Tables.documents(s, d)),
         "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
-        .orderBy("a_id", "b_id"), None),
+        .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x02_dedup_minhash_lsh")),
 
     Q("x03_dedup_simhash",
       (s, d) => Dedup.simhashDups(plantTextDups(Tables.documents(s, d)),
         "doc_id", "text", maxHamming = 3)
-        .orderBy("a_id", "b_id"), None),
+        .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x03_dedup_simhash")),
 
     Q("x04_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardDups(plantTextDups(Tables.documents(s, d)),
         "doc_id", "text", shingleN = 3, minJaccard = 0.6)
-        .orderBy("a_id", "b_id"), None),
+        .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x04_dedup_ngram_jaccard")),
 
     Q("x05_dedup_embedding",
       (s, d) => Dedup.embeddingDups(plantVecDups(Tables.embeddings(s, d)),
         "vec_id", "embedding", minCos = 0.99)
-        .orderBy("a_id", "b_id"), None),
+        .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x05_dedup_embedding")),
 
     // ---- similarity search ----
 
@@ -77,7 +82,7 @@ object ExtensionQueries {
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
           "c_id", "c_vec", "q_id", "q_vec", k = 5)
           .orderBy("query_id", "rank")
-      }, None),
+      }, F1OracleSql.sql.get("x06_ann_brute_topk")),
 
     Q("x07_ann_lsh_topk",
       (s, d) => {
@@ -88,7 +93,7 @@ object ExtensionQueries {
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
           "c_id", "c_vec", "q_id", "q_vec", k = 5, planes = 8)
           .orderBy("query_id", "rank")
-      }, None),
+      }, F1OracleSql.sql.get("x07_ann_lsh_topk")),
 
     Q("x14_ann_ivf_topk",
       (s, d) => {
@@ -108,7 +113,7 @@ object ExtensionQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred"), None),
+        .orderBy("lang", "lang_pred"), F1OracleSql.sql.get("x08_text_langid")),
 
     Q("x09_text_stats",
       (s, d) => Tables.documents(s, d).select(
@@ -131,12 +136,32 @@ object ExtensionQueries {
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"), None),
 
+    // Single-row aggregate checksum over the 500-row quality output (the
+    // detail stays rows-only): exact DECIMAL sum of the 4-decimal scores.
+    Q("x10b_quality_checksum",
+      (s, d) => Tables.documents(s, d)
+        .select(TextOps.qualityScore(col("text")).as("quality"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_quality")),
+      F1OracleSql.sql.get("x10b_quality_checksum")),
+
     Q("x11_text_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .select(col("doc_id"), col("fp.full_hash").as("full_hash"),
           col("fp.min_shingle_hash").as("min_shingle_hash"))
         .orderBy("doc_id"), None),
+
+    // XOR-fold checksum of the fingerprint hashes: order-independent,
+    // overflow-free, and any single changed hash flips it.
+    Q("x11b_fingerprint_checksum",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(fp.full_hash)").as("xor_full_hash"),
+          expr("bit_xor(fp.min_shingle_hash)").as("xor_min_shingle_hash")),
+      F1OracleSql.sql.get("x11b_fingerprint_checksum")),
 
     // ---- multimodal columns ----
 
@@ -147,6 +172,21 @@ object ExtensionQueries {
           round(element_at(col("feature"), 1), 4).as("f0"),
           round(element_at(col("feature"), 16), 4).as("f15"))
         .orderBy("asset_id"), None),
+
+    // Checksum over the mapPartitions feature-extraction pass: pins the
+    // batch-UDF contract (schema, fan-out, stub arithmetic) end-to-end.
+    Q("x12b_features_checksum",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .select(
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 16), 4).as("f15"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("f0").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_f0"),
+          sum(col("f15").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_f15")),
+      F1OracleSql.sql.get("x12b_features_checksum")),
 
     // The synthetic asset metadata is a pure function of doc_id
     // (Multimodal.syntheticAssets), so the oracle re-derives it in SQL —
