@@ -81,6 +81,13 @@ object F1Queries {
         .orderBy("topic"),
       F1OracleSql.sql.get("f1_topic_counts")),
 
+    // analyze_f1_data.py-style wire introspection: per-topic payload
+    // classification + decode probe as a queryable frame.
+    Q("f1_wire_probe", (s, _) =>
+      graft.analytics.WireProbe.analyze(events(s), numSamples = 3)
+        .orderBy("topic", "sample_no"),
+      F1OracleSql.sql.get("f1_wire_probe")),
+
     Q("f1_weather", (s, _) =>
       ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"), None),
 
