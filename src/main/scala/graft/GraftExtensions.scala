@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneBucketExpr, InflateRaw, LangId, MinHashSignature, ParsePyLine, ShingleHashes, SimHash64, StopwordRatios, VecDot}
+import graft.functions.{HyperplaneBucketExpr, InflateRaw, LangId, MinHashSignature, ParsePyLine, ShingleHashes, SigAgreement, SimHash64, StopwordRatios, VecDot}
 
 /** Session-extension installer: makes the engine's custom expressions
   * (`inflate_raw`, `parse_pyline`) available in every session created with
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sig_agreement"),
+      new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
+      (exprs: Seq[Expression]) => SigAgreement(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),

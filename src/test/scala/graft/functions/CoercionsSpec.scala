@@ -22,6 +22,22 @@ class CoercionsSpec extends SparkSpec {
     assert(out(5) == null)
   }
 
+  test("lapSeconds: M:SS.mmm and plain-seconds wire shapes are bit-identical") {
+    // regression for the streaming-laps nondeterminism: when a stream
+    // carries the same lap in both shapes, the coalescing upsert's
+    // survivor must not depend on which shape arrived in which batch
+    val pairs = Seq(("1:32.633", "92.633"), ("0:59.999", "59.999"),
+      ("2:05.001", "125.001"), ("12:03.250", "723.250"), ("1:00.100", "60.100"))
+    val out = pairs.toDF("m", "s").select(
+      Coercions.lapSeconds(col("m")).as("a"),
+      Coercions.lapSeconds(col("s")).as("b")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)} bitwise")
+    }
+  }
+
   test("toNumeric: '', true/false strings and booleans, floats, junk") {
     val in = Seq("", "true", "False", "22.2", "x", "0").toDF("v")
     val out = in.select(Coercions.toNumeric(col("v"))).collect().map(r =>

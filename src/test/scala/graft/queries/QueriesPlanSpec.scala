@@ -84,6 +84,14 @@ class QueriesPlanSpec extends SparkSpec {
       s"topic Filter is not below the inflate_raw projection:\n$plan")
   }
 
+  test("x13 metadata stats: content/text columns pruned from the scan") {
+    // the multimodal scaladoc's claim that metadata aggregation never
+    // deserializes the (synthetic) binary column — the projection chain
+    // must collapse so the parquet scan reads doc_id alone
+    val p = plan("x13_multimodal_metadata")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("entry: all dimension joins broadcast; single agg shuffle") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
