@@ -160,6 +160,41 @@ class F1PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("state-store lap consolidation (flatMapGroupsWithState) matches the batch path") {
+    val src = tmp("f1srcS")
+    val out = tmp("f1outS")
+    val ckpt = tmp("f1ckptS")
+    val (p1, p2) = Fixtures.pyLines.splitAt(6)
+    Files.write(java.nio.file.Paths.get(s"$src/p1.txt"), p1.mkString("\n").getBytes)
+    val events = graft.sources.EventSource.readStream(spark, src)
+    val laps = LapState.consolidate(LapState.fragments(events))
+    val q = laps.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // each emitted row is the FULL merged state of its key, so a
+        // whole-row last-wins upsert lands the final state per key
+        TableSink.upsert(spark, s"$out/lap_state",
+          TableSink.withSeq(b.withColumn("line_id", lit(0L)), id),
+          Seq("driver_number", "lap_number"))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$src/p2.txt"), p2.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("driver_number", "lap_number", "lap_time", "sector_1_time",
+        "sector_2_time", "sector_3_time", "speed_trap", "timestamp")
+        .collect().map(_.toSeq).toSet
+    val got = canon(spark.read.parquet(s"$out/lap_state"))
+    val expected = canon(graft.operators.F1Transforms.laps(
+      graft.sources.EventSource.fromLines(spark, Fixtures.pyLines)))
+    assert(got == expected, s"state path:\n$got\nbatch path:\n$expected")
+  }
+
   test("unified pipeline through the JDBC sink (embedded Derby) converges like parquet") {
     val src = tmp("f1srcJ")
     val ckpt = tmp("f1ckptJ")
