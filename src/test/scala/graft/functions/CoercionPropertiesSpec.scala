@@ -45,6 +45,29 @@ class CoercionPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("P6 wire-shape equivalence property: M:SS.mmm == plain seconds, bitwise") {
+    // both representations of the same lap time must parse to the SAME
+    // double bit pattern, or streaming batch boundaries would decide the
+    // stored bytes (the round-2 streaming-laps nondeterminism)
+    val lapGen = for {
+      min <- Gen.choose(0, 59)
+      sec <- Gen.choose(0, 59)
+      ms <- Gen.choose(0, 999)
+    } yield (min, sec, ms)
+    val laps = sample(lapGen, 200)
+    val pairs = laps.map { case (m, s, ms) =>
+      val totalMs = (m * 60L + s) * 1000 + ms
+      (f"$m:$s%02d.$ms%03d", s"${totalMs / 1000}.${f"${totalMs % 1000}%03d"}")
+    }
+    val out = pairs.toDF("a", "b").select(
+      Coercions.lapSeconds(col("a")), Coercions.lapSeconds(col("b"))).collect()
+    out.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"'$a' -> ${r.getDouble(0)} but '$b' -> ${r.getDouble(1)}")
+    }
+  }
+
   test("pyliteral parser is total over arbitrary ascii lines") {
     val lineGen = Gen.oneOf(
       Gen.asciiPrintableStr,
