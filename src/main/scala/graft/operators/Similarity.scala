@@ -117,10 +117,16 @@ object Similarity {
       .select(col(corpusVec)).collect().map(rowVec(_, 0))
     (1 to iters).foreach { _ =>
       // Lloyd step: map-only assign, then per-(cluster, dim) mean — one
-      // shuffle on (cid, pos) per iteration, nothing else
+      // shuffle on (cid, pos) per iteration, nothing else. The mean sums
+      // through exact DECIMAL and divides once: plain avg() accumulates
+      // doubles in partition order, making the centroids — and every
+      // downstream assignment — depend on parallelism; this way the whole
+      // index is bit-deterministic (and its search output freezable).
       val means = assignCid(corpus, corpusVec, centroids)
         .select(col("cid"), posexplode(col(corpusVec)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid", "pos")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          / count(lit(1))).cast("double").as("m"))
         .collect()
       val next = centroids.map(_.clone()) // empty clusters keep old centroid
       means.foreach { r =>

@@ -105,7 +105,7 @@ object ExtensionQueries {
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
           "c_id", "c_vec", "q_id", "q_vec", k = 5, nprobe = 4)
           .orderBy("query_id", "rank")
-      }, None),
+      }, F1OracleSql.sql.get("x14_ann_ivf_topk")),
 
     // ---- text analysis ----
 
