@@ -134,7 +134,7 @@ object ExtensionQueries {
     Q("x10_text_quality",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"), None),
+        .orderBy("doc_id"), F1OracleSql.sql.get("x10_text_quality")),
 
     // Single-row aggregate checksum over the 500-row quality output (the
     // detail stays rows-only): exact DECIMAL sum of the 4-decimal scores.
@@ -151,7 +151,7 @@ object ExtensionQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .select(col("doc_id"), col("fp.full_hash").as("full_hash"),
           col("fp.min_shingle_hash").as("min_shingle_hash"))
-        .orderBy("doc_id"), None),
+        .orderBy("doc_id"), F1OracleSql.sql.get("x11_text_fingerprint")),
 
     // XOR-fold checksum of the fingerprint hashes: order-independent,
     // overflow-free, and any single changed hash flips it.
@@ -171,7 +171,7 @@ object ExtensionQueries {
         .select(col("asset_id"), col("media_type"),
           round(element_at(col("feature"), 1), 4).as("f0"),
           round(element_at(col("feature"), 16), 4).as("f15"))
-        .orderBy("asset_id"), None),
+        .orderBy("asset_id"), F1OracleSql.sql.get("x12_multimodal_features")),
 
     // Checksum over the mapPartitions feature-extraction pass: pins the
     // batch-UDF contract (schema, fan-out, stub arithmetic) end-to-end.

@@ -48,11 +48,12 @@ object F1Queries {
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
 
   val all: Seq[Q] = Seq(
-    // Q18 — the full compressed-telemetry decode pipeline (P1+P3+T9).
-    // 305 rows; the driver-checkable pin is q18b's aggregate checksum.
+    // Q18 — the full compressed-telemetry decode pipeline (P1+P3+T9),
+    // frozen row-for-row (305 rows); q18b additionally pins the aggregate.
     Q("q18_decode_telemetry",
-      (s, _) => ord(F1Transforms.telemetry(events(s)),
-        "timestamp", "driver_number"), None),
+      (s, _) => tsMs(ord(F1Transforms.telemetry(events(s)),
+        "timestamp", "driver_number"), "timestamp"),
+      F1OracleSql.sql.get("q18_decode_telemetry")),
 
     // Q18b — single-row aggregate checksum over the decoded telemetry,
     // pinned by a VALUES oracle: covers P1+P3+T9 with a hash-green driver
@@ -89,7 +90,9 @@ object F1Queries {
       F1OracleSql.sql.get("f1_wire_probe")),
 
     Q("f1_weather", (s, _) =>
-      ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"), None),
+      tsMs(ord(F1Transforms.weather(events(s)), "line_id").drop("line_id"),
+        "timestamp"),
+      F1OracleSql.sql.get("f1_weather")),
 
     // T12/P9 aggregate checksum (the 403-row detail stays rows-only).
     Q("f1_weather_checksum", (s, _) =>
@@ -115,7 +118,9 @@ object F1Queries {
       F1OracleSql.sql.get("f1_sessions")),
 
     Q("f1_laps", (s, _) =>
-      ord(F1Transforms.laps(events(s)), "driver_number", "lap_number"), None),
+      tsMs(ord(F1Transforms.laps(events(s)), "driver_number", "lap_number"),
+        "timestamp"),
+      F1OracleSql.sql.get("f1_laps")),
 
     // T4/T6 aggregate checksum (the 200-row detail stays rows-only).
     Q("f1_laps_checksum", (s, _) =>
@@ -132,8 +137,9 @@ object F1Queries {
       F1OracleSql.sql.get("f1_laps_checksum")),
 
     Q("f1_positions", (s, _) =>
-      ord(F1Transforms.positionsFromTiming(events(s)),
-        "timestamp", "driver_number"), None),
+      tsMs(ord(F1Transforms.positionsFromTiming(events(s)),
+        "timestamp", "driver_number"), "timestamp"),
+      F1OracleSql.sql.get("f1_positions")),
 
     // T5 aggregate checksum (the 403-row detail stays rows-only).
     Q("f1_positions_checksum", (s, _) =>
