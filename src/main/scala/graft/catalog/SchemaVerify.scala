@@ -14,14 +14,18 @@ import org.apache.spark.sql.types._
 object SchemaVerify {
 
   /** C3 type-compatibility classes (verify_tables.py:119-127 normalizes
-    * Postgres type aliases the same way).
+    * Postgres type aliases the same way). Zone-aware and NTZ timestamps
+    * are DISTINCT classes — the §1.4 Supabase divergence is precisely
+    * "timestamp without time zone", so collapsing them would make the
+    * Supabase-shape verification vacuous for its defining property.
     */
   private def typeClass(dt: DataType): String = dt match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType => "integer"
     case _: DoubleType | _: FloatType | _: DecimalType             => "numeric"
     case _: StringType                                             => "text"
     case _: BooleanType                                            => "boolean"
-    case _: TimestampType | _: TimestampNTZType                    => "timestamp"
+    case _: TimestampType                                          => "timestamp"
+    case _: TimestampNTZType                                       => "timestamp_ntz"
     case _: BinaryType                                             => "binary"
     case other                                                     => other.typeName
   }
@@ -103,31 +107,33 @@ object SchemaVerify {
     */
   val expectedSupabaseTables: Map[String, Seq[(String, String)]] = Map(
     "sessions" -> Seq("key" -> "integer", "type" -> "text", "name" -> "text",
-      "start_date" -> "timestamp", "race_id" -> "integer",
-      "end_date" -> "timestamp", "gmt_offset" -> "text", "path" -> "text"),
+      "start_date" -> "timestamp_ntz", "race_id" -> "integer",
+      "end_date" -> "timestamp_ntz", "gmt_offset" -> "text", "path" -> "text"),
     "session_drivers" -> Seq("session_id" -> "integer",
       "driver_number" -> "text", "full_name" -> "text",
       "broadcast_name" -> "text", "tla" -> "text", "team_name" -> "text",
       "team_color" -> "text", "first_name" -> "text", "last_name" -> "text",
       "headshot_url" -> "text"),
     "driver_positions" -> Seq("session_id" -> "integer",
-      "timestamp" -> "timestamp", "driver_number" -> "text",
+      "timestamp" -> "timestamp_ntz", "driver_number" -> "text",
       "position" -> "integer"),
-    "car_telemetry" -> Seq("timestamp" -> "timestamp",
-      "utc_timestamp" -> "timestamp", "session_id" -> "integer",
+    "car_telemetry" -> Seq("timestamp" -> "timestamp_ntz",
+      "utc_timestamp" -> "timestamp_ntz", "session_id" -> "integer",
       "driver_number" -> "text", "rpm" -> "integer", "speed" -> "integer",
       "gear" -> "integer", "throttle" -> "numeric", "brake" -> "numeric",
       "drs" -> "integer"),
+    // race_control / car_positions timestamps stay zone-aware — the
+    // loader passes them through ("timestamp with time zone OK").
     "race_control_messages" -> Seq("session_id" -> "integer",
-      "timestamp" -> "timestamp", "utc_time" -> "timestamp",
+      "timestamp" -> "timestamp", "utc_time" -> "timestamp_ntz",
       "category" -> "text", "message" -> "text", "flag" -> "text",
       "scope" -> "text", "sector" -> "integer"),
     "car_positions" -> Seq("session_id" -> "integer",
-      "timestamp" -> "timestamp", "utc_time" -> "timestamp",
+      "timestamp" -> "timestamp", "utc_time" -> "timestamp_ntz",
       "driver_number" -> "text", "x_coord" -> "integer",
       "y_coord" -> "integer", "z_coord" -> "integer"),
     "weather_data" -> Seq("session_id" -> "integer",
-      "timestamp" -> "timestamp", "air_temp" -> "numeric",
+      "timestamp" -> "timestamp_ntz", "air_temp" -> "numeric",
       "track_temp" -> "numeric", "humidity" -> "numeric",
       "pressure" -> "numeric", "wind_speed" -> "numeric",
       "wind_direction" -> "integer", "rainfall" -> "numeric"))

@@ -24,11 +24,18 @@ object Skew {
 
   /** Salted inner/left equi-join of `big` ⋈ `small` on `key`.
     *
-    * Salt assignment on the big side is deterministic per row content
-    * position (xxhash64 of a per-row id), so replays produce identical
-    * partitioning. Every big row joins exactly the small-side replicas
-    * carrying its own salt, so the result multiset equals the unsalted
-    * join (asserted in SkewSpec).
+    * The salt is a hash of the big row's CONTENT, not of a positional id
+    * like `monotonically_increasing_id`: positional salts change when a
+    * stage retry recomputes a partition in a different order, and a salt
+    * that changes under recomputation is a join key that changes under
+    * recomputation — the SPARK-23207 class of silent row loss or
+    * duplication. Content-hashing is retry-stable; its one tradeoff is
+    * that byte-identical duplicate rows of a hot key share a salt, which
+    * only matters for degenerate all-duplicate corpora.
+    *
+    * Every big row joins exactly the small-side replicas carrying its own
+    * salt, so the result multiset equals the unsalted join (asserted in
+    * SkewSpec).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
@@ -36,7 +43,7 @@ object Skew {
     require(joinType == "inner" || joinType == "left",
       s"salting preserves multiplicity only for inner/left joins, got $joinType")
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt"), joinType).drop("_salt")

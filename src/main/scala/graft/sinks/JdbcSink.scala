@@ -34,10 +34,31 @@ object JdbcSink {
       props: Properties = new Properties,
       batchSize: Int = 1000)
 
+  /** Existence must be decided by catalog METADATA, never by
+    * catch-any-exception around the read: a transient failure
+    * misclassified as "table missing" would make the subsequent
+    * truncate+overwrite replace the whole table with just the current
+    * batch. A metadata failure here PROPAGATES — failing the micro-batch
+    * (and letting the replay-idempotent merge retry it) is strictly
+    * safer than guessing.
+    */
+  private def tableExists(t: JdbcTarget, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(t.url, t.props)
+    try {
+      val meta = conn.getMetaData
+      // unquoted identifiers are case-normalized per dialect (Derby/PG
+      // differ) — probe the stored forms, not just the literal name
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { n =>
+        val rs = meta.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
   private def readIfExists(spark: SparkSession, t: JdbcTarget,
       table: String): Option[DataFrame] =
-    try Some(spark.read.jdbc(t.url, table, t.props))
-    catch { case _: Exception => None } // table does not exist yet
+    if (tableExists(t, table)) Some(spark.read.jdbc(t.url, table, t.props))
+    else None
 
   /** The merged frame reads from the table it is about to overwrite, so it
     * must be materialized BEFORE the truncate — `localCheckpoint(eager)`
@@ -81,21 +102,13 @@ object JdbcSink {
   }
 
   /** A9/A2 — append only keys not already present; deterministic
-    * first-wins in-batch like [[TableSink.dedupAppend]]. Snapshotted so a
-    * task retry cannot observe its own partial inserts through the lazy
-    * anti-join scan.
+    * first-wins in-batch ([[TableSink.firstWinsInBatch]], shared with
+    * the parquet sink). Snapshotted so a task retry cannot observe its
+    * own partial inserts through the lazy anti-join scan.
     */
   def dedupAppend(spark: SparkSession, t: JdbcTarget, table: String,
       batch: DataFrame, key: String): Unit = {
-    val ordCols = Seq("_batch", "_line").filter(batch.columns.contains)
-    val inBatch =
-      if (ordCols.nonEmpty) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(ordCols.map(col): _*)
-        batch.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .drop("_rn" +: ordCols: _*)
-      } else batch.dropDuplicates(key)
+    val inBatch = TableSink.firstWinsInBatch(batch, key)
     val fresh = readIfExists(spark, t, table) match {
       case Some(existing) =>
         inBatch.join(existing.select(col(key)), Seq(key), "left_anti")

@@ -139,28 +139,32 @@ object TableSink {
   def append(path: String, batch: DataFrame): Unit =
     batch.write.mode(SaveMode.Append).parquet(path)
 
+  /** Deterministic in-batch first-wins per key (A1 semantics): when the
+    * batch carries the `(_batch, _line)` arrival columns they decide the
+    * survivor (and are consumed, not written); `dropDuplicates` alone
+    * would keep an arbitrary row, so duplicate keys with differing
+    * payloads would survive nondeterministically across runs. Shared by
+    * the parquet and JDBC dedup-append sinks.
+    */
+  private[sinks] def firstWinsInBatch(batch: DataFrame, key: String): DataFrame = {
+    val ordCols = seqCols.filter(batch.columns.contains)
+    if (ordCols.nonEmpty) {
+      val w = Window.partitionBy(col(key)).orderBy(ordCols.map(col): _*)
+      batch.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn" +: ordCols: _*)
+    } else batch.dropDuplicates(key)
+  }
+
   /** A9/A2 — append only keys not already in the table: in-batch dedup
-    * (first wins) + left-anti join against existing keys. Reads only the
-    * key column of the existing table (column pruning), so the probe stays
-    * cheap even on a large table; at 100 TB this would be partition-pruned
-    * by session/date first.
-    *
-    * First-wins is DETERMINISTIC when the batch carries the `(_batch,
-    * _line)` arrival columns (they are consumed and not written):
-    * `dropDuplicates` alone keeps an arbitrary row per key, so duplicate
-    * keys whose payloads differ would survive nondeterministically across
-    * runs — the same A1 semantics drift the transforms guard against.
+    * ([[firstWinsInBatch]]) + left-anti join against existing keys. Reads
+    * only the key column of the existing table (column pruning), so the
+    * probe stays cheap even on a large table; at 100 TB this would be
+    * partition-pruned by session/date first.
     */
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit = {
-    val ordCols = seqCols.filter(batch.columns.contains)
-    val inBatch =
-      if (ordCols.nonEmpty) {
-        val w = Window.partitionBy(col(key)).orderBy(ordCols.map(col): _*)
-        batch.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .drop("_rn" +: ordCols: _*)
-      } else batch.dropDuplicates(key)
+    val inBatch = firstWinsInBatch(batch, key)
     val fresh = readIfExists(spark, path) match {
       case Some(existing) =>
         inBatch.join(existing.select(col(key)), Seq(key), "left_anti")

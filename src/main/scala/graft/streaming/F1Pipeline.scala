@@ -67,11 +67,20 @@ object F1Pipeline {
   private def ensureLineId(df: DataFrame): DataFrame =
     if (df.columns.contains("line_id")) df else df.withColumn("line_id", lit(0L))
 
-  /** Load one micro-batch into every derived table (S6). Also used by the
-    * batch (non-streaming) pipeline with batchId=0.
+  /** The four per-kind write operations a batch load dispatches to — one
+    * implementation per storage backend, so the batch mechanics
+    * (line_id assignment, caching, topic-presence gating, `_seq`
+    * attachment, seq-column stripping) exist exactly once.
     */
-  def loadBatch(spark: SparkSession, events: DataFrame, tablesDir: String,
-      batchId: Long): Unit = {
+  private trait BatchSinkOps {
+    def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit
+    def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit
+    def append(table: String, out: DataFrame): Unit
+    def dedupAppend(table: String, out: DataFrame, key: String): Unit
+  }
+
+  private def loadBatchWith(events: DataFrame, batchId: Long,
+      ops: BatchSinkOps): Unit = {
     // The streaming source carries a placeholder line_id (see EventSource);
     // inside foreachBatch this is a plain batch frame, so assign the real
     // in-batch arrival order here.
@@ -82,48 +91,53 @@ object F1Pipeline {
         .collect().map(_.getString(0)).toSet
       tableSinks.foreach { case (name, topics, transform, kind) =>
         if (topics.intersect(presentTopics).nonEmpty) {
-          val path = s"$tablesDir/$name"
           val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
           kind match {
-            case Upsert(keys)     => TableSink.upsert(spark, path, out, keys)
-            case Coalescing(keys) => TableSink.coalescingUpsert(spark, path, out, keys)
-            case Append           => TableSink.append(path, out.drop("_batch", "_line", "line_id"))
+            case Upsert(keys)     => ops.upsert(name, out, keys)
+            case Coalescing(keys) => ops.coalescing(name, out, keys)
+            case Append           => ops.append(name, out.drop("_batch", "_line", "line_id"))
             // keeps (_batch, _line) so first-wins is deterministic; the
             // sink consumes them before writing
-            case DedupAppend(key) => TableSink.dedupAppend(spark, path,
-              out.drop("line_id"), key)
+            case DedupAppend(key) => ops.dedupAppend(name, out.drop("line_id"), key)
           }
         }
       }
     } finally cached.unpersist()
   }
 
+  /** Load one micro-batch into every derived table (S6). Also used by the
+    * batch (non-streaming) pipeline with batchId=0.
+    */
+  def loadBatch(spark: SparkSession, events: DataFrame, tablesDir: String,
+      batchId: Long): Unit =
+    loadBatchWith(events, batchId, new BatchSinkOps {
+      def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit =
+        TableSink.upsert(spark, s"$tablesDir/$table", out, keys)
+      def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit =
+        TableSink.coalescingUpsert(spark, s"$tablesDir/$table", out, keys)
+      def append(table: String, out: DataFrame): Unit =
+        TableSink.append(s"$tablesDir/$table", out)
+      def dedupAppend(table: String, out: DataFrame, key: String): Unit =
+        TableSink.dedupAppend(spark, s"$tablesDir/$table", out, key)
+    })
+
   /** [[loadBatch]] against a JDBC database instead of parquet — the
     * reference's actual deployment (Postgres/Supabase,
-    * supabase_loader.py:134-172). Same [[tableSinks]] seam, same per-kind
-    * semantics, routed through [[JdbcSink]]'s batched writes.
+    * supabase_loader.py:134-172). Same [[tableSinks]] seam, same batch
+    * mechanics, routed through [[graft.sinks.JdbcSink]]'s batched writes.
     */
   def loadBatchJdbc(spark: SparkSession, events: DataFrame,
-      target: graft.sinks.JdbcSink.JdbcTarget, batchId: Long): Unit = {
-    val cached = events.withColumn("line_id", monotonically_increasing_id()).cache()
-    try {
-      val presentTopics = cached.select("topic").distinct()
-        .collect().map(_.getString(0)).toSet
-      tableSinks.foreach { case (name, topics, transform, kind) =>
-        if (topics.intersect(presentTopics).nonEmpty) {
-          val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
-          kind match {
-            case Upsert(keys)     => graft.sinks.JdbcSink.upsert(spark, target, name, out, keys)
-            case Coalescing(keys) => graft.sinks.JdbcSink.coalescingUpsert(spark, target, name, out, keys)
-            case Append           => graft.sinks.JdbcSink.append(target, name,
-              out.drop("_batch", "_line", "line_id"))
-            case DedupAppend(key) => graft.sinks.JdbcSink.dedupAppend(spark, target, name,
-              out.drop("line_id"), key)
-          }
-        }
-      }
-    } finally cached.unpersist()
-  }
+      target: graft.sinks.JdbcSink.JdbcTarget, batchId: Long): Unit =
+    loadBatchWith(events, batchId, new BatchSinkOps {
+      def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit =
+        graft.sinks.JdbcSink.upsert(spark, target, table, out, keys)
+      def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit =
+        graft.sinks.JdbcSink.coalescingUpsert(spark, target, table, out, keys)
+      def append(table: String, out: DataFrame): Unit =
+        graft.sinks.JdbcSink.append(target, table, out)
+      def dedupAppend(table: String, out: DataFrame, key: String): Unit =
+        graft.sinks.JdbcSink.dedupAppend(spark, target, table, out, key)
+    })
 
   /** Unified streaming pipeline with the JDBC sink ([[loadBatchJdbc]]). */
   def startUnifiedJdbc(spark: SparkSession, sourceDir: String,

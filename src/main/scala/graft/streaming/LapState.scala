@@ -24,12 +24,17 @@ import graft.operators.F1Transforms
   * merge) — the same contract the batch
   * [[F1Transforms.consolidateLaps]] expresses with window functions.
   *
-  * Ordering note: the streaming file source carries the placeholder
-  * `line_id = 0` (EventSource scaladoc), so within/across batches the
-  * merge orders by EVENT TIME (fragment timestamp) — deterministic for
-  * the wire format, whose fragments are timestamped at source. The
-  * foreachBatch pipeline ([[F1Pipeline.loadBatch]]) keeps true
-  * arrival-order precedence instead.
+  * Merge-order contract: EVENT TIME, per field, enforced ACROSS batches —
+  * the state stores, for every field, the event timestamp of the
+  * fragment that set it, and a fragment only overwrites a field it
+  * carries when its timestamp is >= the stored one. The consolidated row
+  * is therefore independent of where micro-batch boundaries fall (the
+  * streaming file source's placeholder `line_id = 0` rules out
+  * arrival-order precedence — see EventSource). Residual tie rule: two
+  * fragments carrying the SAME event timestamp but conflicting values
+  * resolve toward the larger content hash within a batch (deterministic)
+  * and toward the later batch across batches; the wire format timestamps
+  * fragments monotonically per driver, so real streams do not tie.
   */
 object LapState {
 
@@ -40,12 +45,20 @@ object LapState {
       sector_2_time: Option[Double], sector_3_time: Option[Double],
       speed_trap: Option[Int], timestamp: Option[java.sql.Timestamp])
 
-  /** The consolidated lap row — also the state-store value type. */
+  /** The consolidated lap row (output type). */
   final case class LapRow(
       driver_number: Int, lap_number: Int,
       lap_time: Option[Double], sector_1_time: Option[Double],
       sector_2_time: Option[Double], sector_3_time: Option[Double],
       speed_trap: Option[Int], timestamp: Option[java.sql.Timestamp])
+
+  /** State-store value: the merged row plus, per field, the event-time of
+    * the fragment that set it (Long.MinValue = never set) — what makes
+    * the merge batch-boundary-independent.
+    */
+  final case class MergeState(row: LapRow,
+      lapTimeTs: Long, s1Ts: Long, s2Ts: Long, s3Ts: Long,
+      trapTs: Long, rowTs: Long)
 
   /** T4+T6 fragments of a (batch or streaming) event frame as a typed
     * Dataset.
@@ -61,35 +74,57 @@ object LapState {
       .as[LapFrag]
   }
 
-  private def merge(acc: LapRow, f: LapFrag): LapRow = LapRow(
-    acc.driver_number, acc.lap_number,
-    f.lap_time.orElse(acc.lap_time),
-    f.sector_1_time.orElse(acc.sector_1_time),
-    f.sector_2_time.orElse(acc.sector_2_time),
-    f.sector_3_time.orElse(acc.sector_3_time),
-    f.speed_trap.orElse(acc.speed_trap),
-    f.timestamp.orElse(acc.timestamp))
+  private def fragTs(f: LapFrag): Long =
+    f.timestamp.map(_.getTime).getOrElse(Long.MinValue)
+
+  private def merge(st: MergeState, f: LapFrag): MergeState = {
+    val ts = fragTs(f)
+    val r = st.row
+    var row = r
+    var s = st
+    if (f.lap_time.isDefined && ts >= st.lapTimeTs) {
+      row = row.copy(lap_time = f.lap_time); s = s.copy(lapTimeTs = ts)
+    }
+    if (f.sector_1_time.isDefined && ts >= st.s1Ts) {
+      row = row.copy(sector_1_time = f.sector_1_time); s = s.copy(s1Ts = ts)
+    }
+    if (f.sector_2_time.isDefined && ts >= st.s2Ts) {
+      row = row.copy(sector_2_time = f.sector_2_time); s = s.copy(s2Ts = ts)
+    }
+    if (f.sector_3_time.isDefined && ts >= st.s3Ts) {
+      row = row.copy(sector_3_time = f.sector_3_time); s = s.copy(s3Ts = ts)
+    }
+    if (f.speed_trap.isDefined && ts >= st.trapTs) {
+      row = row.copy(speed_trap = f.speed_trap); s = s.copy(trapTs = ts)
+    }
+    if (f.timestamp.isDefined && ts >= st.rowTs) {
+      row = row.copy(timestamp = f.timestamp); s = s.copy(rowTs = ts)
+    }
+    s.copy(row = row)
+  }
 
   /** Consolidate a fragment stream: emits the merged row of every key
-    * updated in the trigger (Update semantics). Works on batch Datasets
-    * too (Spark runs the same function per group).
+    * updated in the trigger (Update semantics).
     */
   def consolidate(frags: Dataset[LapFrag]): Dataset[LapRow] = {
     val spark = frags.sparkSession
     import spark.implicits._
     frags
       .groupByKey(f => (f.driver_number, f.lap_number))
-      .flatMapGroupsWithState[LapRow, LapRow](
+      .flatMapGroupsWithState[MergeState, LapRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case ((drv, lap), it, state: GroupState[LapRow]) =>
-          // event-time order; Vector sort is stable so same-timestamp
-          // fragments keep iterator order
-          val ordered = it.toVector.sortBy(_.timestamp.map(_.getTime).getOrElse(0L))
-          val init = state.getOption.getOrElse(
-            LapRow(drv, lap, None, None, None, None, None, None))
+        case ((drv, lap), it, state: GroupState[MergeState]) =>
+          // event-time order with a content-hash tiebreak: the
+          // post-shuffle iterator order is not deterministic, so ties
+          // must not be left to it
+          val ordered = it.toVector.sortBy(f => (fragTs(f), f.hashCode))
+          val init = state.getOption.getOrElse(MergeState(
+            LapRow(drv, lap, None, None, None, None, None, None),
+            Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue,
+            Long.MinValue, Long.MinValue))
           val merged = ordered.foldLeft(init)(merge)
           state.update(merged)
-          Iterator.single(merged)
+          Iterator.single(merged.row)
       }
   }
 }

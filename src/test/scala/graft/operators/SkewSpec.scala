@@ -29,9 +29,9 @@ class SkewSpec extends SparkSpec {
     }
   }
 
-  test("hot key spreads across the salt space") {
+  test("hot key spreads across the salt space (content-hash salt)") {
     val saltsUsed = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(8L)))
       .filter(col("k") === 1L)
       .select(countDistinct(col("_salt"))).collect().head.getLong(0)
     assert(saltsUsed == 8L, s"hot key only used $saltsUsed of 8 salts")
