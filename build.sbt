@@ -15,6 +15,10 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks machine parsing of the
 // single-line JSON emitted by graft.Bench.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's "[success] Total time: …" epilogue so the bench JSON
+// line emitted by graft.Bench stays the LAST line on stdout — the
+// driver's parser reads the tail of the captured output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,6 +32,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // graft.operators.Multimodal uses javax.imageio/java.awt.image for real
+  // PNG decode/encode — keep AWT off the display path.
+  "-Djava.awt.headless=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

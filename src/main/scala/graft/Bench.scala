@@ -60,5 +60,11 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     spark.stop()
+    // The detailed per-query line above is ~2.5 KB and has twice been
+    // truncated by the driver's tail-capture window. Emit a compact
+    // totals-only line as the VERY LAST stdout line (after spark.stop(),
+    // so no shutdown logging can interleave behind it) — small enough
+    // that no tail window or last-line heuristic can miss it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

@@ -1,6 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,12 +13,13 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, batch-shaped
   * decode/feature-extract over partitions.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB (see [[decodeStub]]).
-  * Everything around it — the schema contract, binary column handling,
-  * partition-parallel batch processing via `mapPartitions`, fixed-size
-  * feature output — is real and tested; swapping the stub for a JNI/ffmpeg
-  * call changes one function.
+  * Images are REAL: the synthetic asset table carries genuine PNG bytes
+  * (encoded with the JDK's `javax.imageio` — no external codecs needed),
+  * and the feature/resize paths do genuine pixel decode, luminance
+  * histogram extraction, and bilinear rescale + PNG re-encode. Audio and
+  * video remain clearly-marked deterministic STUBs ([[decodeStub]],
+  * [[sampleFrames]]) — this container genuinely has no audio/video codecs;
+  * swapping a stub for a JNI/ffmpeg call changes one function.
   *
   * Scale posture: media blobs dominate storage, so the asset table keeps
   * metadata columns scan-prunable (count/filter without touching bytes —
@@ -22,6 +28,9 @@ import org.apache.spark.sql.types._
   * decode batch width to bound executor memory against blob size.
   */
 object Multimodal {
+
+  // Per-call /tmp spill files would dominate small-image encode cost.
+  ImageIO.setUseCache(false)
 
   /** Asset-table schema: opaque bytes + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
@@ -32,32 +41,109 @@ object Multimodal {
     StructField("duration_ms", IntegerType),
     StructField("content", BinaryType)))
 
-  /** Derive a deterministic synthetic asset table from `documents` rows
-    * (doc_id, text): fake media bytes generated from the row content. Lets
-    * the pipeline be exercised end-to-end without real media files.
+  /** Deterministic synthetic image: a seed-shifted gradient/xor pattern
+    * (compresses well under PNG deflate, and gives bilinear resampling
+    * real structure to interpolate). Pure function of (seed, w, h) — the
+    * encoded bytes are bit-reproducible across runs and parallelism.
     */
-  def syntheticAssets(docs: DataFrame): DataFrame =
-    docs.select(
+  def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val s = (seed * 0x9E3779B97F4A7C15L >>> 40).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val g = (y * 255 / math.max(1, h - 1) + (s >> 8)) & 0xFF
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / math.max(1, w - 1) + s) & 0xFF
+        val b = ((x ^ y) + (s >> 16)) & 0xFF
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    // bulk setRGB: one array copy instead of w*h ColorModel round-trips
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Derive a deterministic synthetic asset table from `documents` rows
+    * (doc_id, text). Image rows (doc_id % 3 == 0) carry REAL PNG bytes
+    * ([[makePng]]); audio/video rows carry fake sha2-derived bytes (no
+    * codecs for those formats here). Dimensions stay small (≤124×96) so
+    * per-row encode cost is bounded at any corpus scale — the width/height
+    * formulas are mirrored by the x13 metadata oracle SQL.
+    */
+  def syntheticAssets(docs: DataFrame): DataFrame = {
+    val png = udf((id: Long, w: Int, h: Int) => makePng(id, w, h))
+    val w = (pmod(col("doc_id"), lit(28)) * 4 + 16).cast("int")
+    val h = (pmod(col("doc_id"), lit(21)) * 4 + 16).cast("int")
+    // A small documents table arrives as ONE parquet split, which would
+    // serialize every PNG encode onto one core; spread the generator
+    // across the cluster first (the shuffled payload is just doc text —
+    // the expensive content bytes are produced after the exchange).
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height"),
+      w.as("width"),
+      h.as("height"),
       (pmod(col("doc_id"), lit(300)) * 100).cast("int").as("duration_ms"),
-      // deterministic fake bytes: sha2 of the text, repeated — stands in
-      // for an encoded frame; NOT a real codec payload.
-      encode(repeat(sha2(col("text"), 256), 4), "UTF-8").as("content"))
+      when(pmod(col("doc_id"), lit(3)) === 0, png(col("doc_id"), w, h))
+        // deterministic fake bytes for audio/video: sha2 of the text,
+        // repeated — stands in for an encoded stream, NOT a codec payload
+        .otherwise(encode(repeat(sha2(col("text"), 256), 4), "UTF-8"))
+        .as("content"))
+  }
 
   private val featureDim = 16
 
-  /** STUB media decode + feature extraction.
+  /** REAL image feature extraction: ImageIO decode (PNG/JPEG — the JDK's
+    * built-in codecs) → 16-bin luminance histogram, each bin the fraction
+    * of pixels at that brightness, rounded to 1e-6. Integer pixel walk →
+    * exact counts → one division: bit-deterministic regardless of
+    * partitioning.
+    */
+  def imageFeatures(content: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](featureDim)
+    if (content == null || content.isEmpty) return out
+    val img = ImageIO.read(new ByteArrayInputStream(content))
+    if (img == null) return out // not a decodable image: zero-vector, not a crash
+    val w = img.getWidth
+    val h = img.getHeight
+    // bulk getRGB: one ColorModel pass over the raster, not one per pixel
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val counts = new Array[Long](featureDim)
+    var i0 = 0
+    while (i0 < px.length) {
+      val rgb = px(i0)
+      // integer Rec.601 luma: (299 R + 587 G + 114 B) / 1000 ∈ [0, 255]
+      val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+        (rgb & 0xFF) * 114) / 1000
+      counts(lum * featureDim / 256) += 1
+      i0 += 1
+    }
+    val n = (w.toLong * h).toDouble
+    var i = 0
+    while (i < featureDim) {
+      out(i) = math.rint(counts(i) / n * 1e6) / 1e6
+      i += 1
+    }
+    out
+  }
+
+  /** STUB audio/video decode + feature extraction.
     *
-    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an image/audio
-    * library and run feature extraction. This container has no media codecs,
-    * so instead we emit a deterministic fake: `featureDim` doubles derived
-    * from the byte stream with a rolling polynomial — the Spark-side
-    * contract (binary in, fixed-length vector out, batch-per-partition) is
-    * exactly what a real extractor plugs into.
+    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an
+    * audio/video library and run feature extraction. This container has no
+    * audio/video codecs, so instead we emit a deterministic fake:
+    * `featureDim` doubles derived from the byte stream with a rolling
+    * polynomial — the Spark-side contract (binary in, fixed-length vector
+    * out, batch-per-partition) is exactly what a real extractor plugs into.
+    * (Images do NOT take this path — see [[imageFeatures]].)
     */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
@@ -74,10 +160,10 @@ object Multimodal {
 
   /** Partition-parallel feature extraction: the Scala analogue of a
     * batch-arrow UDF — one iterator pass per partition, no per-row driver
-    * involvement, output schema fixed.
+    * involvement, output schema fixed. Images go through the real ImageIO
+    * decode; audio/video through the byte stub.
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("media_type", StringType),
@@ -86,13 +172,19 @@ object Multimodal {
     assets.select("asset_id", "media_type", "content")
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getLong(0), r.getString(1), decodeStub(r.getAs[Array[Byte]]("content")).toSeq)
+          val mediaType = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val feature =
+            if (mediaType == "image") imageFeatures(bytes) else decodeStub(bytes)
+          Row(r.getLong(0), mediaType, feature.toSeq)
         }
       }(encoder)
   }
 
   /** Metadata-only scan: proves the binary column is pruned (filters and
-    * aggregates on metadata never deserialize `content`).
+    * aggregates on metadata never deserialize `content` — and never run
+    * the PNG-generating expression either: Catalyst prunes the unused
+    * Project alias).
     */
   def metadataStats(assets: DataFrame): DataFrame =
     assets.groupBy("media_type")
@@ -101,30 +193,77 @@ object Multimodal {
         avg(col("duration_ms")).cast("double").as("avg_duration_ms"))
       .orderBy("media_type")
 
-  /** STUB image resize: ??? a real implementation decodes `content`,
-    * rescales, re-encodes. The stub emits a deterministic byte slice scaled
-    * to the target area so downstream sizing/partitioning logic is
-    * exercised with realistic byte-length variation. The Spark contract —
-    * metadata recomputed alongside the bytes, map-only, no shuffle — is the
-    * real part.
+  /** REAL image resize: ImageIO decode → fixed-point-free manual bilinear
+    * resample → PNG re-encode. The interpolation is hand-rolled rather
+    * than `Graphics2D.drawImage` because AWT's scaler is
+    * implementation-dependent; this arithmetic is a pure per-pixel
+    * function, so the output bytes are bit-reproducible (the resize
+    * oracle is a frozen VALUES literal).
     */
-  def resizeStub(content: Array[Byte], w: Int, h: Int,
-      targetW: Int, targetH: Int): Array[Byte] = {
-    if (content == null || w <= 0 || h <= 0) return Array.emptyByteArray
-    val ratio = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
-    val n = math.max(1, math.min(content.length, (content.length * ratio).toInt))
-    java.util.Arrays.copyOf(content, n)
+  def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (content == null || content.isEmpty) return Array.emptyByteArray
+    val src = ImageIO.read(new ByteArrayInputStream(content))
+    if (src == null) return Array.emptyByteArray
+    val sw = src.getWidth
+    val sh = src.getHeight
+    val srcPx = src.getRGB(0, 0, sw, sh, null, 0, sw)
+    val dstPx = new Array[Int](targetW * targetH)
+    // column geometry is row-invariant: precompute x0/x1/dx once
+    val xs0 = new Array[Int](targetW)
+    val xs1 = new Array[Int](targetW)
+    val dxs = new Array[Double](targetW)
+    var x = 0
+    while (x < targetW) {
+      val fx = math.max(0.0, (x + 0.5) * sw / targetW - 0.5)
+      xs0(x) = math.min(sw - 1, fx.toInt)
+      xs1(x) = math.min(sw - 1, xs0(x) + 1)
+      dxs(x) = fx - xs0(x)
+      x += 1
+    }
+    var y = 0
+    while (y < targetH) {
+      val fy = math.max(0.0, (y + 0.5) * sh / targetH - 0.5)
+      val y0 = math.min(sh - 1, fy.toInt)
+      val y1 = math.min(sh - 1, y0 + 1)
+      val dy = fy - y0
+      val r0 = y0 * sw
+      val r1 = y1 * sw
+      val o = y * targetW
+      x = 0
+      while (x < targetW) {
+        val dx = dxs(x)
+        val p00 = srcPx(r0 + xs0(x)); val p01 = srcPx(r0 + xs1(x))
+        val p10 = srcPx(r1 + xs0(x)); val p11 = srcPx(r1 + xs1(x))
+        var rgb = 0
+        var shift = 16
+        while (shift >= 0) {
+          val c00 = (p00 >> shift) & 0xFF; val c01 = (p01 >> shift) & 0xFF
+          val c10 = (p10 >> shift) & 0xFF; val c11 = (p11 >> shift) & 0xFF
+          val top = c00 + (c01 - c00) * dx
+          val bot = c10 + (c11 - c10) * dx
+          rgb |= math.rint(top + (bot - top) * dy).toInt << shift
+          shift -= 8
+        }
+        dstPx(o + x) = rgb
+        x += 1
+      }
+      y += 1
+    }
+    val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+    dst.setRGB(0, 0, targetW, targetH, dstPx, 0, targetW)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
   }
 
-  /** Resize every image asset to `targetW`×`targetH` (stubbed decode). */
+  /** Resize every image asset to `targetW`×`targetH` (real decode +
+    * bilinear + re-encode); metadata recomputed alongside the bytes,
+    * map-only, no shuffle.
+    */
   def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val fn = udf((c: Array[Byte], w: Int, h: Int) => resizeStub(c, w, h, targetW, targetH))
+    val fn = udf((c: Array[Byte]) => resizeImage(c, targetW, targetH))
     assets.filter(col("media_type") === "image")
-      // metadata columns are nullable; a primitive-typed UDF null-shorts to
-      // NULL output, bypassing the stub's degenerate-dimension fallback —
-      // coalesce to 0 so such rows take the documented empty-bytes path
-      .withColumn("content",
-        fn(col("content"), coalesce(col("width"), lit(0)), coalesce(col("height"), lit(0))))
+      .withColumn("content", fn(col("content")))
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
   }

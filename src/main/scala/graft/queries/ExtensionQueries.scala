@@ -197,22 +197,20 @@ object ExtensionQueries {
       Some("SELECT media_type, count(*) AS n, max(width) AS max_width, " +
         "CAST(avg(duration_ms) AS DOUBLE) AS avg_duration_ms FROM (" +
         "SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
-        "(doc_id % 64) * 16 + 64 AS width, (doc_id % 300) * 100 AS duration_ms " +
+        "(doc_id % 28) * 4 + 16 AS width, (doc_id % 300) * 100 AS duration_ms " +
         "FROM documents) t GROUP BY media_type ORDER BY media_type")),
 
-    // Oracle re-derives the stub geometry in SQL: content is always 256
-    // bytes (4× 64-hex-char sha2), images are doc_id%3==0, and resizeStub
-    // keeps max(1, min(len, trunc(len * targetArea/srcArea))) bytes.
+    // The resize path is now a REAL codec round-trip (ImageIO decode →
+    // bilinear → PNG re-encode), so n_bytes is a deflate output length —
+    // not SQL-derivable. Frozen VALUES oracle, regenerated by
+    // scripts/gen_values_oracles.py (sf0.01-pinned like the other x ops).
     Q("x15_multimodal_resize",
       (s, d) => Multimodal.resizeImages(
         Multimodal.syntheticAssets(Tables.documents(s, d)), 224, 224)
         .select(col("asset_id"), col("width"), col("height"),
           length(col("content")).as("n_bytes"))
         .orderBy("asset_id"),
-      Some("SELECT doc_id AS asset_id, 224 AS width, 224 AS height, " +
-        "GREATEST(1, LEAST(256, CAST(trunc(256 * (50176.0 / " +
-        "CAST(((doc_id % 64) * 16 + 64) * ((doc_id % 48) * 16 + 64) AS DOUBLE))) AS BIGINT))) AS n_bytes " +
-        "FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id")),
+      F1OracleSql.sql.get("x15_multimodal_resize")),
 
     // Oracle: videos are doc_id%3==2 with duration (doc_id%300)*100 > 0;
     // frames sample every 5000 ms and each keeps min(64, 256-off) bytes
