@@ -24,13 +24,32 @@ object Dashboard {
       max(col(tsCol)).as("latest_ts"))
 
   /** All-tables stats frame: one row per table name, like the dashboard's
-    * per-table panel. Each input is (name, df, timestamp column).
+    * per-table panel. Each input is (name, df, timestamp column) — the
+    * timestamp columns must share one type, since the per-table
+    * projections are unioned into a single (table_name, ts) stream and
+    * aggregated in ONE grouped pass (a per-table `agg` fan-out runs a
+    * separate aggregate subtree per table). Tables with zero rows still
+    * get their (0, 0, NULL) row via the names left join — a bare groupBy
+    * would drop them.
     */
-  def allStats(tables: Seq[(String, DataFrame, String)], now: Column): DataFrame =
-    tables.map { case (name, df, tsCol) =>
-      tableStats(df, tsCol, now).select(lit(name).as("table_name"),
-        col("n_rows"), col("n_last_5min"), col("latest_ts"))
+  def allStats(tables: Seq[(String, DataFrame, String)], now: Column): DataFrame = {
+    val spark = tables.head._2.sparkSession
+    val unioned = tables.map { case (name, df, tsCol) =>
+      df.select(lit(name).as("table_name"), col(tsCol).as("_ts"))
     }.reduce(_ unionByName _)
+    val agg = unioned.groupBy("table_name").agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_ts") > now - expr("INTERVAL 5 MINUTES"), 1)).as("n_last_5min"),
+      max(col("_ts")).as("latest_ts"))
+    val names = spark.createDataset(tables.map(_._1))(
+      org.apache.spark.sql.Encoders.STRING).toDF("table_name")
+    // left-outer builds right: broadcast the (tiny) aggregated side
+    names.join(broadcast(agg), Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_last_5min"), lit(0L)).as("n_last_5min"),
+        col("latest_ts"))
+  }
 
   /** J1 — session header: sessions LEFT JOIN a (small) meetings/races dim,
     * broadcast (/root/reference/dashboard.py:103-108).

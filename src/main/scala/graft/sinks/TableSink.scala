@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * table contents (the reference, by contrast, double-inserts on
   * crash-replay).
   *
-  * Scale posture: read-merge-write rewrites the table, which is fine for
-  * dimension-sized tables (sessions/drivers/laps — what U1–U3 serve). The
+  * Scale posture: plain read-merge-write rewrites the table, which is fine
+  * for dimension-sized tables (sessions/drivers — what U1/U2 serve). The
+  * high-churn keyed table (lap_data) uses [[partitionedCoalescingUpsert]]:
+  * a partitioned layout where each merge reads and rewrites ONLY the
+  * partitions its batch touches — O(touched partitions) IO per merge. The
   * high-volume tables (telemetry/positions) are APPEND-only, partitioned by
   * date at 100 TB, and never rewritten. A production deployment would swap
   * this class for Delta/Iceberg MERGE with identical call sites.
@@ -133,6 +136,74 @@ object TableSink {
       case None           => batch
     }
     replaceTable(mergeCoalescing(all, keys), path)
+  }
+
+  /** Crash recovery for [[partitionedCoalescingUpsert]]'s per-partition
+    * swap window: any partition directory stranded under `<path>.old` whose
+    * target slot is empty is restored; fully-swapped leftovers are dropped.
+    */
+  private def recoverPartitions(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = new Path(path + ".old_parts")
+    if (!fs.exists(oldRoot)) return
+    fs.listStatus(oldRoot).filter(_.isDirectory).foreach { st =>
+      val target = new Path(path, st.getPath.getName)
+      if (!fs.exists(target)) fs.rename(st.getPath, target)
+    }
+    fs.delete(oldRoot, true)
+  }
+
+  /** U3 at scale — coalescing upsert that rewrites ONLY the partitions the
+    * batch touches. The table lives as `<path>/<partCol>=<v>/…`; the merge
+    *   (1) reads existing rows of just the touched partitions (the `isin`
+    *       filter prunes at planning time — untouched directories are never
+    *       opened),
+    *   (2) merges them with the batch ([[mergeCoalescing]] semantics,
+    *       identical to [[coalescingUpsert]]),
+    *   (3) writes the result partitioned into a staging dir, and
+    *   (4) swaps only the touched partition directories into place
+    *       (old → `<path>.old_parts` → delete; covered by
+    *       [[recoverPartitions]]).
+    * Untouched partitions' files are never copied or rewritten — per-merge
+    * IO is O(touched partitions), not O(table), which is what lets a
+    * high-churn keyed table keep merging once it outgrows
+    * "dimension-sized". `partCol` must be a stable, low-ish-cardinality
+    * prefix of the row's identity (here: driver_number); at 100 TB the
+    * same shape holds with a date/session partition prefix.
+    */
+  def partitionedCoalescingUpsert(spark: SparkSession, path: String,
+      batch: DataFrame, keys: Seq[String], partCol: String): Unit = {
+    require(keys.contains(partCol),
+      s"partition column $partCol must be part of the merge key $keys")
+    recoverPartitions(spark, path)
+    // touched partition values: one tiny job over the batch (bounded by
+    // partition-key cardinality per micro-batch — e.g. #drivers)
+    val touched = batch.select(col(partCol)).distinct().collect().map(_.get(0))
+    val nonNull = touched.filterNot(_ == null)
+    val all = if (exists(spark, path)) {
+      val pruned = {
+        val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+        if (touched.contains(null)) in || col(partCol).isNull else in
+      }
+      spark.read.parquet(path).filter(pruned)
+        .unionByName(batch, allowMissingColumns = true)
+    } else batch
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new Path(path + ".staging")
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    mergeCoalescing(all, keys)
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(stagingRoot.toString)
+    val oldRoot = new Path(path + ".old_parts")
+    fs.mkdirs(new Path(path))
+    fs.mkdirs(oldRoot)
+    fs.listStatus(stagingRoot).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName // "<partCol>=<value>"
+      val target = new Path(path, name)
+      if (fs.exists(target)) fs.rename(target, new Path(oldRoot, name))
+      fs.rename(st.getPath, target)
+    }
+    fs.delete(oldRoot, true)
+    fs.delete(stagingRoot, true)
   }
 
   /** U4 — plain append. High-volume path: no read, no rewrite. */

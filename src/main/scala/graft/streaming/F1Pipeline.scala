@@ -36,6 +36,12 @@ object F1Pipeline {
   sealed trait SinkKind
   case class Upsert(keys: Seq[String]) extends SinkKind
   case class Coalescing(keys: Seq[String]) extends SinkKind
+  /** [[Coalescing]] over a `partitionCol`-partitioned table layout: each
+    * merge rewrites only the partitions present in the batch (see
+    * [[TableSink.partitionedCoalescingUpsert]]) — the scale path for a
+    * high-churn keyed table that outgrows dimension-sized full rewrites.
+    */
+  case class PartitionedCoalescing(keys: Seq[String], partitionCol: String) extends SinkKind
   case object Append extends SinkKind
   /** Append with cross-batch key dedup: new rows anti-joined against the
     * existing table (A9/A2 — the reference seeds its dedup set from
@@ -53,7 +59,8 @@ object F1Pipeline {
     ("sessions", Set("SessionInfo"), F1Transforms.sessions _, Upsert(Seq("session_key"))),
     ("drivers", Set("DriverList"), F1Transforms.drivers _, Upsert(Seq("driver_number"))),
     ("lap_data", Set("TimingData", "TimingAppData"),
-      (e: DataFrame) => F1Transforms.laps(e), Coalescing(Seq("driver_number", "lap_number"))),
+      (e: DataFrame) => F1Transforms.laps(e),
+      PartitionedCoalescing(Seq("driver_number", "lap_number"), "driver_number")),
     ("positions", Set("TimingData"), F1Transforms.positionsFromTiming _, Append),
     ("telemetry", Set("CarData.z"), F1Transforms.telemetry _, Append),
     ("car_positions", Set("Position.z"), F1Transforms.carPositions _, Append),
@@ -75,6 +82,8 @@ object F1Pipeline {
   private trait BatchSinkOps {
     def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit
     def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit
+    def partitionedCoalescing(table: String, out: DataFrame, keys: Seq[String],
+        partitionCol: String): Unit
     def append(table: String, out: DataFrame): Unit
     def dedupAppend(table: String, out: DataFrame, key: String): Unit
   }
@@ -95,6 +104,8 @@ object F1Pipeline {
           kind match {
             case Upsert(keys)     => ops.upsert(name, out, keys)
             case Coalescing(keys) => ops.coalescing(name, out, keys)
+            case PartitionedCoalescing(keys, pc) =>
+              ops.partitionedCoalescing(name, out, keys, pc)
             case Append           => ops.append(name, out.drop("_batch", "_line", "line_id"))
             // keeps (_batch, _line) so first-wins is deterministic; the
             // sink consumes them before writing
@@ -115,6 +126,10 @@ object F1Pipeline {
         TableSink.upsert(spark, s"$tablesDir/$table", out, keys)
       def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit =
         TableSink.coalescingUpsert(spark, s"$tablesDir/$table", out, keys)
+      def partitionedCoalescing(table: String, out: DataFrame, keys: Seq[String],
+          partitionCol: String): Unit =
+        TableSink.partitionedCoalescingUpsert(spark, s"$tablesDir/$table", out,
+          keys, partitionCol)
       def append(table: String, out: DataFrame): Unit =
         TableSink.append(s"$tablesDir/$table", out)
       def dedupAppend(table: String, out: DataFrame, key: String): Unit =
@@ -132,6 +147,11 @@ object F1Pipeline {
       def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit =
         graft.sinks.JdbcSink.upsert(spark, target, table, out, keys)
       def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit =
+        graft.sinks.JdbcSink.coalescingUpsert(spark, target, table, out, keys)
+      // a keyed SQL merge already touches only the affected rows — the
+      // partition-pruned rewrite is a parquet-layout concern
+      def partitionedCoalescing(table: String, out: DataFrame, keys: Seq[String],
+          partitionCol: String): Unit =
         graft.sinks.JdbcSink.coalescingUpsert(spark, target, table, out, keys)
       def append(table: String, out: DataFrame): Unit =
         graft.sinks.JdbcSink.append(target, table, out)

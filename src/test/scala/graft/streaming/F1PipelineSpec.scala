@@ -147,6 +147,55 @@ class F1PipelineSpec extends SparkSpec {
     assert(replayed.head.getAs[Double]("sector_1_time") == 28.1)
   }
 
+  test("partitioned coalescing upsert rewrites only touched partitions (U3 at scale)") {
+    val path = tmp("lapsinkP") + "/lap_data"
+    val keys = Seq("driver_number", "lap_number")
+    def snapshot(sub: String): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path, sub)
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString -> Files.readAllBytes(p)).toMap
+    }
+
+    val b1 = Seq(
+      (1, 1, Some(92.5), None: Option[Double], 10L),
+      (2, 1, Some(95.0), None: Option[Double], 11L))
+      .toDF("driver_number", "lap_number", "lap_time", "sector_1_time", "line_id")
+    TableSink.partitionedCoalescingUpsert(spark, path,
+      TableSink.withSeq(b1, 1), keys, "driver_number")
+    val before = snapshot("driver_number=1")
+    assert(before.nonEmpty)
+
+    // merge a batch touching ONLY driver 2
+    val b2 = Seq((2, 1, None: Option[Double], Some(30.2), 12L))
+      .toDF("driver_number", "lap_number", "lap_time", "sector_1_time", "line_id")
+    TableSink.partitionedCoalescingUpsert(spark, path,
+      TableSink.withSeq(b2, 2), keys, "driver_number")
+
+    // driver 1's partition directory is byte-identical — never rewritten
+    val after = snapshot("driver_number=1")
+    assert(after.keySet == before.keySet, s"${before.keySet} vs ${after.keySet}")
+    before.foreach { case (f, bytes) =>
+      assert(java.util.Arrays.equals(bytes, after(f)), s"$f changed bytes") }
+
+    // driver 2 got the coalescing-merge semantics
+    val rows = spark.read.parquet(path).orderBy("driver_number").collect()
+    assert(rows.length == 2)
+    val d2 = rows(1)
+    assert(d2.getAs[Int]("driver_number") == 2)
+    assert(d2.getAs[Double]("lap_time") == 95.0)      // kept from batch 1
+    assert(d2.getAs[Double]("sector_1_time") == 30.2) // filled by batch 2
+
+    // replay of batch 2 is idempotent, and driver 1 still untouched
+    TableSink.partitionedCoalescingUpsert(spark, path,
+      TableSink.withSeq(b2, 2), keys, "driver_number")
+    assert(spark.read.parquet(path).count() == 2)
+    val replayed = snapshot("driver_number=1")
+    before.foreach { case (f, bytes) =>
+      assert(java.util.Arrays.equals(bytes, replayed(f)), s"$f changed on replay") }
+  }
+
   test("keyed upsert: later _seq wins, replay idempotent (U1)") {
     val path = tmp("sessink") + "/sessions"
     val v1 = Seq((9001, "Quali v1", 5L)).toDF("session_key", "name", "line_id")
