@@ -55,10 +55,16 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver: also persist the JSON line to a file
-    // so log decoration/interleaving can never make it unparseable.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // so log decoration/interleaving can never make it unparseable. The
+    // previous run rotates to BENCH_PREV.json, which feeds the per-query
+    // regression guard (scripts/check_bench_regression.py).
+    try {
+      val last = java.nio.file.Paths.get("BENCH_LAST.json")
+      if (java.nio.file.Files.exists(last))
+        java.nio.file.Files.move(last, java.nio.file.Paths.get("BENCH_PREV.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.write(last, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     spark.stop()
     // The detailed per-query line above is ~2.5 KB and has twice been
     // truncated by the driver's tail-capture window. Emit a compact

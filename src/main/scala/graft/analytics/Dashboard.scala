@@ -51,6 +51,27 @@ object Dashboard {
         col("latest_ts"))
   }
 
+  /** The reference's 5 s TUI polling loop (/root/reference/dashboard.py:
+    * 114-177) as a render-agnostic poll: every `intervalMs`, recompute
+    * [[allStats]] and hand one formatted panel string to `out` (stdout by
+    * default), `rounds` times. `now` is a thunk so live callers pass
+    * `() => current_timestamp()` while tests inject a fixed clock; the
+    * curses rendering itself is presentation and intentionally out of
+    * scope — `out` is the seam a TUI plugs into.
+    */
+  def poll(tables: Seq[(String, DataFrame, String)], now: () => Column,
+      rounds: Int, intervalMs: Long = 5000,
+      out: String => Unit = println(_)): Unit =
+    (1 to rounds).foreach { i =>
+      val rows = allStats(tables, now()).orderBy("table_name").collect()
+      val panel = rows.map { r =>
+        f"${r.getString(0)}%-16s rows=${r.getLong(1)}%-9d last5min=${r.getLong(2)}%-9d " +
+          s"latest=${Option(r.get(3)).map(_.toString).getOrElse("-")}"
+      }.mkString(s"== dashboard poll $i/$rounds ==\n", "\n", "")
+      out(panel)
+      if (i < rounds && intervalMs > 0) Thread.sleep(intervalMs)
+    }
+
   /** J1 — session header: sessions LEFT JOIN a (small) meetings/races dim,
     * broadcast (/root/reference/dashboard.py:103-108).
     */

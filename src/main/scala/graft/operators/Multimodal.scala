@@ -13,13 +13,14 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata, batch-shaped
   * decode/feature-extract over partitions.
   *
-  * Images are REAL: the synthetic asset table carries genuine PNG bytes
-  * (encoded with the JDK's `javax.imageio` — no external codecs needed),
-  * and the feature/resize paths do genuine pixel decode, luminance
-  * histogram extraction, and bilinear rescale + PNG re-encode. Audio and
-  * video remain clearly-marked deterministic STUBs ([[decodeStub]],
-  * [[sampleFrames]]) — this container genuinely has no audio/video codecs;
-  * swapping a stub for a JNI/ffmpeg call changes one function.
+  * Images and audio are REAL: the synthetic asset table carries genuine
+  * PNG bytes (`javax.imageio`) and genuine WAV bytes
+  * (`javax.sound.sampled`) — both JDK-built-in, no external codecs — and
+  * the feature paths do genuine pixel/PCM decode (luminance histograms,
+  * windowed RMS energy), with bilinear rescale + PNG re-encode for
+  * resize. Video remains a clearly-marked deterministic STUB
+  * ([[decodeStub]], [[sampleFrames]]) — the JDK ships no video codec;
+  * swapping the stub for a JNI/ffmpeg call changes one function.
   *
   * Scale posture: media blobs dominate storage, so the asset table keeps
   * metadata columns scan-prunable (count/filter without touching bytes —
@@ -69,19 +70,94 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV preview clip: 16-bit PCM mono, 8 kHz,
+    * 200 ms — a two-harmonic tone whose fundamental derives from the seed.
+    * `StrictMath.sin` keeps the samples (and thus the encoded bytes)
+    * bit-identical across JVMs. The clip is a bounded *preview* regardless
+    * of the asset's declared `duration_ms` — synthetic content size must
+    * not scale with metadata, or the generator dominates every probe.
+    */
+  def makeWav(seed: Long): Array[Byte] = {
+    val sr = 8000
+    val n = sr / 5 // 200 ms
+    val f = 200.0 + (math.abs(seed) % 20) * 40.0
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / sr
+      val v = 0.6 * StrictMath.sin(2 * math.Pi * f * t) +
+        0.3 * StrictMath.sin(4 * math.Pi * f * t)
+      val s = math.rint(v * 32767).toInt
+      data(2 * i) = (s & 0xFF).toByte // WAV PCM is little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    // canonical 44-byte RIFF/PCM header written directly: AudioSystem.write
+    // takes a synchronized SPI-provider lookup per call, which serializes a
+    // parallel generator; the WAV container is a fixed spec, so write it
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
+  /** Fast-path RIFF/PCM parse: returns the 16-bit-mono-LE sample bytes of
+    * a canonical WAV, or None for anything else (which then goes through
+    * the general `javax.sound.sampled` decode). Chunk-walks the container,
+    * so extra chunks (LIST/fact/…) before `data` are handled.
+    */
+  private def pcm16MonoSamples(content: Array[Byte]): Option[Array[Byte]] = {
+    if (content.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size
+    if (tag() != "WAVE") return None
+    var pcm16Mono = false
+    while (bb.remaining() >= 8) {
+      val id = tag()
+      val size = bb.getInt
+      if (size < 0 || size > bb.remaining()) return None
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          pcm16Mono = bb.getShort == 1 && bb.getShort == 1 && {
+            bb.getInt; bb.getInt; bb.getShort; bb.getShort == 16
+          }
+          bb.position(fmtEnd + (size & 1))
+        case "data" =>
+          if (!pcm16Mono) return None
+          val out = new Array[Byte](size)
+          bb.get(out)
+          return Some(out)
+        case _ =>
+          bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+      }
+    }
+    None
+  }
+
   /** Derive a deterministic synthetic asset table from `documents` rows
     * (doc_id, text). Image rows (doc_id % 3 == 0) carry REAL PNG bytes
-    * ([[makePng]]); audio/video rows carry fake sha2-derived bytes (no
-    * codecs for those formats here). Dimensions stay small (≤124×96) so
+    * ([[makePng]]); audio rows (doc_id % 3 == 1) carry REAL WAV bytes
+    * ([[makeWav]]); video rows keep fake sha2-derived bytes (the one
+    * format with no JDK codec). Image dimensions stay small (≤124×96) so
     * per-row encode cost is bounded at any corpus scale — the width/height
     * formulas are mirrored by the x13 metadata oracle SQL.
     */
   def syntheticAssets(docs: DataFrame): DataFrame = {
     val png = udf((id: Long, w: Int, h: Int) => makePng(id, w, h))
+    val wav = udf((id: Long) => makeWav(id))
     val w = (pmod(col("doc_id"), lit(28)) * 4 + 16).cast("int")
     val h = (pmod(col("doc_id"), lit(21)) * 4 + 16).cast("int")
     // A small documents table arrives as ONE parquet split, which would
-    // serialize every PNG encode onto one core; spread the generator
+    // serialize every PNG/WAV encode onto one core; spread the generator
     // across the cluster first (the shuffled payload is just doc text —
     // the expensive content bytes are produced after the exchange).
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -93,8 +169,9 @@ object Multimodal {
       h.as("height"),
       (pmod(col("doc_id"), lit(300)) * 100).cast("int").as("duration_ms"),
       when(pmod(col("doc_id"), lit(3)) === 0, png(col("doc_id"), w, h))
-        // deterministic fake bytes for audio/video: sha2 of the text,
-        // repeated — stands in for an encoded stream, NOT a codec payload
+        .when(pmod(col("doc_id"), lit(3)) === 1, wav(col("doc_id")))
+        // deterministic fake bytes for video: sha2 of the text, repeated —
+        // stands in for an encoded stream, NOT a codec payload
         .otherwise(encode(repeat(sha2(col("text"), 256), 4), "UTF-8"))
         .as("content"))
   }
@@ -135,15 +212,64 @@ object Multimodal {
     out
   }
 
-  /** STUB audio/video decode + feature extraction.
+  /** REAL audio feature extraction: WAV/AIFF/AU decode via the JDK's
+    * `javax.sound.sampled` → RMS energy over 16 equal time windows
+    * (rounded to 1e-6). Sequential per-row accumulation — deterministic
+    * regardless of partitioning. Non-PCM-16-mono or undecodable payloads
+    * fall back to the byte stub rather than crashing the batch.
+    */
+  def audioFeatures(content: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](featureDim)
+    if (content == null || content.isEmpty) return out
+    // canonical PCM WAV decodes without the AudioSystem SPI lookup (a
+    // per-call synchronized registry scan that serializes parallel
+    // extraction); everything else takes the general JDK decode
+    val (bytes, bigEndian) = pcm16MonoSamples(content) match {
+      case Some(samples) => (samples, false)
+      case None =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(content))
+          catch { case _: Exception => return decodeStub(content) }
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+          ais.close(); return decodeStub(content)
+        }
+        (try ais.readAllBytes() finally ais.close(), fmt.isBigEndian)
+    }
+    val n = bytes.length / 2
+    if (n == 0) return out
+    var w = 0
+    while (w < featureDim) {
+      val lo = w * n / featureDim
+      val hi = (w + 1) * n / featureDim
+      var acc = 0.0
+      var i = lo
+      while (i < hi) {
+        val s =
+          if (bigEndian) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+          else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+        val x = s / 32768.0
+        acc += x * x
+        i += 1
+      }
+      out(w) =
+        if (hi > lo) math.rint(math.sqrt(acc / (hi - lo)) * 1e6) / 1e6 else 0.0
+      w += 1
+    }
+    out
+  }
+
+  /** STUB video decode + feature extraction (and the fallback for
+    * undecodable audio).
     *
-    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an
-    * audio/video library and run feature extraction. This container has no
-    * audio/video codecs, so instead we emit a deterministic fake:
-    * `featureDim` doubles derived from the byte stream with a rolling
-    * polynomial — the Spark-side contract (binary in, fixed-length vector
-    * out, batch-per-partition) is exactly what a real extractor plugs into.
-    * (Images do NOT take this path — see [[imageFeatures]].)
+    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with a video
+    * library and run feature extraction. The JDK ships no video codec, so
+    * instead we emit a deterministic fake: `featureDim` doubles derived
+    * from the byte stream with a rolling polynomial — the Spark-side
+    * contract (binary in, fixed-length vector out, batch-per-partition) is
+    * exactly what a real extractor plugs into. (Images and PCM audio do
+    * NOT take this path — see [[imageFeatures]]/[[audioFeatures]].)
     */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
@@ -174,8 +300,11 @@ object Multimodal {
         rows.map { r =>
           val mediaType = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val feature =
-            if (mediaType == "image") imageFeatures(bytes) else decodeStub(bytes)
+          val feature = mediaType match {
+            case "image" => imageFeatures(bytes)
+            case "audio" => audioFeatures(bytes)
+            case _       => decodeStub(bytes)
+          }
           Row(r.getLong(0), mediaType, feature.toSeq)
         }
       }(encoder)

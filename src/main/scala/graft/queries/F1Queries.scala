@@ -233,7 +233,10 @@ object F1Queries {
     // Dashboard analytics read path (A5/A6/A7) over derived tables; `now`
     // pinned to the fixture capture's max event time for determinism.
     Q("f1_dashboard_stats", (s, _) => {
-      val ev = events(s).cache()
+      // no cache: the fixture is tiny, so re-parsing it in each union
+      // branch is free while an InMemoryRelation adds a columnar-scan
+      // codegen compile per branch (~2 s cold on this plan)
+      val ev = events(s)
       val nowTs = lit("2025-05-17T15:00:00Z").cast("timestamp")
       tsMs(Dashboard.allStats(Seq(
         ("weather", F1Transforms.weather(ev), "timestamp"),

@@ -98,6 +98,24 @@ object EventSource {
     normalize(reader.text(dir), format)
   }
 
+  /** Live network feed (S1): Spark's socket source attached to a
+    * line-oriented TCP feed, normalized through the same parse chain as
+    * the file paths. The reference holds a SignalR websocket to the F1
+    * live-timing service (/root/reference/extractor.py:21-58); this
+    * zero-egress build's runnable equivalent is a raw TCP line feed
+    * ([[LiveFeedServer]] is the paced replay peer). A production
+    * deployment would bridge SignalR → Kafka and swap in
+    * `format("kafka")` — the normalize/transform/sink chain downstream is
+    * identical. Caveat (documented Spark semantics): the socket source
+    * keeps no replayable offsets, so this path is at-most-once — fine for
+    * live dashboards/probes; the ETL of record stays on the checkpointed
+    * file tail.
+    */
+  def readLiveFeed(spark: SparkSession, host: String, port: Int,
+      format: WireFormat = WireFormat.PyList): DataFrame =
+    normalize(spark.readStream.format("socket")
+      .option("host", host).option("port", port).load(), format)
+
   /** Malformed-line count (T13 metric). */
   def corruptCount(events: DataFrame): DataFrame =
     events.filter(col("topic").isNull).select(count(lit(1)).as("corrupt_lines"))

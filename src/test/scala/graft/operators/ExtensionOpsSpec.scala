@@ -203,6 +203,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum == 3)
   }
 
+  test("multimodal: real WAV audio decode produces windowed RMS features") {
+    val bytes = Multimodal.makeWav(7L)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF") // genuine WAV container
+    val f = Multimodal.audioFeatures(bytes)
+    assert(f.length == 16)
+    // a steady two-harmonic tone has energy in every time window
+    assert(f.forall(v => v > 0.0 && v < 1.0), f.mkString(","))
+    assert(Multimodal.audioFeatures(bytes).sameElements(f)) // deterministic
+    // undecodable bytes fall back to the stub instead of crashing
+    assert(Multimodal.audioFeatures(Array[Byte](1, 2, 3)).length == 16)
+  }
+
   test("multimodal: resize updates metadata; frame sampling fans out per interval") {
     val docs = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val assets = Multimodal.syntheticAssets(docs)
