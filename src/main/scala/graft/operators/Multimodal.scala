@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
   * decode/feature-extract over partitions.
   *
   * Images and audio are REAL: the synthetic asset table carries genuine
-  * PNG bytes (`javax.imageio`) and genuine WAV bytes
-  * (`javax.sound.sampled`) — both JDK-built-in, no external codecs — and
-  * the feature paths do genuine pixel/PCM decode (luminance histograms,
-  * windowed RMS energy), with bilinear rescale + PNG re-encode for
-  * resize. Video remains a clearly-marked deterministic STUB
-  * ([[decodeStub]], [[sampleFrames]]) — the JDK ships no video codec;
-  * swapping the stub for a JNI/ffmpeg call changes one function.
+  * PNG bytes (`javax.imageio`) and genuine WAV bytes (RIFF/PCM,
+  * `javax.sound.sampled` for other containers) — JDK-built-in, no
+  * external codecs — and the feature paths do genuine pixel/PCM decode
+  * (luminance histograms, windowed RMS energy), with bilinear rescale +
+  * PNG re-encode for resize. Video uses real PNG frames in a minimal
+  * custom container ([[makeVideo]]): the JDK ships no video demuxer, so
+  * the container format is ours, but frame sampling does real demux +
+  * frame extraction and video features decode a real frame. The one
+  * remaining byte stub is [[decodeStub]], the fallback for containers
+  * this build can't demux — the slot an ffmpeg/JNI call plugs into.
   *
   * Scale posture: media blobs dominate storage, so the asset table keeps
   * metadata columns scan-prunable (count/filter without touching bytes —
@@ -143,17 +146,66 @@ object Multimodal {
     None
   }
 
+  /** Deterministic synthetic video: a minimal length-prefixed PNG-frame
+    * container — `"GFV1" | nFrames:int | frameMs:int | nFrames ×
+    * (len:int | png)`, little-endian. The JDK ships no standard video
+    * demuxer, so the container format is ours, but the FRAMES are real
+    * PNGs and the sample path ([[sampleFrames]]) does real container
+    * parsing + real frame extraction + (in [[extractFeatures]]) real
+    * frame decode. A production deployment swaps this demuxer for an
+    * ffmpeg/JNI call; the seek/sample/decode plumbing is identical.
+    * Four 32×24 preview frames regardless of `duration_ms` — synthetic
+    * content size must not scale with metadata.
+    */
+  def makeVideo(seed: Long, durationMs: Int): Array[Byte] = {
+    val nFrames = 4
+    val frameMs = math.max(1, durationMs / nFrames)
+    val frames = (0 until nFrames).map(i => makePng(seed * 31 + i, 32, 24))
+    val bb = java.nio.ByteBuffer.allocate(12 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFV1".getBytes("US-ASCII")).putInt(nFrames).putInt(frameMs)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Parse a [[makeVideo]] container: (frameMs, frames), or None for any
+    * other payload (callers fall back to the byte stub — unknown video
+    * containers are exactly what the ffmpeg swap-in would handle).
+    */
+  def parseVideo(content: Array[Byte]): Option[(Int, IndexedSeq[Array[Byte]])] = {
+    if (content == null || content.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (new String(magic, "US-ASCII") != "GFV1") return None
+    val nFrames = bb.getInt
+    val frameMs = bb.getInt
+    if (nFrames <= 0 || nFrames > (1 << 16) || frameMs <= 0) return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < nFrames) {
+      if (bb.remaining() < 4) return None
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      val f = new Array[Byte](len); bb.get(f)
+      frames += f
+      i += 1
+    }
+    Some((frameMs, frames.result()))
+  }
+
   /** Derive a deterministic synthetic asset table from `documents` rows
     * (doc_id, text). Image rows (doc_id % 3 == 0) carry REAL PNG bytes
     * ([[makePng]]); audio rows (doc_id % 3 == 1) carry REAL WAV bytes
-    * ([[makeWav]]); video rows keep fake sha2-derived bytes (the one
-    * format with no JDK codec). Image dimensions stay small (≤124×96) so
-    * per-row encode cost is bounded at any corpus scale — the width/height
-    * formulas are mirrored by the x13 metadata oracle SQL.
+    * ([[makeWav]]); video rows (doc_id % 3 == 2) carry PNG-frame
+    * containers ([[makeVideo]] — real frames, custom demux). Image
+    * dimensions stay small (≤124×96) so per-row encode cost is bounded at
+    * any corpus scale — the width/height formulas are mirrored by the x13
+    * metadata oracle SQL.
     */
   def syntheticAssets(docs: DataFrame): DataFrame = {
     val png = udf((id: Long, w: Int, h: Int) => makePng(id, w, h))
     val wav = udf((id: Long) => makeWav(id))
+    val vid = udf((id: Long, durMs: Int) => makeVideo(id, math.max(1, durMs)))
     val w = (pmod(col("doc_id"), lit(28)) * 4 + 16).cast("int")
     val h = (pmod(col("doc_id"), lit(21)) * 4 + 16).cast("int")
     // A small documents table arrives as ONE parquet split, which would
@@ -170,9 +222,8 @@ object Multimodal {
       (pmod(col("doc_id"), lit(300)) * 100).cast("int").as("duration_ms"),
       when(pmod(col("doc_id"), lit(3)) === 0, png(col("doc_id"), w, h))
         .when(pmod(col("doc_id"), lit(3)) === 1, wav(col("doc_id")))
-        // deterministic fake bytes for video: sha2 of the text, repeated —
-        // stands in for an encoded stream, NOT a codec payload
-        .otherwise(encode(repeat(sha2(col("text"), 256), 4), "UTF-8"))
+        .otherwise(vid(col("doc_id"),
+          (pmod(col("doc_id"), lit(300)) * 100).cast("int")))
         .as("content"))
   }
 
@@ -260,16 +311,28 @@ object Multimodal {
     out
   }
 
-  /** STUB video decode + feature extraction (and the fallback for
-    * undecodable audio).
+  /** Video feature extraction: demux the PNG-frame container
+    * ([[parseVideo]]) and run the REAL image decode on the middle frame.
+    * Unknown containers fall back to [[decodeStub]] — the slot an
+    * ffmpeg/JNI demuxer plugs into.
+    */
+  def videoFeatures(content: Array[Byte]): Array[Double] =
+    parseVideo(content) match {
+      case Some((_, frames)) if frames.nonEmpty =>
+        imageFeatures(frames(frames.length / 2))
+      case _ => decodeStub(content)
+    }
+
+  /** STUB byte-stream features — the fallback for media in containers
+    * this build can't demux (non-GFV1 video, non-PCM audio).
     *
-    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with a video
-    * library and run feature extraction. The JDK ships no video codec, so
-    * instead we emit a deterministic fake: `featureDim` doubles derived
-    * from the byte stream with a rolling polynomial — the Spark-side
-    * contract (binary in, fixed-length vector out, batch-per-partition) is
-    * exactly what a real extractor plugs into. (Images and PCM audio do
-    * NOT take this path — see [[imageFeatures]]/[[audioFeatures]].)
+    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an external
+    * codec library. We emit a deterministic fake instead: `featureDim`
+    * doubles derived from the byte stream with a rolling polynomial — the
+    * Spark-side contract (binary in, fixed-length vector out,
+    * batch-per-partition) is exactly what a real extractor plugs into.
+    * (Images, PCM audio, and GFV1 video do NOT take this path — see
+    * [[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]].)
     */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
@@ -303,6 +366,7 @@ object Multimodal {
           val feature = mediaType match {
             case "image" => imageFeatures(bytes)
             case "audio" => audioFeatures(bytes)
+            case "video" => videoFeatures(bytes)
             case _       => decodeStub(bytes)
           }
           Row(r.getLong(0), mediaType, feature.toSeq)
@@ -397,25 +461,38 @@ object Multimodal {
       .withColumn("height", lit(targetH))
   }
 
-  /** STUB video frame sampling: ??? a real implementation seeks the
-    * container and decodes one frame per sample point. The stub emits one
-    * row per sample timestamp with a deterministic byte slice — the fan-out
-    * shape (one asset row → N frame rows via explode, no shuffle) is the
-    * real part.
+  /** REAL video frame sampling over the PNG-frame container: parse the
+    * container ONCE per asset, then emit (sample_ts, frame bytes) for each
+    * sample point — the frame whose span covers the timestamp. One asset
+    * row fans out to N frame rows via a single explode; map-only, no
+    * shuffle, one demux per asset (not per sample). Payloads this build
+    * can't demux keep the deterministic byte-slice stub so the fan-out
+    * shape still runs — that fallback is where an ffmpeg/JNI demuxer
+    * plugs in.
     */
   def sampleFrames(assets: DataFrame, everyMs: Int): DataFrame = {
     require(everyMs > 0,
-      s"everyMs ($everyMs) must be positive — sequence() would fail per-row at execution")
-    val frameBytes = udf((c: Array[Byte], tMs: Int) =>
-      if (c == null || c.isEmpty) Array.emptyByteArray
-      else {
-        val off = math.abs(tMs) % math.max(1, c.length)
-        java.util.Arrays.copyOfRange(c, off, math.min(c.length, off + 64))
-      })
+      s"everyMs ($everyMs) must be positive — an empty sample grid per row otherwise")
+    val sample = udf((c: Array[Byte], durationMs: Int) => {
+      val stamps = 0 until durationMs by everyMs
+      parseVideo(c) match {
+        case Some((frameMs, frames)) =>
+          stamps.map(t => (t, frames(math.min(frames.length - 1, t / frameMs)))).toArray
+        case None =>
+          stamps.map { t =>
+            val slice =
+              if (c == null || c.isEmpty) Array.emptyByteArray
+              else {
+                val off = math.abs(t) % math.max(1, c.length)
+                java.util.Arrays.copyOfRange(c, off, math.min(c.length, off + 64))
+              }
+            (t, slice)
+          }.toArray
+      }
+    })
     assets.filter(col("media_type") === "video" && col("duration_ms") > 0)
-      .withColumn("frame_ts_ms",
-        explode(sequence(lit(0), col("duration_ms") - 1, lit(everyMs))))
-      .select(col("asset_id"), col("frame_ts_ms"),
-        frameBytes(col("content"), col("frame_ts_ms")).as("frame"))
+      .select(col("asset_id"),
+        explode(sample(col("content"), col("duration_ms"))).as("f"))
+      .select(col("asset_id"), col("f._1").as("frame_ts_ms"), col("f._2").as("frame"))
   }
 }

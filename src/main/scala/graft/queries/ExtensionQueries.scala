@@ -212,19 +212,15 @@ object ExtensionQueries {
         .orderBy("asset_id"),
       F1OracleSql.sql.get("x15_multimodal_resize")),
 
-    // Oracle: videos are doc_id%3==2 with duration (doc_id%300)*100 > 0;
-    // frames sample every 5000 ms and each keeps min(64, 256-off) bytes
-    // where off = frame_ts % 256 (sampleFrames stub slice).
+    // Frame sampling is now a REAL demux (PNG-frame container parse →
+    // per-timestamp frame extraction), so n_bytes is a PNG deflate length
+    // — not SQL-derivable. Frozen VALUES oracle
+    // (scripts/gen_values_oracles.py, sf0.01-pinned).
     Q("x16_multimodal_frame_sample",
       (s, d) => Multimodal.sampleFrames(
         Multimodal.syntheticAssets(Tables.documents(s, d)), everyMs = 5000)
         .select(col("asset_id"), col("frame_ts_ms"), length(col("frame")).as("n_bytes"))
         .orderBy("asset_id", "frame_ts_ms"),
-      Some("SELECT asset_id, frame_ts_ms, " +
-        "LEAST(64, 256 - (frame_ts_ms % 256)) AS n_bytes FROM (" +
-        "SELECT doc_id AS asset_id, " +
-        "unnest(range(0, (doc_id % 300) * 100, 5000)) AS frame_ts_ms " +
-        "FROM documents WHERE doc_id % 3 = 2 AND doc_id % 300 > 0) t " +
-        "ORDER BY asset_id, frame_ts_ms"))
+      F1OracleSql.sql.get("x16_multimodal_frame_sample"))
   )
 }

@@ -192,6 +192,12 @@ object TableSink {
     val stagingRoot = new Path(path + ".staging")
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
     mergeCoalescing(all, keys)
+      // co-locate each partition's rows before the partitioned write: one
+      // output file per partition directory instead of one per (shuffle
+      // task × directory) — tiny-file fan-out makes the per-dir swap (and
+      // every later read) pay per file. A partition whose single file
+      // outgrows executor memory means partCol was chosen too coarse.
+      .repartition(col(partCol))
       .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(stagingRoot.toString)
     val oldRoot = new Path(path + ".old_parts")
     fs.mkdirs(new Path(path))

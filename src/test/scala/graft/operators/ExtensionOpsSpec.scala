@@ -229,5 +229,13 @@ class ExtensionOpsSpec extends SparkSpec {
       val id = r.getLong(0)
       assert(r.getLong(1) == (id % 300) * 100 / 100, s"asset $id")
     }
+    // real demux: every sampled frame is an actual PNG out of the container
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    frames.select("frame").collect().foreach { r =>
+      assert(r.getAs[Array[Byte]](0).take(4).sameElements(pngMagic))
+    }
+    // and the extracted frame round-trips through the real image decode
+    val f = Multimodal.videoFeatures(Multimodal.makeVideo(5L, 1000))
+    assert(f.length == 16 && f.sum > 0.0)
   }
 }
