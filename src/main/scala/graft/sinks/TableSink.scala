@@ -191,13 +191,15 @@ object TableSink {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new Path(path + ".staging")
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
-    mergeCoalescing(all, keys)
-      // co-locate each partition's rows before the partitioned write: one
-      // output file per partition directory instead of one per (shuffle
-      // task × directory) — tiny-file fan-out makes the per-dir swap (and
-      // every later read) pay per file. A partition whose single file
-      // outgrows executor memory means partCol was chosen too coarse.
-      .repartition(col(partCol))
+    // ONE shuffle for merge + write layout: hash-partitioning on partCol
+    // (a subset of the merge keys) satisfies the merge window's
+    // ClusteredDistribution(keys), so pre-partitioning here serves both
+    // the window and the partitioned write — each partition directory
+    // gets one output file instead of one per (shuffle task × directory),
+    // and EnsureRequirements inserts no second exchange. A partition
+    // whose single file outgrows executor memory means partCol was
+    // chosen too coarse.
+    mergeCoalescing(all.repartition(col(partCol)), keys)
       .write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(stagingRoot.toString)
     val oldRoot = new Path(path + ".old_parts")
     fs.mkdirs(new Path(path))
