@@ -181,12 +181,21 @@ object TableSink {
     val touched = batch.select(col(partCol)).distinct().collect().map(_.get(0))
     val nonNull = touched.filterNot(_ == null)
     val all = if (exists(spark, path)) {
-      val pruned = {
-        val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
-        if (touched.contains(null)) in || col(partCol).isNull else in
+      val existing = spark.read.parquet(path)
+      if (existing.columns.toSet != batch.columns.toSet) {
+        // Column-set drift: rewriting only touched partitions would leave
+        // partition directories with heterogeneous schemas, and a later
+        // unpruned read takes its schema from one file — silently wrong.
+        // Merge the WHOLE table once (every partition lands in staging and
+        // is swapped), restoring a uniform schema.
+        existing.unionByName(batch, allowMissingColumns = true)
+      } else {
+        val pruned = {
+          val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+          if (touched.contains(null)) in || col(partCol).isNull else in
+        }
+        existing.filter(pruned).unionByName(batch, allowMissingColumns = true)
       }
-      spark.read.parquet(path).filter(pruned)
-        .unionByName(batch, allowMissingColumns = true)
     } else batch
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new Path(path + ".staging")

@@ -199,6 +199,30 @@ class F1PipelineSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, replayed(f)), s"$f changed on replay") }
   }
 
+  test("partitioned coalescing upsert: schema drift triggers a uniform full rewrite") {
+    val path = tmp("lapsinkD") + "/lap_data"
+    val keys = Seq("driver_number", "lap_number")
+    val b1 = Seq((1, 1, Some(92.5), 10L), (2, 1, Some(95.0), 11L))
+      .toDF("driver_number", "lap_number", "lap_time", "line_id")
+    TableSink.partitionedCoalescingUpsert(spark, path,
+      TableSink.withSeq(b1, 1), keys, "driver_number")
+
+    // batch 2 carries a NEW column and touches only driver 2: a pruned
+    // rewrite would leave driver 1's files without the column
+    val b2 = Seq((2, 1, Some(28.1), 12L))
+      .toDF("driver_number", "lap_number", "sector_1_time", "line_id")
+    TableSink.partitionedCoalescingUpsert(spark, path,
+      TableSink.withSeq(b2, 2), keys, "driver_number")
+
+    val rows = spark.read.parquet(path).orderBy("driver_number").collect()
+    assert(rows.length == 2)
+    // every partition re-wrote with the uniform widened schema
+    assert(rows.forall(_.schema.fieldNames.contains("sector_1_time")))
+    assert(rows(0).getAs[Any]("sector_1_time") == null) // driver 1: filled as null
+    assert(rows(1).getAs[Double]("sector_1_time") == 28.1)
+    assert(rows(1).getAs[Double]("lap_time") == 95.0) // coalescing kept batch 1's value
+  }
+
   test("keyed upsert: later _seq wins, replay idempotent (U1)") {
     val path = tmp("sessink") + "/sessions"
     val v1 = Seq((9001, "Quali v1", 5L)).toDF("session_key", "name", "line_id")
