@@ -203,6 +203,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum == 3)
   }
 
+  test("multimodal: bilinear resize preserves solid color, honors dims, deterministic") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(17, 13, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 13; x <- 0 until 17) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val solid = bos.toByteArray
+
+    val out = Multimodal.resizeImage(solid, 64, 48)
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(dec.getWidth == 64 && dec.getHeight == 48)
+    // interpolating a constant field must return the constant — any
+    // weight/offset bug in the hand-rolled bilinear breaks this
+    for (y <- 0 until 48; x <- 0 until 64)
+      assert((dec.getRGB(x, y) & 0xFFFFFF) == 0x336699, s"pixel ($x,$y)")
+    assert(Multimodal.resizeImage(solid, 64, 48).sameElements(out))
+  }
+
   test("multimodal: real WAV audio decode produces windowed RMS features") {
     val bytes = Multimodal.makeWav(7L)
     assert(new String(bytes.take(4), "US-ASCII") == "RIFF") // genuine WAV container
