@@ -115,7 +115,12 @@ object Multimodal {
     * the general `javax.sound.sampled` decode). Chunk-walks the container,
     * so extra chunks (LIST/fact/…) before `data` are handled.
     */
-  private def pcm16MonoSamples(content: Array[Byte]): Option[Array[Byte]] = {
+  private def pcm16MonoSamples(content: Array[Byte]): Option[Array[Byte]] =
+    // a lying chunk size can push position() past the limit — any parse
+    // exception means "not canonical", not a task failure
+    try pcm16MonoSamplesUnsafe(content) catch { case _: Exception => None }
+
+  private def pcm16MonoSamplesUnsafe(content: Array[Byte]): Option[Array[Byte]] = {
     if (content.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }

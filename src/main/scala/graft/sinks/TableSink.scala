@@ -180,7 +180,13 @@ object TableSink {
     // partition-key cardinality per micro-batch — e.g. #drivers)
     val touched = batch.select(col(partCol)).distinct().collect().map(_.get(0))
     val nonNull = touched.filterNot(_ == null)
-    val all = if (exists(spark, path)) {
+    // a crashed first merge can leave the table as an EMPTY directory
+    // (mkdirs ran, no partition swapped in) — schema inference would throw
+    val tableHasData = exists(spark, path) && {
+      val fs0 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.listStatus(new Path(path)).nonEmpty
+    }
+    val all = if (tableHasData) {
       val existing = spark.read.parquet(path)
       if (existing.columns.toSet != batch.columns.toSet) {
         // Column-set drift: rewriting only touched partitions would leave
