@@ -202,6 +202,30 @@ object F1Pipeline {
       .start()
   }
 
+  /** Unified pipeline fed from a LIVE network feed (S1:
+    * [[graft.sources.EventSource.readLiveFeed]]) instead of the file
+    * tail: the full 8-table ETL off a TCP line stream. Delivery caveat
+    * is the socket source's (at-most-once, no replayable offsets) — the
+    * idempotent `_seq` merges still make whatever arrives converge; the
+    * ETL of record stays on the checkpointed file tail, and a production
+    * live deployment bridges the feed into Kafka for replayability.
+    */
+  def startUnifiedLive(spark: SparkSession, host: String, port: Int,
+      tablesDir: String, checkpointDir: String,
+      format: WireFormat = WireFormat.PyList,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+    val events = Metrics.observed(
+      graft.sources.EventSource.readLiveFeed(spark, host, port, format))
+    events.writeStream
+      .queryName("f1_unified_live")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        loadBatch(spark, batch, tablesDir, batchId)
+      }
+      .start()
+  }
+
   /** Per-topic parallelism (ST2): independent queries with independent
     * checkpoints — the monitors' process-level parallelism, minus the
     * processes. Race control gets the watermarked streaming dedup (A2).

@@ -35,4 +35,27 @@ class LiveFeedSpec extends SparkSpec {
       } finally q.stop()
     } finally server.close()
   }
+
+  test("full ETL off the live feed: tables converge like the file path") {
+    val base = java.nio.file.Files.createTempDirectory("livefeed").toString
+    val server = LiveFeedServer.start(Fixtures.pyLines, paceMs = 1)
+    try {
+      val q = graft.streaming.F1Pipeline.startUnifiedLive(spark,
+        "localhost", server.port, s"$base/tables", s"$base/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        def laps(): Long =
+          try spark.read.parquet(s"$base/tables/lap_data").count()
+          catch { case _: Exception => 0L }
+        val deadline = System.currentTimeMillis() + 60000
+        while (laps() < 2 && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable(); Thread.sleep(200)
+        }
+      } finally q.stop()
+      // same converged tables as the file-tail pipeline produces
+      assert(spark.read.parquet(s"$base/tables/lap_data").count() == 2)
+      assert(spark.read.parquet(s"$base/tables/weather").count() == 3)
+      assert(spark.read.parquet(s"$base/tables/drivers").count() == 3)
+    } finally server.close()
+  }
 }
