@@ -235,6 +235,26 @@ object TableSink {
   def append(path: String, batch: DataFrame): Unit =
     batch.write.mode(SaveMode.Append).parquet(path)
 
+  /** Maintenance compaction for append-only tables: a 100 ms streaming
+    * cadence accumulates one-plus files per micro-batch, and scan cost
+    * grows with file COUNT, not data size. Rewrites the table into
+    * ≈`targetBytes` files through the same staged atomic swap the merges
+    * use (crash-recovered). Row multiset is unchanged — this is an
+    * out-of-band operational pass (run it between ingest windows; the
+    * swap is atomic for readers, but concurrent appends landing between
+    * the staging read and the swap would be lost, same as any
+    * non-transactional rewrite — Delta/Iceberg OPTIMIZE is the
+    * production swap-in).
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    recover(spark, path)
+    if (!exists(spark, path)) return
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    replaceTable(spark.read.parquet(path).repartition(nFiles), path)
+  }
+
   /** Deterministic in-batch first-wins per key (A1 semantics): when the
     * batch carries the `(_batch, _line)` arrival columns they decide the
     * survivor (and are consumed, not written); `dropDuplicates` alone

@@ -221,6 +221,23 @@ class F1PipelineSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("lap_time") == 95.0) // coalescing kept batch 1's value
   }
 
+  test("compact: collapses micro-batch file fragmentation, preserves rows") {
+    val path = tmp("compactsink") + "/telemetry"
+    // simulate 12 micro-batch appends → ≥12 parquet files
+    (1 to 12).foreach { i =>
+      TableSink.append(path, Seq((i, i * 10.0)).toDF("driver_number", "speed"))
+    }
+    def parquetFiles(): Seq[java.io.File] =
+      new java.io.File(path).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles().size >= 12)
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted
+
+    TableSink.compact(spark, path) // 12 tiny rows ≪ targetBytes → one file
+    assert(parquetFiles().size == 1, parquetFiles().map(_.getName))
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+  }
+
   test("keyed upsert: later _seq wins, replay idempotent (U1)") {
     val path = tmp("sessink") + "/sessions"
     val v1 = Seq((9001, "Quali v1", 5L)).toDF("session_key", "name", "line_id")
