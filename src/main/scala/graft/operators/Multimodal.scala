@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
@@ -36,6 +35,166 @@ object Multimodal {
   // Per-call /tmp spill files would dominate small-image encode cost.
   ImageIO.setUseCache(false)
 
+  // ---- minimal deterministic PNG codec ----
+  // ImageIO's PNG writer deflates at maximum compression with per-row
+  // adaptive filter search, and ImageIO.read runs a per-call SPI reader
+  // scan — both dominate preview-sized blobs (the AudioSystem lesson from
+  // the WAV path). Canonical 8-bit truecolor PNGs take a direct codec:
+  // filter-0 rows + BEST_SPEED deflate on encode, direct inflate +
+  // defilter on decode; anything else (palette, 16-bit, interlaced,
+  // JPEG, …) falls back to ImageIO. zlib at a fixed level/strategy is
+  // deterministic, so the encoded bytes stay freezable as VALUES oracles.
+
+  private val pngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def writeChunk(out: ByteArrayOutputStream, tag: String,
+      body: Array[Byte]): Unit = {
+    val tb = tag.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(body)
+    val bb = java.nio.ByteBuffer.allocate(body.length + 12)
+      .putInt(body.length).put(tb).put(body).putInt(crc.getValue.toInt)
+    out.write(bb.array())
+  }
+
+  /** Encode packed 0xRRGGBB pixels as an 8-bit RGB PNG (filter None,
+    * BEST_SPEED deflate, single IDAT). Valid PNG — `ImageIO.read` and any
+    * external decoder accept it; [[decodePngFast]] round-trips it without
+    * touching AWT.
+    */
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    var o = 0
+    while (y < h) {
+      raw(o) = 0 // filter: None
+      o += 1
+      var i = y * w
+      val end = i + w
+      while (i < end) {
+        val p = px(i)
+        raw(o) = ((p >> 16) & 0xFF).toByte
+        raw(o + 1) = ((p >> 8) & 0xFF).toByte
+        raw(o + 2) = (p & 0xFF).toByte
+        o += 3
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw)
+    defl.finish()
+    val idat = new ByteArrayOutputStream(raw.length / 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new ByteArrayOutputStream(idat.size() + 64)
+    out.write(pngSig, 0, pngSig.length)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8: Byte).put(2: Byte) // 8-bit, truecolor
+      .put(0: Byte).put(0: Byte).put(0: Byte)        // deflate, adaptive, no interlace
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", idat.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Fast-path decode of an 8-bit truecolor (RGB/RGBA) non-interlaced PNG
+    * to packed 0xRRGGBB pixels (alpha dropped — parity with what the AWT
+    * path's TYPE_INT_RGB walk reads). All five row filters are handled, so
+    * any conforming truecolor encoder's output decodes here, not just
+    * [[encodePng]]'s; other color types return None and take ImageIO.
+    */
+  def decodePngFast(content: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (content == null || content.length < 45) return None
+    var i = 0
+    while (i < 8) { if (content(i) != pngSig(i)) return None; i += 1 }
+    try {
+      val bb = java.nio.ByteBuffer.wrap(content, 8, content.length - 8)
+      var w = 0; var h = 0; var bpp = 0
+      val idat = new ByteArrayOutputStream(content.length)
+      var done = false
+      while (!done && bb.remaining() >= 12) {
+        val len = bb.getInt
+        val tag = new Array[Byte](4); bb.get(tag)
+        if (len < 0 || len > bb.remaining() - 4) return None
+        new String(tag, "US-ASCII") match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = bb.getInt; h = bb.getInt
+            val bitDepth = bb.get(); val colorType = bb.get()
+            bb.get(); bb.get() // compression, filter method
+            val interlace = bb.get()
+            if (bitDepth != 8 || interlace != 0 ||
+              (colorType != 2 && colorType != 6)) return None
+            bpp = if (colorType == 2) 3 else 4
+            if (w <= 0 || h <= 0 || w.toLong * h > (1 << 28)) return None
+          case "IDAT" => idat.write(content, bb.position(), len); bb.position(bb.position() + len)
+          case "IEND" => done = true
+          case _      => bb.position(bb.position() + len) // ancillary chunk
+        }
+        if (!done) bb.getInt // CRC — trusted, not re-verified on this path
+      }
+      if (w == 0 || idat.size() == 0) return None
+      val stride = 1 + bpp * w
+      val raw = new Array[Byte](stride * h)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, off, raw.length - off)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        off += n
+      }
+      infl.end()
+      if (off < raw.length) return None
+      // defilter in place, row by row (spec: filters act on the bpp-ahead
+      // byte, with the prior row's reconstructed bytes for Up/Avg/Paeth)
+      var y = 0
+      while (y < h) {
+        val rs = y * stride
+        val filter = raw(rs) & 0xFF
+        if (filter != 0) {
+          var x = 1
+          while (x < stride) {
+            val a = if (x > bpp) raw(rs + x - bpp) & 0xFF else 0
+            val b = if (y > 0) raw(rs - stride + x) & 0xFF else 0
+            val c = if (x > bpp && y > 0) raw(rs - stride + x - bpp) & 0xFF else 0
+            val add = filter match {
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              case _ => return None // invalid filter type
+            }
+            raw(rs + x) = ((raw(rs + x) & 0xFF) + add).toByte
+            x += 1
+          }
+        }
+        y += 1
+      }
+      val px = new Array[Int](w * h)
+      y = 0
+      while (y < h) {
+        var x = 0
+        var ro = y * stride + 1
+        val po = y * w
+        while (x < w) {
+          px(po + x) = ((raw(ro) & 0xFF) << 16) | ((raw(ro + 1) & 0xFF) << 8) |
+            (raw(ro + 2) & 0xFF)
+          ro += bpp
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    } catch { case _: Exception => None } // malformed chunk walk → fallback
+  }
+
   /** Asset-table schema: opaque bytes + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -51,7 +210,6 @@ object Multimodal {
     * encoded bytes are bit-reproducible across runs and parallelism.
     */
   def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val s = (seed * 0x9E3779B97F4A7C15L >>> 40).toInt
     val px = new Array[Int](w * h)
     var y = 0
@@ -66,11 +224,7 @@ object Multimodal {
       }
       y += 1
     }
-    // bulk setRGB: one array copy instead of w*h ColorModel round-trips
-    img.setRGB(0, 0, w, h, px, 0, w)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(px, w, h)
   }
 
   /** Deterministic synthetic WAV preview clip: 16-bit PCM mono, 8 kHz,
@@ -234,8 +388,9 @@ object Multimodal {
 
   private val featureDim = 16
 
-  /** REAL image feature extraction: ImageIO decode (PNG/JPEG — the JDK's
-    * built-in codecs) → 16-bin luminance histogram, each bin the fraction
+  /** REAL image feature extraction: pixel decode ([[decodePngFast]] for
+    * truecolor PNG, ImageIO for PNG-palette/JPEG/…) → 16-bin luminance
+    * histogram, each bin the fraction
     * of pixels at that brightness, rounded to 1e-6. Integer pixel walk →
     * exact counts → one division: bit-deterministic regardless of
     * partitioning.
@@ -243,12 +398,17 @@ object Multimodal {
   def imageFeatures(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
     if (content == null || content.isEmpty) return out
-    val img = ImageIO.read(new ByteArrayInputStream(content))
-    if (img == null) return out // not a decodable image: zero-vector, not a crash
-    val w = img.getWidth
-    val h = img.getHeight
-    // bulk getRGB: one ColorModel pass over the raster, not one per pixel
-    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // truecolor PNG decodes without ImageIO's per-call SPI reader scan;
+    // both paths reconstruct the same pixels, so features are unchanged
+    val (w, h, px) = decodePngFast(content) match {
+      case Some(dec) => dec
+      case None =>
+        val img = ImageIO.read(new ByteArrayInputStream(content))
+        if (img == null) return out // not a decodable image: zero-vector, not a crash
+        // bulk getRGB: one ColorModel pass over the raster, not one per pixel
+        (img.getWidth, img.getHeight,
+          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+    }
     val counts = new Array[Long](featureDim)
     var i0 = 0
     while (i0 < px.length) {
@@ -391,20 +551,24 @@ object Multimodal {
         avg(col("duration_ms")).cast("double").as("avg_duration_ms"))
       .orderBy("media_type")
 
-  /** REAL image resize: ImageIO decode → fixed-point-free manual bilinear
-    * resample → PNG re-encode. The interpolation is hand-rolled rather
-    * than `Graphics2D.drawImage` because AWT's scaler is
+  /** REAL image resize: pixel decode ([[decodePngFast]], ImageIO fallback)
+    * → fixed-point-free manual bilinear resample → PNG re-encode
+    * ([[encodePng]]). The interpolation is hand-rolled rather than
+    * `Graphics2D.drawImage` because AWT's scaler is
     * implementation-dependent; this arithmetic is a pure per-pixel
     * function, so the output bytes are bit-reproducible (the resize
     * oracle is a frozen VALUES literal).
     */
   def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     if (content == null || content.isEmpty) return Array.emptyByteArray
-    val src = ImageIO.read(new ByteArrayInputStream(content))
-    if (src == null) return Array.emptyByteArray
-    val sw = src.getWidth
-    val sh = src.getHeight
-    val srcPx = src.getRGB(0, 0, sw, sh, null, 0, sw)
+    val (sw, sh, srcPx) = decodePngFast(content) match {
+      case Some(dec) => dec
+      case None =>
+        val src = ImageIO.read(new ByteArrayInputStream(content))
+        if (src == null) return Array.emptyByteArray
+        (src.getWidth, src.getHeight,
+          src.getRGB(0, 0, src.getWidth, src.getHeight, null, 0, src.getWidth))
+    }
     val dstPx = new Array[Int](targetW * targetH)
     // column geometry is row-invariant: precompute x0/x1/dx once
     val xs0 = new Array[Int](targetW)
@@ -447,11 +611,7 @@ object Multimodal {
       }
       y += 1
     }
-    val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-    dst.setRGB(0, 0, targetW, targetH, dstPx, 0, targetW)
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(dst, "png", bos)
-    bos.toByteArray
+    encodePng(dstPx, targetW, targetH)
   }
 
   /** Resize every image asset to `targetW`×`targetH` (real decode +

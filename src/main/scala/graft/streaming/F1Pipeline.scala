@@ -88,6 +88,20 @@ object F1Pipeline {
     def dedupAppend(table: String, out: DataFrame, key: String): Unit
   }
 
+  /** Bounded pool for concurrent per-table sink jobs. Each table's
+    * read-merge-write is independent (distinct paths/tables, no shared
+    * session conf — [[TableSink]] mutates nothing session-wide), and Spark
+    * schedules jobs submitted from multiple threads concurrently, so the 8
+    * per-batch loads overlap instead of serializing their driver/commit
+    * latencies. Sized below the table count on purpose: the win is
+    * overlapping per-job fixed costs, not oversubscribing the executor.
+    */
+  private lazy val sinkPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-sink"); t.setDaemon(true); t
+      })
+
   private def loadBatchWith(events: DataFrame, batchId: Long,
       ops: BatchSinkOps): Unit = {
     // The streaming source carries a placeholder line_id (see EventSource);
@@ -95,24 +109,41 @@ object F1Pipeline {
     // in-batch arrival order here.
     val cached = events.withColumn("line_id", monotonically_increasing_id()).cache()
     try {
-      // one tiny job over the cached batch decides which tables have work
+      // one tiny job over the cached batch decides which tables have work;
+      // it also materializes the cache before the concurrent table jobs
+      // race to compute it
       val presentTopics = cached.select("topic").distinct()
         .collect().map(_.getString(0)).toSet
-      tableSinks.foreach { case (name, topics, transform, kind) =>
-        if (topics.intersect(presentTopics).nonEmpty) {
-          val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
-          kind match {
-            case Upsert(keys)     => ops.upsert(name, out, keys)
-            case Coalescing(keys) => ops.coalescing(name, out, keys)
-            case PartitionedCoalescing(keys, pc) =>
-              ops.partitionedCoalescing(name, out, keys, pc)
-            case Append           => ops.append(name, out.drop("_batch", "_line", "line_id"))
-            // keeps (_batch, _line) so first-wins is deterministic; the
-            // sink consumes them before writing
-            case DedupAppend(key) => ops.dedupAppend(name, out.drop("line_id"), key)
+      val pending = tableSinks.flatMap { case (name, topics, transform, kind) =>
+        if (topics.intersect(presentTopics).isEmpty) None
+        else Some(sinkPool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // the active session is a THREAD-LOCAL: without it, analysis on
+            // a pool thread resolves against a session whose function
+            // registry lacks the graft kernels (inflate_raw, …)
+            SparkSession.setActiveSession(cached.sparkSession)
+            val out = TableSink.withSeq(ensureLineId(transform(cached)), batchId)
+            kind match {
+              case Upsert(keys)     => ops.upsert(name, out, keys)
+              case Coalescing(keys) => ops.coalescing(name, out, keys)
+              case PartitionedCoalescing(keys, pc) =>
+                ops.partitionedCoalescing(name, out, keys, pc)
+              case Append           => ops.append(name, out.drop("_batch", "_line", "line_id"))
+              // keeps (_batch, _line) so first-wins is deterministic; the
+              // sink consumes them before writing
+              case DedupAppend(key) => ops.dedupAppend(name, out.drop("line_id"), key)
+            }
           }
-        }
+        }))
       }
+      // Await ALL tables before declaring the batch done (and before the
+      // finally-unpersist) — a failed table must fail the batch, but only
+      // after its siblings finish, so no write races a cache eviction.
+      val failures = pending.flatMap { f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
+      }
+      failures.headOption.foreach(throw _)
     } finally cached.unpersist()
   }
 

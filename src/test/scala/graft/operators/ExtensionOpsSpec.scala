@@ -221,6 +221,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(Multimodal.resizeImage(solid, 64, 48).sameElements(out))
   }
 
+  test("multimodal: PNG codec round-trips and matches ImageIO pixel-for-pixel") {
+    // encodePng → decodePngFast: exact pixel round-trip
+    val w = 37; val h = 23
+    val px = Array.tabulate(w * h)(i => (i * 2654435761L).toInt & 0xFFFFFF)
+    val bytes = Multimodal.encodePng(px, w, h)
+    val Some((dw, dh, dpx)) = Multimodal.decodePngFast(bytes)
+    assert(dw == w && dh == h)
+    assert(dpx.sameElements(px))
+    // encodePng → ImageIO: the fast encoder emits standard PNG
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val ioPx = img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xFFFFFF)
+    assert(ioPx.sameElements(px))
+    // ImageIO-encoded (adaptive row filters) → decodePngFast: defilter
+    // path agrees with ImageIO's own decode
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val Some((_, _, dpx2)) = Multimodal.decodePngFast(bos.toByteArray)
+    assert(dpx2.sameElements(px))
+    // non-PNG payloads decline the fast path instead of throwing
+    assert(Multimodal.decodePngFast(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodePngFast(Multimodal.makeWav(3L)).isEmpty)
+  }
+
   test("multimodal: real WAV audio decode produces windowed RMS features") {
     val bytes = Multimodal.makeWav(7L)
     assert(new String(bytes.take(4), "US-ASCII") == "RIFF") // genuine WAV container
