@@ -223,4 +223,121 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Connected components over an undirected dup-pair edge list:
+    * (id, cluster_id), cluster_id = the component's minimum id — the
+    * missing step between pairwise near-dup output and an actual
+    * keep/drop decision per document (transitive closure: A~B, B~C ⇒
+    * {A,B,C} is one cluster even if A~C was never emitted).
+    *
+    * Algorithm: iterated min-label propagation — each node adopts the
+    * minimum label in its closed neighborhood until fixpoint, entirely in
+    * joins/aggregations (one equi-join + one groupBy per iteration, both
+    * AQE-manageable). Iterations scale with component diameter: near-dup
+    * graphs are clique-ish (every copy pairs with most others), so 2–4
+    * rounds in practice. Each round `localCheckpoint`s the labels —
+    * without lineage truncation the plan doubles per iteration and
+    * planning time dominates by round 10. A worst-case long-path graph
+    * would want the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same join
+    * primitives, O(log²) rounds; diameters here don't justify it.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // undirected edge list, materialized once — `pairs` is typically an
+    // expensive LSH plan that must not re-execute per iteration
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_label")).as("label"),
+          (col("nbr_label") < col("label")).cast("long").as("_chg"))
+        .localCheckpoint(true)
+      changed = next.agg(sum("_chg")).collect()(0).getLong(0)
+      labels = next.drop("_chg")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters iterations — " +
+        "component diameter exceeds the propagation budget; raise maxIters " +
+        "or switch to the large-star/small-star formulation")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Full-corpus keep/drop decisions from near-dup pairs: every document
+    * joined against its component (documents in no pair form singleton
+    * clusters), `keep` = true exactly for each cluster's min-id
+    * representative. This is the operator a training-data pipeline
+    * actually runs — pairs are evidence, this is the verdict.
+    */
+  def keepDecisions(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Incremental MinHash+LSH: near-dup pairs of `incoming` docs against an
+    * already-indexed `seen` corpus AND within `incoming` itself — the
+    * cross-batch form of [[minhashLsh]] for an append-only ingest pipeline.
+    * Seen-vs-seen pairs are NOT re-emitted: at 100 TB the indexed corpus
+    * dwarfs every increment, and re-scoring it per batch is the difference
+    * between O(batch) and O(corpus) per ingest step.
+    *
+    * `seen` would be a persisted signature/band table in production (the
+    * signature computation here stands in for reading it); the band join
+    * is the same AQE-splittable equi-join as the batch variant.
+    *
+    * Output: (a_id, b_id, est_jaccard), a_id < b_id, with incoming ids
+    * participating in every pair.
+    */
+  def minhashLshIncremental(seen: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    def sigsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
+      .select(col("id"), minhashSignatureFromHashes(col("bh"), numHashes).as("sig"))
+    def bandsOf(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
+    val seenSigs = sigsOf(seen).persist()
+    val incSigs = sigsOf(incoming).persist()
+    val allSigs = seenSigs.unionByName(incSigs)
+    // probe side: ONLY the increment; build side: full corpus (seen +
+    // incoming, so new-vs-new pairs surface too). Id pairs only, as ever.
+    val probe = bandsOf(incSigs).select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val build = bandsOf(allSigs).select(col("band"), col("band_hash"), col("id").as("b_id"))
+    val candidates = probe.join(build, Seq("band", "band_hash"))
+      .filter(col("a_id") =!= col("b_id"))
+      // least/greatest then dedup: an incoming-incoming pair is found from
+      // both sides, an incoming-seen pair only from the incoming side
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(allSigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(allSigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("est_jaccard",
+        graft.functions.TextVectorExpressions.sig_agreement(col("a_sig"), col("b_sig"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
 }

@@ -102,4 +102,31 @@ object TextOps {
       xxhash64(text).as("full_hash"),
       array_min(graft.functions.TextVectorExpressions.shingle_hashes(text, 5))
         .as("min_shingle_hash"))
+
+  /** Deterministic train/val/test assignment from a numeric id: a
+    * Knuth-multiplicative hash of the id mapped to [0,1), compared against
+    * cumulative weight thresholds. Map-only (no shuffle, no RNG state), so
+    * the split is stable under re-runs, retries, repartitioning, AND
+    * corpus growth — a doc keeps its split forever, which is the property
+    * training pipelines need (a re-shuffled split leaks yesterday's train
+    * docs into today's test set). The arithmetic stays in exact-integer
+    * long range so the same expression is reproducible in any engine
+    * (the oracle recomputes it in DuckDB SQL verbatim).
+    */
+  def splitAssign(id: Column,
+      weights: Seq[(String, Double)] =
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1 (got $weights)")
+    // ((id mod p) * A + B) mod 2^32 / 2^32: p keeps the product in exact
+    // long range for ANY id (no overflow wrap to match across engines),
+    // A = Knuth's 2654435761 scatters consecutive ids
+    val frac = pmod(pmod(id.cast("long"), lit(1000003L)) * lit(2654435761L)
+      + lit(12345L), lit(4294967296L)).cast("double") / lit(4294967296.0)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    weights.zip(cum).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), threshold), elseCol) =>
+        when(frac < threshold, lit(name)).otherwise(elseCol)
+    }
+  }
 }

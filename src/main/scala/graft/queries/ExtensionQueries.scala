@@ -71,6 +71,37 @@ object ExtensionQueries {
         "vec_id", "embedding", minCos = 0.99)
         .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x05_dedup_embedding")),
 
+    // Pairs → verdicts: connected components over the LSH pair graph, one
+    // keep/drop row per document (transitive closure picks up A~C via B).
+    Q("x17_dedup_clusters",
+      (s, d) => {
+        val docs = plantTextDups(Tables.documents(s, d))
+        Dedup.keepDecisions(docs, "doc_id",
+          Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
+          .orderBy("doc_id")
+      }, F1OracleSql.sql.get("x17_dedup_clusters")),
+
+    // Cross-batch ingest dedup: only the increment is probed, seen-vs-seen
+    // pairs are never re-scored. Seen = even ids, incoming = odd ids plus
+    // the planted near-copies (of both parities: copies of even docs
+    // exercise incoming-vs-seen, copies of odd docs incoming-vs-incoming).
+    Q("x19_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val planted = docs.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), lit(1),
+            greatest(length(col("text")) - 15, lit(1)).cast("int")).as("text"))
+        val seen = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "text")
+        val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "text").unionByName(planted)
+        Dedup.minhashLshIncremental(seen, incoming, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+          .orderBy("a_id", "b_id")
+      }, F1OracleSql.sql.get("x19_dedup_incremental")),
+
     // ---- similarity search ----
 
     Q("x06_ann_brute_topk",
@@ -145,6 +176,22 @@ object ExtensionQueries {
           sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .cast("double").as("sum_quality")),
       F1OracleSql.sql.get("x10b_quality_checksum")),
+
+    // Deterministic split assignment; n + id-extrema per split pin the
+    // membership, and the oracle recomputes the hash arithmetic verbatim
+    // in SQL (sf-independent — exact integer ops on both engines).
+    Q("x20_train_split",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split"),
+      Some("SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM (SELECT doc_id, CASE " +
+        "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' " +
+        "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
     Q("x11_text_fingerprint",
       (s, d) => Tables.documents(s, d)

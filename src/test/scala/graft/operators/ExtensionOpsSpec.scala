@@ -32,6 +32,71 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components: transitive closure, min-id labels, convergence") {
+    // path graph 1-2-3-4 (diameter 3, several propagation rounds) plus an
+    // isolated edge 10-11: transitivity must fuse the path into one cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepDecisions: one keeper per cluster, singletons kept, full-corpus coverage") {
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+    val out = Dedup.keepDecisions(corpus, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5) // every doc gets a verdict, paired or not
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(1L) == (1L, true))   // cluster {1,2,5} keeps min id
+    assert(byId(2L) == (1L, false))
+    assert(byId(5L) == (1L, false))
+    assert(byId(3L) == (3L, true))   // singletons keep themselves
+    assert(byId(4L) == (4L, true))
+  }
+
+  test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
+    // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
+    // 6 (exact dups of seen 1 and of each other)
+    val seen = corpus.filter(col("doc_id").isin(1L, 3L))
+    val incoming = corpus.filter(col("doc_id").isin(2L, 5L))
+      .unionByName(Seq((6L,
+        "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshIncremental(seen, incoming, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // incoming vs seen
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((5L, 6L))) // incoming vs incoming
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // batch parity: the incremental run finds every pair the full batch
+    // run finds that involves at least one incoming doc
+    val batch = Dedup.minhashLsh(corpus.unionByName(incoming.filter(col("doc_id") === 6L)),
+      "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incIds = Set(2L, 5L, 6L)
+    assert(batch.filter(p => incIds(p._1) || incIds(p._2)) == pairs)
+  }
+
+  test("splitAssign: deterministic, exhaustive, weight-proportional") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val out = ids.select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80% of 2000
+    assert(counts("val") + counts("test") == 2000 - counts("train"))
+    // stable under corpus growth: the same id keeps its split
+    val first = out.filter(col("doc_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = (0L until 4000L).toDF("doc_id")
+      .select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
+      .filter(col("doc_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == grown)
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3; unrelated far") {
     val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
