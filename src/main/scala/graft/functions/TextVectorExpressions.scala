@@ -219,6 +219,83 @@ object TextVectorKernels {
     }
     bucket
   }
+
+  /** Product-quantization encode: argmin-L2 codeword per subspace (ties →
+    * lower codeword id). `codebooks` is the flattened (m·k)×subDim matrix,
+    * sub s's codewords at rows s·k … s·k+k-1. Returns m codeword ids.
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Array[Double]], m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val x = toDoubles(v, isFloat)
+    val subDim = codebooks(0).length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val cw = codebooks(s * k + j)
+        var dist = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = (if (off + d < x.length) x(off + d) else 0.0) - cw(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance lookup table for one query: lut[s·k + j] =
+    * ⟨query subvector s, codeword j of sub s⟩ — m·k inner products, after
+    * which every candidate scores in m table lookups ([[pqAdc]]).
+    */
+  def pqLut(q: ArrayData, codebooks: Array[Array[Double]], m: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val x = toDoubles(q, isFloat)
+    val subDim = codebooks(0).length
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var j = 0
+      while (j < k) {
+        val cw = codebooks(s * k + j)
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) {
+          dot += (if (off + d < x.length) x(off + d) else 0.0) * cw(d)
+          d += 1
+        }
+        out(s * k + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate inner product from PQ codes + a query's LUT: fixed-order
+    * sum of m lookups — deterministic at any parallelism.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      val idx = s * k + codes.getInt(s)
+      if (idx < lut.numElements()) acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
 }
 
 /** array<long> shingle hashes of text (word n-grams). SQL: shingle_hashes(text, n). */
@@ -377,6 +454,85 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** PQ codeword assignment of a vector against an embedded flattened
+  * codebook matrix — map-only broadcast-model scoring, like
+  * [[NearestCentroids]] but argmin-L2 per subspace.
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Double]],
+    m: Int, k: Int) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pq_encode requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.pqEncode(input.asInstanceOf[ArrayData], codebooks, m, k, elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Per-query ADC lookup table against an embedded codebook matrix. */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Double]],
+    m: Int, k: Int) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pq_lut requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.pqLut(input.asInstanceOf[ArrayData], codebooks, m, k, elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLutExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** Approximate inner product: m LUT lookups per (candidate, query) pair —
+  * the PQ hot path, codegen'd like [[SigAgreement]].
+  */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  private def okCodes(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+  private def okLut(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okCodes(left) && okLut(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (ARRAY<INT>, ARRAY<DOUBLE>), got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextVectorKernels.pqAdc($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 /** Column wrappers + SQL registration for the kernels. Int parameters are
   * passed as literal expressions in SQL and folded at build time.
   */
@@ -440,5 +596,29 @@ object TextVectorExpressions {
     registerNearestCentroids(SparkSession.active)
     call_function("nearest_centroids", c,
       org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
+  }
+
+  private def registerPq(spark: SparkSession): Unit = {
+    Registry.registerOnce(spark, "pq_encode")(
+      exprs => PqEncodeExpr(exprs(0), foldableMatrix(exprs(1)), litInt(exprs(2)), litInt(exprs(3))))
+    Registry.registerOnce(spark, "pq_lut")(
+      exprs => PqLutExpr(exprs(0), foldableMatrix(exprs(1)), litInt(exprs(2)), litInt(exprs(3))))
+    Registry.registerOnce(spark, "pq_adc")(
+      exprs => PqAdcExpr(exprs(0), exprs(1), litInt(exprs(2))))
+  }
+
+  def pq_encode(c: Column, codebooks: Array[Array[Double]], m: Int, k: Int): Column = {
+    registerPq(SparkSession.active)
+    call_function("pq_encode", c,
+      org.apache.spark.sql.functions.typedlit(codebooks.map(_.toSeq).toSeq), lit(m), lit(k))
+  }
+  def pq_lut(c: Column, codebooks: Array[Array[Double]], m: Int, k: Int): Column = {
+    registerPq(SparkSession.active)
+    call_function("pq_lut", c,
+      org.apache.spark.sql.functions.typedlit(codebooks.map(_.toSeq).toSeq), lit(m), lit(k))
+  }
+  def pq_adc(codes: Column, lut: Column, k: Int): Column = {
+    registerPq(SparkSession.active)
+    call_function("pq_adc", codes, lut, lit(k))
   }
 }

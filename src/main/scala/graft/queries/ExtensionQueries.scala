@@ -126,6 +126,22 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x07_ann_lsh_topk")),
 
+    // PQ-compressed ANN: 16 one-byte-range codes replace the 256-byte
+    // float vector (the layout that fits a 100 TB embedding corpus in
+    // executor memory), ADC shortlist + exact rerank of a per-query
+    // constant 50 candidates.
+    Q("x18_ann_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val model = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+        Similarity.pqTopK(model, corpus,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x18_ann_pq_topk")),
+
     Q("x14_ann_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -227,6 +227,35 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.7, f"ivf recall@5 = $recall%.3f") // measured 0.82; deterministic
   }
 
+  test("PQ: codes in range, deterministic, ADC recall@5 vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val model = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+    assert(model.codebooks.length == 16 * 16)
+    val codes = model.encoded.select("codes").collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 16 && c.forall(j => j >= 0 && j < 16)))
+    // deterministic rebuild: identical codebooks bit for bit
+    val model2 = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+    assert(model.codebooks.zip(model2.codebooks).forall { case (a, b) => a.sameElements(b) })
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    // pure ADC finds a plurality; ADC-shortlist + exact rerank recovers
+    // nearly all of brute force at O(queries x rerank) exact work
+    val adc = pairs(Similarity.pqTopK(model, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    assert((brute & adc).size.toDouble / brute.size >= 0.3,
+      f"adc-only recall@5 = ${(brute & adc).size.toDouble / brute.size}%.3f")
+    val rr = pairs(Similarity.pqTopK(model, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 50))
+    val recall = (brute & rr).size.toDouble / brute.size
+    assert(recall >= 0.85, f"pq+rerank recall@5 = $recall%.3f") // measured 0.92; deterministic
+  }
+
   test("text stats: token counts, punct, empty-string safety") {
     val df = Seq("a b  c", "", "hello, world! x2").toDF("text")
     val out = df.select(
