@@ -312,6 +312,18 @@ object Similarity {
         col("codes"), col("_lut"), model.k))
       .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))
         .otherwise(col("adc") / (col("_cn") * col("_qn"))))
+    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
+      queryVec, k, rerank)
+  }
+
+  /** Finish an approximate-scored candidate frame: straight top-k when
+    * `rerank` ≤ k, else ADC-shortlist → exact-cosine rerank (fetching only
+    * the shortlist's true vectors — an id equi-join, point reads at scale,
+    * O(queries·rerank) exact work regardless of corpus size).
+    */
+  private def rerankOrRank(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, rerank: Int): DataFrame =
     if (rerank <= k) rankTopK(scored, queryId, corpusId, k)
     else {
       val shortlist = rankTopK(scored, queryId, corpusId, rerank)
@@ -326,5 +338,34 @@ object Similarity {
         .select(col("query_id").as("_q"), col("neighbor_id").as("_n"), col("cos"))
       rankTopK(exact, "_q", "_n", k)
     }
+
+  /** IVF-PQ: coarse inverted lists prune the scan to `nprobe` of the
+    * corpus, PQ codes compress what remains, ADC scores it, exact rerank
+    * fixes the tail — the standard billion-scale ANN layout (both index
+    * structures are the deterministic ones built here, joined on the id
+    * column). Scan cost: nprobe/nlists of the corpus × m lookups per
+    * candidate; memory: codes + norms only.
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqModel, corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+    val q = queries
+      .withColumn("_qn", norm(col(queryVec)))
+      .withColumn("_lut", graft.functions.TextVectorExpressions.pq_lut(
+        col(queryVec), pq.codebooks, pq.m, pq.k))
+      .withColumn("cid", explode(
+        graft.functions.TextVectorExpressions.nearest_centroids(
+          col(queryVec), ivf.centroids, nprobe)))
+      .drop(queryVec)
+    val scored = pq.encoded
+      .join(ivf.assigned.select(col(corpusId), col("cid")), corpusId)
+      .join(broadcast(q), Seq("cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("adc", graft.functions.TextVectorExpressions.pq_adc(
+        col("codes"), col("_lut"), pq.k))
+      .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))
+        .otherwise(col("adc") / (col("_cn") * col("_qn"))))
+    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
+      queryVec, k, rerank)
   }
 }
