@@ -97,4 +97,19 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x20 split: codegen'd expression, no UDF, split column never shuffles raw rows") {
+    val p = plan("x20_train_split")
+    // the assignment is a pure case-when over hash arithmetic: it must
+    // stay inside whole-stage codegen (no BatchEvalPython/ScalaUDF) and
+    // partial-aggregate before the exchange (corpus rows never shuffle)
+    assert(!p.contains("UDF") && !p.contains("BatchEval"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("x18 PQ search: queries broadcast against the code scan, no shuffle join") {
+    val p = plan("x18_ann_pq_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
