@@ -290,8 +290,11 @@ object TextVectorKernels {
     var s = 0
     val m = codes.numElements()
     while (s < m) {
-      val idx = s * k + codes.getInt(s)
-      if (idx < lut.numElements()) acc += lut.getDouble(idx)
+      val code = codes.getInt(s)
+      val idx = s * k + code
+      // both bounds: pq_adc is SQL-callable with arbitrary arrays, and a
+      // negative code would read off the front of the LUT
+      if (code >= 0 && idx < lut.numElements()) acc += lut.getDouble(idx)
       s += 1
     }
     acc

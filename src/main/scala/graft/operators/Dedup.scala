@@ -53,28 +53,45 @@ object Dedup {
     *
     * Output: (a_id, b_id, est_jaccard), a_id < b_id.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+  /** (id, sig) MinHash signatures of `docs` — the single definition both
+    * the batch and incremental LSH variants compute from, so their
+    * candidate spaces can never drift apart.
+    */
+  private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
+      .select(col("id"), minhashSignatureFromHashes(col("bh"), numHashes).as("sig"))
+
+  /** (id, band, band_hash) LSH band buckets of a signature frame (band
+    * hash = salted xxhash64 of the band's signature slice).
+    */
+  private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
+  }
+
+  private def requireBands(numHashes: Int, bands: Int): Unit =
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — otherwise part " +
         "of the signature is silently ignored, or (bands > numHashes) every " +
         "doc shares every band hash and the candidate join degenerates to all pairs")
-    val rows = numHashes / bands
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    requireBands(numHashes, bands)
     // signatures computed once and persisted: the band join reads this
     // frame twice and the scoring joins read it twice more. Lifecycle note:
     // cached blocks live until the session cache is cleared — batch drivers
     // (Verify/Bench) call spark.catalog.clearCache() between queries; a
     // long-lived service should own persistence itself (at cluster scale:
     // write signatures to a staging table instead).
-    val sigs = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
-      .select(col("id"), minhashSignatureFromHashes(col("bh"), numHashes).as("sig"))
-      .persist()
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
+    val sigs = minhashSigs(docs, idCol, textCol, shingleN, numHashes).persist()
+    val banded = bandBuckets(sigs, numHashes, bands)
     // candidate generation ships ONLY id pairs — carrying the signature
     // arrays through the bucket join explodes memory when buckets are hot
     // (duplicate-heavy corpora put every copy of a doc in the same bucket:
@@ -255,6 +272,7 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
+      val prev = labels
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
@@ -262,10 +280,16 @@ object Dedup {
         .select(col("id"), least(col("label"), col("nbr_label")).as("label"),
           (col("nbr_label") < col("label")).cast("long").as("_chg"))
         .localCheckpoint(true)
-      changed = next.agg(sum("_chg")).collect()(0).getLong(0)
+      // coalesce: sum over an empty frame is NULL (an empty pair list —
+      // a clean corpus — must converge, not NPE)
+      changed = next.agg(coalesce(sum("_chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.drop("_chg")
+      // the superseded checkpoint would otherwise pin executor storage for
+      // the session lifetime, once per iteration
+      if (prev ne labels) prev.unpersist()
       iter += 1
     }
+    edges.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters iterations — " +
         "component diameter exceeds the propagation budget; raise maxIters " +
@@ -282,11 +306,16 @@ object Dedup {
   def keepDecisions(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val clusters = connectedComponents(pairs, aCol, bCol)
-    docs.select(col(idCol).as("doc_id"))
+    val labeled = docs.select(col(idCol).as("doc_id"))
       .join(clusters.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    // the keeper is the cluster's min id AMONG docs — when pairs came from
+    // a superset of docs (pre-computed pair table, filtered corpus), the
+    // component's global min may be absent and `doc_id === cluster_id`
+    // would drop the entire cluster with zero keepers
+    labeled.withColumn("keep", col("doc_id") ===
+      min(col("doc_id")).over(Window.partitionBy(col("cluster_id"))))
   }
 
   /** Incremental MinHash+LSH: near-dup pairs of `incoming` docs against an
@@ -307,23 +336,20 @@ object Dedup {
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
-    def sigsOf(df: DataFrame) = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
-      .select(col("id"), minhashSignatureFromHashes(col("bh"), numHashes).as("sig"))
-    def bandsOf(sigs: DataFrame) = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b))).as(Seq("band", "band_hash")))
-    val seenSigs = sigsOf(seen).persist()
-    val incSigs = sigsOf(incoming).persist()
+    requireBands(numHashes, bands)
+    val incSigs = minhashSigs(incoming, idCol, textCol, shingleN, numHashes).persist()
+    // an id present in BOTH frames (replayed/re-ingested doc) keeps only
+    // its incoming signature — a plain union would attach two signatures
+    // to that id and every one of its candidate pairs would emit twice
+    val seenSigs = minhashSigs(seen, idCol, textCol, shingleN, numHashes)
+      .join(incSigs.select("id"), Seq("id"), "left_anti").persist()
     val allSigs = seenSigs.unionByName(incSigs)
     // probe side: ONLY the increment; build side: full corpus (seen +
     // incoming, so new-vs-new pairs surface too). Id pairs only, as ever.
-    val probe = bandsOf(incSigs).select(col("band"), col("band_hash"), col("id").as("a_id"))
-    val build = bandsOf(allSigs).select(col("band"), col("band_hash"), col("id").as("b_id"))
+    val probe = bandBuckets(incSigs, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val build = bandBuckets(allSigs, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("b_id"))
     val candidates = probe.join(build, Seq("band", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))
       // least/greatest then dedup: an incoming-incoming pair is found from

@@ -144,7 +144,10 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !infl.finished()) {
         val n = infl.inflate(raw, off, raw.length - off)
-        if (n == 0 && infl.needsInput()) return None // truncated stream
+        // zero progress while unfinished = truncated stream OR a preset
+        // dictionary demand (FDICT) — either way not our canonical PNG;
+        // without the needsDictionary case this loop would spin forever
+        if (n == 0) { infl.end(); return None }
         off += n
       }
       infl.end()

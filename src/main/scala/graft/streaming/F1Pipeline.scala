@@ -139,10 +139,25 @@ object F1Pipeline {
       // Await ALL tables before declaring the batch done (and before the
       // finally-unpersist) — a failed table must fail the batch, but only
       // after its siblings finish, so no write races a cache eviction.
+      // Interrupts included: an InterruptedException must not abandon the
+      // await loop mid-way (that unpersists the cache under running sinks,
+      // the exact race the pool exists to avoid) — note it, keep waiting,
+      // re-assert the flag after the siblings land.
+      var interrupted = false
       val failures = pending.flatMap { f =>
-        try { f.get(); None }
-        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
+        var result: Option[Throwable] = None
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              result = Some(e.getCause); done = true
+            case _: InterruptedException => interrupted = true
+          }
+        }
+        result
       }
+      if (interrupted) Thread.currentThread().interrupt()
       failures.headOption.foreach(throw _)
     } finally cached.unpersist()
   }

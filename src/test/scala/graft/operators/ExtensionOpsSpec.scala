@@ -55,6 +55,38 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(byId(4L) == (4L, true))
   }
 
+  test("keepDecisions edge cases: clean corpus (no pairs), pairs from a superset of docs") {
+    // a clean corpus produces ZERO pairs — must converge to all-keep, not NPE
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val clean = Dedup.keepDecisions(corpus, "doc_id", noPairs).collect()
+    assert(clean.length == 5 && clean.forall(_.getBoolean(2)))
+    // pairs computed over a superset: doc 1 (the cluster's global min) was
+    // filtered out of docs — the surviving member must still be kept
+    val pairs = Seq((1L, 5L)).toDF("a_id", "b_id")
+    val filtered = Dedup.keepDecisions(corpus.filter(col("doc_id") =!= 1L), "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(filtered(5L), "cluster lost all keepers when its min id left the corpus")
+  }
+
+  test("incremental LSH: re-ingested id (in seen AND incoming) emits each pair once") {
+    val seen = corpus.filter(col("doc_id").isin(1L, 3L))
+    // doc 1 re-arrives in the increment (replay) alongside its exact dup 5
+    val incoming = corpus.filter(col("doc_id").isin(1L, 5L))
+    val out = Dedup.minhashLshIncremental(seen, incoming, "doc_id", "text",
+      3, 32, 8, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, s"duplicate pair rows: ${out.toSeq}")
+    assert(out.contains((1L, 5L)))
+  }
+
+  test("pq_adc kernel: out-of-range codes contribute zero instead of crashing") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val lut = new GenericArrayData(Array(1.0, 2.0, 3.0, 4.0))
+    val good = new GenericArrayData(Array(1, 1))
+    assert(graft.functions.TextVectorKernels.pqAdc(good, lut, 2) == 2.0 + 4.0)
+    val bad = new GenericArrayData(Array(-5, 99))
+    assert(graft.functions.TextVectorKernels.pqAdc(bad, lut, 2) == 0.0)
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
@@ -380,6 +412,8 @@ class ExtensionOpsSpec extends SparkSpec {
     // non-PNG payloads decline the fast path instead of throwing
     assert(Multimodal.decodePngFast(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Multimodal.decodePngFast(Multimodal.makeWav(3L)).isEmpty)
+    // truncated IDAT must return None, not hang the inflate loop
+    assert(Multimodal.decodePngFast(bytes.take(bytes.length - 20)).isEmpty)
   }
 
   test("multimodal: real WAV audio decode produces windowed RMS features") {
