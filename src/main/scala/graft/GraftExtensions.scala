@@ -61,5 +61,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangId(exprs.head)))
+
+    // quantizer-model kernels: the centroid/codebook matrix arrives as a
+    // foldable nested-array literal (same contract as the Column wrappers)
+    import graft.functions.{NearestCentroids, PqAdcExpr, PqEncodeExpr, PqLutExpr, TextVectorExpressions}
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "nearest_centroids"),
+      (exprs: Seq[Expression]) => NearestCentroids(exprs(0),
+        TextVectorExpressions.foldableMatrix(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0),
+        TextVectorExpressions.foldableMatrix(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLutExpr].getName, "pq_lut"),
+      (exprs: Seq[Expression]) => PqLutExpr(exprs(0),
+        TextVectorExpressions.foldableMatrix(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), litInt(exprs(2)))))
   }
 }

@@ -584,7 +584,7 @@ object TextVectorExpressions {
     * extracted once at expression build — one fixed registration, no
     * closure capture, no registry growth per index build.
     */
-  private def foldableMatrix(e: Expression): Array[Array[Double]] = {
+  private[graft] def foldableMatrix(e: Expression): Array[Array[Double]] = {
     val arr = e.eval(null).asInstanceOf[ArrayData]
     (0 until arr.numElements()).map { i =>
       arr.getArray(i).toDoubleArray()

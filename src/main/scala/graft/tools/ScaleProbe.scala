@@ -21,6 +21,64 @@ import graft.streaming.{F1Pipeline, Metrics}
   * keys), not one giant batch.
   */
 object ScaleProbe {
+
+  /** Dedup/ANN probe: replicate the sf0.1 tables `factor`× (text-perturbed
+    * copies, every 5th a planted near-dup) and time the pair→cluster→
+    * verdict chain, the incremental variant, and PQ build/search — the
+    * committed, reproducible form of the BASELINE.md round-5 numbers.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 10 dedup"
+    */
+  private def dedupProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else when(col("doc_id") % 5 === 0, col("text"))
+         .otherwise(concat(col("text"), lit(" v" + i)))).as("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"corpus","docs":${docs.count()}}""")
+    val pairs = timed("minhash_pairs") {
+      val p = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.5).cache()
+      println(s"""{"probe":"pairs","n":${p.count()}}""")
+      p
+    }
+    timed("connected_components") {
+      Dedup.connectedComponents(pairs, "a_id", "b_id").count()
+    }
+    timed("keep_decisions") {
+      Dedup.keepDecisions(docs, "doc_id", pairs).filter(!col("keep")).count()
+    }
+    val cut = (factor.toLong - 1) * 1000000L
+    timed("incremental_lsh") {
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut),
+        "doc_id", "text", 3, 32, 8, 0.5).count()
+    }
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = (0 until factor).map(i => emb0.select(
+      (col("vec_id") + lit(i * 1000000L)).as("c_id"), col("embedding").as("c_vec")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"vectors","n":${emb.count()}}""")
+    val model = timed("pq_build")(Similarity.buildPq(emb, "c_id", "c_vec", 16, 16, 2))
+    val queries = emb0.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    timed("pq_topk_rerank") {
+      Similarity.pqTopK(model, emb, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 50).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -32,6 +90,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "dedup") {
+      try dedupProbe(spark, n) finally spark.stop()
+      return
+    }
 
     val base = Files.createTempDirectory("scaleprobe").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
