@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based coverage of the round-5 kernels, same fixed-seed plain
+  * ScalaCheck style as CoercionPropertiesSpec (no scalatest bridge in the
+  * offline cache): PNG codec round-trip over arbitrary images, PQ code
+  * validity over arbitrary vectors, split totality/stability over
+  * arbitrary ids and weights.
+  */
+class ExtensionPropertiesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PNG codec property: encode→decode is the identity for arbitrary pixels/dims") {
+    val imgGen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)
+    sample(imgGen, 60).foreach { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt() & 0xFFFFFF)
+      val Some((dw, dh, dpx)) =
+        Multimodal.decodePngFast(Multimodal.encodePng(px, w, h))
+      assert(dw == w && dh == h, s"dims $w x $h")
+      assert(dpx.sameElements(px), s"pixels $w x $h seed=$seed")
+    }
+  }
+
+  test("pq_encode property: codes always in [0, k) for arbitrary vectors and shapes") {
+    val caseGen = for {
+      m <- Gen.oneOf(1, 2, 4, 8)
+      k <- Gen.oneOf(1, 2, 16)
+      subDim <- Gen.choose(1, 4)
+      nVec <- Gen.choose(1, 6)
+    } yield (m, k, subDim, nVec)
+    sample(caseGen, 40).zipWithIndex.foreach { case ((m, k, subDim, nVec), i) =>
+      val rnd = new scala.util.Random(1000L + i)
+      val codebooks = Array.fill(m * k)(Array.fill(subDim)(rnd.nextDouble() * 2 - 1))
+      val vecs = Seq.fill(nVec)(Array.fill(m * subDim)(rnd.nextFloat() * 2 - 1))
+      val out = vecs.toDF("v").select(
+        graft.functions.TextVectorExpressions.pq_encode(col("v"), codebooks, m, k)
+          .as("codes")).collect()
+      out.foreach { r =>
+        val codes = r.getSeq[Int](0)
+        assert(codes.length == m)
+        assert(codes.forall(c => c >= 0 && c < k), s"m=$m k=$k codes=$codes")
+      }
+    }
+  }
+
+  test("splitAssign property: total, deterministic, and weight-consistent for arbitrary weights") {
+    val weightsGen = for {
+      a <- Gen.choose(1, 98)
+      b <- Gen.choose(1, 99 - a)
+    } yield Seq(("train", a / 100.0), ("val", b / 100.0), ("test", (100 - a - b) / 100.0))
+    sample(weightsGen, 20).foreach { weights =>
+      val ids = (0L until 1000L).toDF("id")
+      val out = ids.select(TextOps.splitAssign(col("id"), weights).as("s"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // total: every id lands in exactly one declared split
+      assert(out.values.sum == 1000L, s"$weights -> $out")
+      assert(out.keySet.subsetOf(weights.map(_._1).toSet))
+      // weight-consistent within a generous tolerance (hash is uniform-ish,
+      // 1000 samples): each observed share within 12 points of its weight
+      weights.foreach { case (name, wt) =>
+        val got = out.getOrElse(name, 0L) / 1000.0
+        assert(math.abs(got - wt) < 0.12, f"$name want=$wt%.2f got=$got%.2f")
+      }
+    }
+  }
+}
