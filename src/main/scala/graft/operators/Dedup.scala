@@ -247,17 +247,17 @@ object Dedup {
     * keep/drop decision per document (transitive closure: A~B, B~C ⇒
     * {A,B,C} is one cluster even if A~C was never emitted).
     *
-    * Algorithm: iterated min-label propagation — each node adopts the
-    * minimum label in its closed neighborhood until fixpoint, entirely in
-    * joins/aggregations (one equi-join + one groupBy per iteration, both
-    * AQE-manageable). Iterations scale with component diameter: near-dup
-    * graphs are clique-ish (every copy pairs with most others), so 2–4
-    * rounds in practice. Each round `localCheckpoint`s the labels —
-    * without lineage truncation the plan doubles per iteration and
-    * planning time dominates by round 10. A worst-case long-path graph
-    * would want the large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") — same join
-    * primitives, O(log²) rounds; diameters here don't justify it.
+    * Algorithm: iterated min-label propagation with pointer halving —
+    * each round every node adopts the minimum label in its closed
+    * neighborhood (one equi-join + one groupBy) and then shortcuts to its
+    * label's label (one self-join): since labels only decrease, the
+    * halving step compresses label chains geometrically, giving O(log
+    * diameter) rounds even on long-path graphs (the same effect the
+    * large-star/small-star formulation of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", achieves) while clique-ish
+    * near-dup graphs still converge in 2–3. Each round `localCheckpoint`s
+    * the labels — without lineage truncation the plan doubles per
+    * iteration and planning time dominates by round 10.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
@@ -276,9 +276,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("label"), col("nbr_label")).as("label"),
-          (col("nbr_label") < col("label")).cast("long").as("_chg"))
+      val prop = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), col("label").as("_old"),
+          least(col("label"), col("nbr_label")).as("label"))
+      // pointer halving: adopt the label's own label (labels form a
+      // decreasing forest, so this is always ≤ and compresses chains —
+      // a label that is itself a root joins nothing and keeps its value)
+      val labelOfLabel = prop.select(col("id").as("label"), col("label").as("_ll"))
+      val next = prop
+        .join(labelOfLabel, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("_ll"), col("label"))) < col("_old"))
+            .cast("long").as("_chg"))
         .localCheckpoint(true)
       // coalesce: sum over an empty frame is NULL (an empty pair list —
       // a clean corpus — must converge, not NPE)

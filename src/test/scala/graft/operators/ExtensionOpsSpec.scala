@@ -39,6 +39,13 @@ class ExtensionOpsSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // worst case for plain propagation: a 64-node path (diameter 63) must
+    // converge well inside 12 rounds — the pointer-halving step compresses
+    // label chains geometrically (O(log d)), plain propagation would need 63
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val longCc = Dedup.connectedComponents(path, "a_id", "b_id", maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(longCc.length == 64 && longCc.forall(_._2 == 0L))
   }
 
   test("keepDecisions: one keeper per cluster, singletons kept, full-corpus coverage") {
