@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangId(exprs.head)))
 
+    import graft.functions.ShingleHashSeq
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash_seq"),
+      new ExpressionInfo(classOf[ShingleHashSeq].getName, "shingle_hash_seq"),
+      (exprs: Seq[Expression]) => ShingleHashSeq(exprs(0), litInt(exprs(1)))))
+
     // quantizer-model kernels: the centroid/codebook matrix arrives as a
     // foldable nested-array literal (same contract as the Column wrappers)
     import graft.functions.{NearestCentroids, PqAdcExpr, PqEncodeExpr, PqLutExpr, TextVectorExpressions}

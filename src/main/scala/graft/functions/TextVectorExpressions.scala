@@ -220,6 +220,27 @@ object TextVectorKernels {
     bucket
   }
 
+  /** Positional shingle hashes: hash of the word-n-gram STARTING at each
+    * token position, in order, no dedup — array index IS the token
+    * position, which is what duplicated-span detection needs (the set
+    * variant [[shingleHashes]] serves Jaccard/MinHash). Docs shorter than
+    * n tokens return an empty array: they cannot contain an n-token span.
+    */
+  def shingleHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val h = tokenHashes(text)
+    if (h.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](h.length - n + 1)
+    var i = 0
+    while (i <= h.length - n) {
+      var acc = 1125899906842597L
+      var j = 0
+      while (j < n) { acc = acc * 31 + h(i + j); j += 1 }
+      out(i) = mix64(acc)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode: argmin-L2 codeword per subspace (ties →
     * lower codeword id). `codebooks` is the flattened (m·k)×subDim matrix,
     * sub s's codewords at rows s·k … s·k+k-1. Returns m codeword ids.
@@ -457,6 +478,22 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Positional word-n-gram hashes of text (index = token position). */
+case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hash_seq requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.shingleHashSeq(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.shingleHashSeq($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hash_seq"
+}
+
 /** PQ codeword assignment of a vector against an embedded flattened
   * codebook matrix — map-only broadcast-model scoring, like
   * [[NearestCentroids]] but argmin-L2 per subspace.
@@ -563,6 +600,11 @@ object TextVectorExpressions {
 
   def shingle_hashes(c: Column, n: Int): Column = {
     register(SparkSession.active); call_function("shingle_hashes", c, lit(n))
+  }
+  def shingle_hash_seq(c: Column, n: Int): Column = {
+    Registry.registerOnce(SparkSession.active, "shingle_hash_seq")(
+      exprs => ShingleHashSeq(exprs(0), litInt(exprs(1))))
+    call_function("shingle_hash_seq", c, lit(n))
   }
   def minhash_signature(c: Column, k: Int): Column = {
     register(SparkSession.active); call_function("minhash_signature", c, lit(k))

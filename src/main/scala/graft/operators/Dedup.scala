@@ -241,6 +241,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact duplicated-SPAN detection (substring-level dedup, the Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    * operation): token spans of ≥ `n` words that appear verbatim in at
+    * least `minDocs` distinct documents, reported per document with the
+    * overlapping/adjacent hash windows merged into maximal spans.
+    *
+    * Plan shape, all declarative: positional rolling n-gram hashes
+    * ([[graft.functions.ShingleHashSeq]] kernel, map-only) → one shuffle
+    * on the hash for the cross-doc frequency filter → per-doc
+    * gaps-and-islands interval merge (running-max window + island
+    * cumsum — no per-row state, no UDF). A duplicated run of L ≥ n tokens
+    * yields L−n+1 consecutive windows, which the merge collapses to one
+    * (start, end) span. At 100 TB the hash-frequency join is a standard
+    * AQE-splittable equi-join; the window partitions by doc, which is the
+    * natural distribution of the input.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens), token positions
+    * 0-based inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n ≥ 1 and minDocs ≥ 2 (got n=$n, minDocs=$minDocs)")
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.TextVectorExpressions.shingle_hash_seq(
+        col(textCol), n)).as(Seq("pos", "h")))
+    // cross-doc frequency: a hash kept only if seen in ≥ minDocs docs
+    // (count distinct is exact; at extreme corpus sizes swap for a
+    // two-level groupBy((h, doc)) → groupBy(h) count, same plan family)
+    val dupHashes = hashed.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val dupPos = hashed.join(dupHashes, "h")
+      .select(col("doc_id"), col("pos").as("start"),
+        (col("pos") + lit(n - 1)).as("end"))
+    // gaps-and-islands: a window starts a new island iff it begins past
+    // the running max end + 1 of everything before it
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val islands = dupPos
+      .withColumn("prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start") > col("prev_max_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(w))
+    islands.groupBy("doc_id", "island")
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Connected components over an undirected dup-pair edge list:
     * (id, cluster_id), cluster_id = the component's minimum id — the
     * missing step between pairwise near-dup output and an actual

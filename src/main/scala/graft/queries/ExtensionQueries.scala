@@ -71,6 +71,13 @@ object ExtensionQueries {
         "vec_id", "embedding", minCos = 0.99)
         .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x05_dedup_embedding")),
 
+    // Substring-level dedup: maximal ≥8-token spans appearing verbatim in
+    // ≥2 docs (planted truncated copies share their whole prefix run).
+    Q("x21_dedup_spans",
+      (s, d) => Dedup.duplicateSpans(plantTextDups(Tables.documents(s, d)),
+        "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start"), F1OracleSql.sql.get("x21_dedup_spans")),
+
     // Pairs → verdicts: connected components over the LSH pair graph, one
     // keep/drop row per document (transitive closure picks up A~C via B).
     Q("x17_dedup_clusters",

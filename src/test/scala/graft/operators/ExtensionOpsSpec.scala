@@ -62,6 +62,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(byId(4L) == (4L, true))
   }
 
+  test("duplicateSpans: finds shared runs, merges windows, ignores short/unique text") {
+    val docs = Seq(
+      // docs 1 and 2 share the 10-token run "a b c d e f g h i j" at
+      // different positions; doc 3 shares nothing long enough
+      (1L, "a b c d e f g h i j unique tail one"),
+      (2L, "prefix two words a b c d e f g h i j"),
+      (3L, "a b c d e completely different ending here now"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // 10-token run with n=8 → 3 consecutive windows, merged into ONE span
+    assert(spans.toSeq == Seq((1L, 0, 9, 10), (2L, 3, 12, 10)), spans.toSeq.toString)
+    // determinism
+    val again = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(again.sameElements(spans))
+    // two disjoint shared runs in one doc stay two spans
+    val multi = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 GAP1 GAP2 y1 y2 y3 y4 y5 y6 y7 y8"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 OTHER WORDS HERE NOW"),
+      (3L, "y1 y2 y3 y4 y5 y6 y7 y8 SOMETHING ELSE ENTIRELY THERE")
+    ).toDF("doc_id", "text")
+    val ms = Dedup.duplicateSpans(multi, "doc_id", "text", n = 8, minDocs = 2)
+      .filter(col("doc_id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(ms.toSeq == Seq((0, 7), (10, 17)), ms.toSeq.toString)
+  }
+
   test("keepDecisions edge cases: clean corpus (no pairs), pairs from a superset of docs") {
     // a clean corpus produces ZERO pairs — must converge to all-keep, not NPE
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
