@@ -59,6 +59,9 @@ object ScaleProbe {
     timed("keep_decisions") {
       Dedup.keepDecisions(docs, "doc_id", pairs).filter(!col("keep")).count()
     }
+    timed("duplicate_spans") {
+      Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, minDocs = 2).count()
+    }
     val cut = (factor.toLong - 1) * 1000000L
     timed("incremental_lsh") {
       Dedup.minhashLshIncremental(
