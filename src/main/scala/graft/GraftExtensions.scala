@@ -25,10 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ParsePyLine].getName, "parse_pyline"),
       (exprs: Seq[Expression]) => ParsePyLine(exprs.head)))
 
-    def litInt(e: Expression): Int = e.eval(null) match {
-      case i: Int => i; case l: Long => l.toInt
-      case other  => throw new IllegalArgumentException(s"expected int literal, got $other")
-    }
+    // shared with the Column-wrapper registration path (same contract)
+    def litInt(e: Expression): Int =
+      graft.functions.TextVectorExpressions.litInt(e)
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),

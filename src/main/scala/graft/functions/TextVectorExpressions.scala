@@ -578,7 +578,7 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
   */
 object TextVectorExpressions {
 
-  private def litInt(e: Expression): Int =
+  private[graft] def litInt(e: Expression): Int =
     e.eval(null) match {
       case i: Int  => i
       case l: Long => l.toInt

@@ -241,11 +241,21 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Exact duplicated-SPAN detection (substring-level dedup, the Lee et
-    * al. 2022 "Deduplicating Training Data Makes Language Models Better"
-    * operation): token spans of ≥ `n` words that appear verbatim in at
-    * least `minDocs` distinct documents, reported per document with the
-    * overlapping/adjacent hash windows merged into maximal spans.
+  /** Duplicated-SPAN detection (substring-level dedup, the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * operation): token spans of ≥ `n` words whose 64-bit rolling hashes
+    * appear in at least `minDocs` distinct documents, reported per
+    * document with the overlapping/adjacent hash windows merged into
+    * maximal spans.
+    *
+    * Duplicate means hash-identical, not verified-verbatim: at ~10^11
+    * distinct n-grams a 64-bit space yields a statistically certain
+    * trickle of colliding pairs, each a span that is not actually
+    * repeated text. Lee et al.'s exact formulation is a suffix array; a
+    * verbatim-verify pass here would mean shipping the span text through
+    * the hash shuffle (the same memory hazard the LSH operators avoid by
+    * shipping ids only). Callers cutting spans at extreme scale should
+    * re-read the flagged spans' text before deletion.
     *
     * Plan shape, all declarative: positional rolling n-gram hashes
     * ([[graft.functions.ShingleHashSeq]] kernel, map-only) → one shuffle
@@ -264,6 +274,13 @@ object Dedup {
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2,
       s"need n ≥ 1 and minDocs ≥ 2 (got n=$n, minDocs=$minDocs)")
+    // read by BOTH the frequency aggregate and the position join, and
+    // deliberately NOT persisted: the exploded frame is ~20 bytes/token
+    // vs ~6 bytes/token of source text, so materializing it costs more
+    // than running the cheap tokenize+hash map twice (measured at the
+    // 50k-doc probe: 3.8 s recompute vs 4.9 s persisted). If the map
+    // ever grows expensive relative to its output, the one-shuffle shape
+    // is groupBy(h, doc).agg(collect_list(pos)) → window-count over h.
     val hashed = docs.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.TextVectorExpressions.shingle_hash_seq(
         col(textCol), n)).as(Seq("pos", "h")))
@@ -328,9 +345,13 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      // materialized once: the halving self-join reads this twice, and
+      // without the checkpoint the labels⋈nbrMin join would execute
+      // twice per round
       val prop = labels.join(nbrMin, Seq("id"))
         .select(col("id"), col("label").as("_old"),
           least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint(true)
       // pointer halving: adopt the label's own label (labels form a
       // decreasing forest, so this is always ≤ and compresses chains —
       // a label that is itself a root joins nothing and keeps its value)
@@ -346,8 +367,9 @@ object Dedup {
       // a clean corpus — must converge, not NPE)
       changed = next.agg(coalesce(sum("_chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.drop("_chg")
-      // the superseded checkpoint would otherwise pin executor storage for
+      // superseded checkpoints would otherwise pin executor storage for
       // the session lifetime, once per iteration
+      prop.unpersist()
       if (prev ne labels) prev.unpersist()
       iter += 1
     }
