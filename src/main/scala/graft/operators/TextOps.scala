@@ -103,6 +103,35 @@ object TextOps {
       array_min(graft.functions.TextVectorExpressions.shingle_hashes(text, 5))
         .as("min_shingle_hash"))
 
+  /** Token-window chunking for context-window preparation: whitespace
+    * tokens re-joined into windows of `chunkSize` tokens starting every
+    * `stride` tokens (stride < chunkSize ⇒ overlapping windows; the last
+    * window may be shorter). Map-only — a projection + explode, no
+    * shuffle, no UDF; the token array materializes as a column first so
+    * the window lambda captures a bound attribute, not a re-evaluated
+    * split (the HOF-recapture pitfall). Tokenization is [[wsTokens]],
+    * whose trim+`\s+` semantics the x09 oracle already pins against SQL.
+    *
+    * Output per doc: (chunk_idx, chunk, n_tokens), one row per window,
+    * starts at 0, stride, 2·stride … while < token count.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize ($chunkSize) and stride ($stride) must be ≥ 1")
+    docs.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 1, lit(stride)),
+          start => struct(
+            concat_ws(" ", slice(col("toks"), start + 1, lit(chunkSize))).as("chunk"),
+            least(lit(chunkSize), size(col("toks")) - start).as("n_tokens"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
+  }
+
   /** Deterministic train/val/test assignment from a numeric id: a
     * Knuth-multiplicative hash of the id mapped to [0,1), compared against
     * cumulative weight thresholds. Map-only (no shuffle, no RNG state), so

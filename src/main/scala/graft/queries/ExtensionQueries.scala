@@ -216,6 +216,23 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
+    // Context-window chunking: 64-token windows every 32 tokens
+    // (overlapping), re-derived verbatim in SQL — tokenization parity
+    // with DuckDB is already pinned by the x09 oracle. The nums cross
+    // join bounds windows at 10k/doc; a longer doc would make the Spark
+    // side emit more chunks than the oracle and fail the row compare.
+    Q("x22_text_chunking",
+      (s, d) => TextOps.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 64, stride = 32)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("SELECT t.doc_id, CAST(nums.i AS INT) AS chunk_idx, " +
+        "array_to_string(t.toks[nums.i*32+1 : least(nums.i*32+64, len(t.toks))], ' ') AS chunk, " +
+        "CAST(least(64, len(t.toks) - nums.i*32) AS INT) AS n_tokens " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE trim(text) <> '') t " +
+        "JOIN (SELECT unnest(range(0, 10000)) AS i) nums ON nums.i*32 < len(t.toks) " +
+        "ORDER BY doc_id, chunk_idx")),
+
     Q("x11_text_fingerprint",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))

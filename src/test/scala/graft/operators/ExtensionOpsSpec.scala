@@ -149,6 +149,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(batch.filter(p => incIds(p._1) || incIds(p._2)) == pairs)
   }
 
+  test("chunk: overlapping windows, short tail, empty-doc safety") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   "),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t6 t7 t8 t9", 4), (1L, 3, "t9", 1)))
+    // doc 2: one window, shorter than chunkSize
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "only three tokens", 3)))
+    // whitespace-only and empty docs emit nothing
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("splitAssign: deterministic, exhaustive, weight-proportional") {
     val ids = (0L until 2000L).toDF("doc_id")
     val out = ids.select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"))
