@@ -71,6 +71,30 @@ object ExtensionQueries {
         "vec_id", "embedding", minCos = 0.99)
         .orderBy("a_id", "b_id"), F1OracleSql.sql.get("x05_dedup_embedding")),
 
+    // The end-to-end corpus-cleaning composition a training pipeline
+    // actually runs: language gate → quality gate → near-dup cluster
+    // keepers only → per-language survivor stats. Exercises the ops
+    // composing (filters push into the same scan; the dedup verdict is a
+    // broadcast-able join of drop ids).
+    Q("x23_corpus_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val planted = plantTextDups(docs)
+        val verdicts = Dedup.keepDecisions(planted, "doc_id",
+          Dedup.minhashLsh(planted, "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
+        val survivors = docs
+          .join(verdicts.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
+          .filter(TextOps.langId(col("text")).isin("en", "es", "fr", "de"))
+          .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        survivors
+          .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang_pred")
+      }, F1OracleSql.sql.get("x23_corpus_clean")),
+
     // Substring-level dedup: maximal ≥8-token spans appearing verbatim in
     // ≥2 docs (planted truncated copies share their whole prefix run).
     Q("x21_dedup_spans",
