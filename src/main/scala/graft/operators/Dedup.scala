@@ -241,6 +241,55 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** [[minhashLshIncremental]] as a running Structured Streaming query:
+    * each arriving micro-batch of (idCol, textCol) documents is scored
+    * against the accumulated seen-corpus state table plus itself, the
+    * surviving pairs append to `pairsDir`, and the batch then joins the
+    * state — so every document is probed exactly once, O(increment) per
+    * batch, and the union of emitted pairs over any arrival split equals
+    * the one-shot batch run (the batch-parity property the spec pins).
+    *
+    * State is a plain parquet table of raw documents (the signature
+    * computation recomputes per batch — at scale, persist (id, sig) in
+    * the state table instead; the operator seam is identical). Restarts
+    * are covered by the checkpoint: a replayed batch re-derives the same
+    * pairs (dedup downstream by (a_id, b_id)) and re-appends its docs —
+    * `dropDuplicates` on read or a [[graft.sinks.TableSink.dedupAppend]]
+    * state sink handles at-least-once delivery.
+    */
+  def streamingMinhashDedup(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, pairsDir: String, checkpointDir: String,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_dedup")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select(col(idCol), col(textCol)).persist()
+        try {
+          val s = docs.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val pairs =
+            if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+              minhashLshIncremental(s.read.parquet(stateDir), docs,
+                idCol, textCol, shingleN, numHashes, bands, minJaccard)
+            else
+              minhashLsh(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard)
+          pairs.write.mode("append").parquet(pairsDir)
+          docs.write.mode("append").parquet(stateDir)
+        } finally docs.unpersist()
+      }
+      .start()
+  }
+
   /** Duplicated-SPAN detection (substring-level dedup, the Lee et al.
     * 2022 "Deduplicating Training Data Makes Language Models Better"
     * operation): token spans of ≥ `n` words whose 64-bit rolling hashes

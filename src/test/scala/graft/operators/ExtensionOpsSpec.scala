@@ -125,6 +125,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(graft.functions.TextVectorKernels.pqAdc(bad, lut, 2) == 0.0)
   }
 
+  test("streaming dedup: arrival-split pair union equals the one-shot batch run") {
+    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val schema = corpus.schema
+    // the file stream source lists plain files, not nested directories —
+    // land each arrival as a single flat parquet file
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("arrival").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    // two arrival files: docs {1,3} then {2,4,5}
+    land(corpus.filter(col("doc_id").isin(1L, 3L)), "f1.parquet")
+    val q = Dedup.streamingMinhashDedup(spark, src, schema,
+      s"$base/state", s"$base/pairs", s"$base/ckpt", "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+    try {
+      q.processAllAvailable()
+      land(corpus.filter(col("doc_id").isin(2L, 4L, 5L)), "f2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // state accumulated every doc exactly once
+    assert(spark.read.parquet(s"$base/state").count() == 5)
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
