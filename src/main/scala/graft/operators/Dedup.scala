@@ -241,28 +241,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** [[minhashLshIncremental]] as a running Structured Streaming query:
-    * each arriving micro-batch of (idCol, textCol) documents is scored
-    * against the accumulated seen-corpus state table plus itself, the
-    * surviving pairs append to `pairsDir`, and the batch then joins the
-    * state — so every document is probed exactly once, O(increment) per
-    * batch, and the union of emitted pairs over any arrival split equals
-    * the one-shot batch run (the batch-parity property the spec pins).
+  /** Incremental LSH dedup as a running Structured Streaming query: each
+    * arriving micro-batch of (idCol, textCol) documents is shingled and
+    * signed ONCE, scored against the accumulated (id, sig) signature
+    * state table plus itself ([[incrementalFromSigs]]), the surviving
+    * pairs append to `pairsDir`, and the batch's signatures append to the
+    * state. Per-batch work: signature computation over the increment only
+    * (every document's text is shingled exactly once, ever), plus a
+    * columnar band-bucket scan of the signature store for the probe join
+    * (at extreme scale, persist the band buckets in the store too —
+    * [[bandBuckets]] is the seam). The union of emitted pairs over any
+    * arrival split equals the one-shot batch run (the batch-parity
+    * property the spec pins).
     *
-    * State is a plain parquet table of raw documents (the signature
-    * computation recomputes per batch — at scale, persist (id, sig) in
-    * the state table instead; the operator seam is identical). Restarts
+    * The batch's signature frame is persisted and unpersisted INSIDE the
+    * batch — a long-running stream must not grow the session cache (the
+    * batch drivers' clearCache() escape hatch never runs here). Restarts
     * are covered by the checkpoint: a replayed batch re-derives the same
-    * pairs (dedup downstream by (a_id, b_id)) and re-appends its docs —
-    * `dropDuplicates` on read or a [[graft.sinks.TableSink.dedupAppend]]
-    * state sink handles at-least-once delivery.
+    * pairs (dedup downstream by (a_id, b_id)) and re-appends its
+    * signatures (filtered against the store, so the state stays one row
+    * per id). `compactEvery` > 0 compacts the state table every that many
+    * batches ([[graft.sinks.TableSink.compact]]) — an append-per-batch
+    * table otherwise accretes one small file per trigger.
     */
   def streamingMinhashDedup(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, schema: org.apache.spark.sql.types.StructType,
       stateDir: String, pairsDir: String, checkpointDir: String,
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5,
+      minJaccard: Double = 0.5, compactEvery: Int = 0,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -271,21 +278,31 @@ object Dedup {
       .queryName("graft_dedup")
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = batch.select(col(idCol), col(textCol)).persist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val incSigs = minhashSigs(batch.select(col(idCol), col(textCol)),
+          idCol, textCol, shingleN, numHashes).persist()
         try {
-          val s = docs.sparkSession
           val fs = new org.apache.hadoop.fs.Path(stateDir)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val pairs =
+          // schema-on-read: an existing-but-empty state dir (crash inside
+          // the first state write, pre-created dir) must read as an empty
+          // frame, not fail schema inference forever
+          val store =
             if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-              minhashLshIncremental(s.read.parquet(stateDir), docs,
-                idCol, textCol, shingleN, numHashes, bands, minJaccard)
-            else
-              minhashLsh(docs, idCol, textCol, shingleN, numHashes, bands, minJaccard)
-          pairs.write.mode("append").parquet(pairsDir)
-          docs.write.mode("append").parquet(stateDir)
-        } finally docs.unpersist()
+              s.read.schema(incSigs.schema).parquet(stateDir)
+            else incSigs.limit(0)
+          // scoring uses the incoming signature for any re-arrived id...
+          val seenSigs = store.join(incSigs.select("id"), Seq("id"), "left_anti")
+          incrementalFromSigs(seenSigs, incSigs, numHashes, bands, minJaccard)
+            .write.mode("append").parquet(pairsDir)
+          // ...but the state keeps its first-seen row per id: a replayed
+          // batch (checkpoint recovery) must not append duplicates
+          incSigs.join(store.select("id"), Seq("id"), "left_anti")
+            .write.mode("append").parquet(stateDir)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.sinks.TableSink.compact(s, stateDir)
+        } finally incSigs.unpersist()
       }
       .start()
   }
@@ -476,6 +493,18 @@ object Dedup {
     // to that id and every one of its candidate pairs would emit twice
     val seenSigs = minhashSigs(seen, idCol, textCol, shingleN, numHashes)
       .join(incSigs.select("id"), Seq("id"), "left_anti").persist()
+    incrementalFromSigs(seenSigs, incSigs, numHashes, bands, minJaccard)
+  }
+
+  /** The signature-level core of [[minhashLshIncremental]]: pairs of
+    * `incSigs` against `seenSigs` ∪ `incSigs`, given (id, sig) frames.
+    * This is the seam a production ingest loop calls with a PERSISTED
+    * signature store (see [[streamingMinhashDedup]]) — each document's
+    * text is shingled exactly once in its arrival batch, ever.
+    * Assumes disjoint ids between the two frames (callers de-conflict).
+    */
+  private[operators] def incrementalFromSigs(seenSigs: DataFrame, incSigs: DataFrame,
+      numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     val allSigs = seenSigs.unionByName(incSigs)
     // probe side: ONLY the increment; build side: full corpus (seen +
     // incoming, so new-vs-new pairs surface too). Id pairs only, as ever.

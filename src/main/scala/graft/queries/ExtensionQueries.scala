@@ -78,17 +78,20 @@ object ExtensionQueries {
     // broadcast-able join of drop ids).
     Q("x23_corpus_clean",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val planted = plantTextDups(docs)
-        val verdicts = Dedup.keepDecisions(planted, "doc_id",
-          Dedup.minhashLsh(planted, "doc_id", "text",
+        // the pipeline runs on the PLANTED corpus so the dedup arm is
+        // load-bearing: planted near-copies must lose their clusters and
+        // vanish from the survivor stats — a dedup regression (no pairs,
+        // all-keep) changes the frozen counts and fails the oracle
+        val corpus = plantTextDups(Tables.documents(s, d))
+        val verdicts = Dedup.keepDecisions(corpus, "doc_id",
+          Dedup.minhashLsh(corpus, "doc_id", "text",
             shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
-        val survivors = docs
+        corpus
           .join(verdicts.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
-          .filter(TextOps.langId(col("text")).isin("en", "es", "fr", "de"))
+          .withColumn("lang_pred", TextOps.langId(col("text")))
+          .filter(col("lang_pred").isin("en", "es", "fr", "de"))
           .filter(TextOps.qualityScore(col("text")) >= 0.5)
-        survivors
-          .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_pred")
           .agg(count(lit(1)).as("n_docs"),
             sum(TextOps.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
