@@ -68,6 +68,32 @@ object ScaleProbe {
         docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut),
         "doc_id", "text", 3, 32, 8, 0.5).count()
     }
+    // streaming incremental dedup: the same corpus in 5 arrival files —
+    // per-batch cost must track the increment, not the accumulated state
+    timed("streaming_dedup_5_batches") {
+      val base = java.nio.file.Files.createTempDirectory("sdprobe").toString
+      val src = s"$base/src"
+      new java.io.File(src).mkdirs()
+      def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("arr").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+      }
+      val q = Dedup.streamingMinhashDedup(spark, src, docs.schema,
+        s"$base/state", s"$base/pairs", s"$base/ckpt", "doc_id", "text",
+        compactEvery = 4)
+      try {
+        (0 until 5).foreach { i =>
+          land(docs.filter(pmod(col("doc_id"), lit(5)) === i), f"a$i.parquet")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      println(s"""{"probe":"streaming_dedup_pairs","n":${
+        spark.read.parquet(s"$base/pairs").dropDuplicates("a_id", "b_id").count()},"state_rows":${
+        spark.read.parquet(s"$base/state").count()}}""")
+    }
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until factor).map(i => emb0.select(
       (col("vec_id") + lit(i * 1000000L)).as("c_id"), col("embedding").as("c_vec")))
