@@ -41,10 +41,21 @@ object Bench {
       }
     }
 
-    // JVM/codegen warm-up on the smallest SF so measured numbers reflect
-    // steady-state execution, not first-query JIT + classloading.
-    SparkEntry.queries.get("q01_filter_count")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    // JVM/codegen warm-up so measured numbers reflect steady-state
+    // execution, not first-query JIT + classloading. The two heaviest
+    // registry queries get a full untimed pass: their cold runs are
+    // dominated by codegen compile + codec JIT (BASELINE.md measures a
+    // 6.5× cold/warm band on x15), which on real 100 TB inputs amortizes
+    // to zero but at fixture scale swamps the signal the regression guard
+    // reads.
+    Seq("q01_filter_count", "x15_multimodal_resize", "x23_corpus_clean")
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+          finally spark.catalog.clearCache()
+        }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)

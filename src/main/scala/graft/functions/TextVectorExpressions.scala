@@ -313,9 +313,11 @@ object TextVectorKernels {
     while (s < m) {
       val code = codes.getInt(s)
       val idx = s * k + code
-      // both bounds: pq_adc is SQL-callable with arbitrary arrays, and a
-      // negative code would read off the front of the LUT
-      if (code >= 0 && idx < lut.numElements()) acc += lut.getDouble(idx)
+      // all three bounds: pq_adc is SQL-callable with arbitrary arrays — a
+      // negative code would read off the front of the LUT, and a code in
+      // [k, 2k) would silently read the NEXT subspace's LUT slot (a wrong
+      // term, not a skip) without the code < k check
+      if (code >= 0 && code < k && idx < lut.numElements()) acc += lut.getDouble(idx)
       s += 1
     }
     acc

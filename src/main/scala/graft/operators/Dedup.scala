@@ -241,28 +241,57 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Release the storage blocks of a `localCheckpoint`'d Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries — a local
+    * checkpoint's blocks belong to the underlying RDD (held by the plan's
+    * `LogicalRDD` leaf) and stay resident until the ContextCleaner GCs
+    * them; iterative algorithms that supersede a checkpoint per round must
+    * unpersist that RDD directly or pin O(iterations) executor storage.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Incremental LSH dedup as a running Structured Streaming query: each
     * arriving micro-batch of (idCol, textCol) documents is shingled and
-    * signed ONCE, scored against the accumulated (id, sig) signature
-    * state table plus itself ([[incrementalFromSigs]]), the surviving
-    * pairs append to `pairsDir`, and the batch's signatures append to the
-    * state. Per-batch work: signature computation over the increment only
-    * (every document's text is shingled exactly once, ever), plus a
-    * columnar band-bucket scan of the signature store for the probe join
-    * (at extreme scale, persist the band buckets in the store too —
-    * [[bandBuckets]] is the seam). The union of emitted pairs over any
-    * arrival split equals the one-shot batch run (the batch-parity
-    * property the spec pins).
+    * signed ONCE, scored against the accumulated signature state plus
+    * itself ([[incrementalFromBuckets]]), the surviving pairs append to
+    * `pairsDir`, and the batch's signatures AND band buckets append to the
+    * state.
+    *
+    * State layout under `stateDir`: `sigs/` = (id, sig) one row per doc,
+    * `buckets/` = (id, band, band_hash) `bands` rows per doc — the
+    * persisted band-bucket INDEX. Per-batch work is O(increment + matched
+    * buckets): the increment is shingled/signed/bucketed once, and the
+    * probe joins the increment's buckets against the STORED index — band
+    * buckets are never re-derived over the full signature store (the scan
+    * of the stored index is a 3-column columnar read with no explode/hash
+    * work, and with the state bucketed on `band_hash` even that becomes a
+    * pruned lookup).
+    *
+    * The union of emitted pairs over any arrival split equals the one-shot
+    * batch run (the batch-parity property the spec pins). Duplicate ids
+    * WITHIN one micro-batch keep one row (`dropDuplicates("id")`) — the
+    * one-row-per-id state invariant starts inside the batch, not just at
+    * the store anti-join.
     *
     * The batch's signature frame is persisted and unpersisted INSIDE the
     * batch — a long-running stream must not grow the session cache (the
-    * batch drivers' clearCache() escape hatch never runs here). Restarts
-    * are covered by the checkpoint: a replayed batch re-derives the same
-    * pairs (dedup downstream by (a_id, b_id)) and re-appends its
-    * signatures (filtered against the store, so the state stays one row
-    * per id). `compactEvery` > 0 compacts the state table every that many
-    * batches ([[graft.sinks.TableSink.compact]]) — an append-per-batch
-    * table otherwise accretes one small file per trigger.
+    * batch drivers' clearCache() escape hatch never runs here). State
+    * appends are materialized (`localCheckpoint`) BEFORE writing: the
+    * new-row filter anti-joins against the directory the append then
+    * writes to, and a lazy self-referential read-modify-append is only
+    * safe under V1 listing timing by accident. Restarts are covered by the
+    * streaming checkpoint: a replayed batch re-derives the same pairs
+    * (dedup downstream by (a_id, b_id)), and each state table re-filters
+    * the increment against its OWN contents, so a crash between the two
+    * appends heals on replay with no duplicate state rows. `compactEvery`
+    * > 0 compacts both state tables every that many batches
+    * ([[graft.sinks.TableSink.compact]]) — append-per-batch tables
+    * otherwise accrete one small file per trigger.
     */
   def streamingMinhashDedup(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, schema: org.apache.spark.sql.types.StructType,
@@ -273,6 +302,9 @@ object Dedup {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireBands(numHashes, bands)
+    val sigsDir = s"$stateDir/sigs"
+    val bucketsDir = s"$stateDir/buckets"
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .queryName("graft_dedup")
@@ -281,27 +313,50 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val incSigs = minhashSigs(batch.select(col(idCol), col(textCol)),
-          idCol, textCol, shingleN, numHashes).persist()
+          idCol, textCol, shingleN, numHashes)
+          .dropDuplicates("id").persist()
         try {
           val fs = new org.apache.hadoop.fs.Path(stateDir)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+          val incBuckets = bandBuckets(incSigs, numHashes, bands)
           // schema-on-read: an existing-but-empty state dir (crash inside
           // the first state write, pre-created dir) must read as an empty
           // frame, not fail schema inference forever
-          val store =
-            if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-              s.read.schema(incSigs.schema).parquet(stateDir)
+          val sigStore =
+            if (exists(sigsDir)) s.read.schema(incSigs.schema).parquet(sigsDir)
             else incSigs.limit(0)
-          // scoring uses the incoming signature for any re-arrived id...
-          val seenSigs = store.join(incSigs.select("id"), Seq("id"), "left_anti")
-          incrementalFromSigs(seenSigs, incSigs, numHashes, bands, minJaccard)
+          val bucketStore =
+            if (exists(bucketsDir))
+              s.read.schema(incBuckets.schema).parquet(bucketsDir)
+            else incBuckets.limit(0)
+          // scoring uses the incoming signature for any re-arrived id —
+          // its stored sig AND stored buckets drop out of the probe
+          val seenSigs = sigStore.join(incSigs.select("id"), Seq("id"), "left_anti")
+          val seenBuckets = bucketStore.join(incSigs.select("id"), Seq("id"), "left_anti")
+          incrementalFromBuckets(seenSigs, seenBuckets, incSigs, incBuckets,
+            numHashes, minJaccard)
             .write.mode("append").parquet(pairsDir)
-          // ...but the state keeps its first-seen row per id: a replayed
-          // batch (checkpoint recovery) must not append duplicates
-          incSigs.join(store.select("id"), Seq("id"), "left_anti")
-            .write.mode("append").parquet(stateDir)
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            graft.sinks.TableSink.compact(s, stateDir)
+          // the state keeps its first-seen row per id: a replayed batch
+          // (checkpoint recovery) must not append duplicates. Each table
+          // filters against its own store, so a crash between the two
+          // appends heals on replay.
+          val newSigs = incSigs.join(sigStore.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          val newBuckets = incBuckets
+            .join(bucketStore.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          try {
+            newSigs.write.mode("append").parquet(sigsDir)
+            newBuckets.write.mode("append").parquet(bucketsDir)
+          } finally {
+            releaseLocalCheckpoint(newSigs)
+            releaseLocalCheckpoint(newBuckets)
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            graft.sinks.TableSink.compact(s, sigsDir)
+            graft.sinks.TableSink.compact(s, bucketsDir)
+          }
         } finally incSigs.unpersist()
       }
       .start()
@@ -433,13 +488,15 @@ object Dedup {
       // a clean corpus — must converge, not NPE)
       changed = next.agg(coalesce(sum("_chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.drop("_chg")
-      // superseded checkpoints would otherwise pin executor storage for
-      // the session lifetime, once per iteration
-      prop.unpersist()
-      if (prev ne labels) prev.unpersist()
+      // superseded checkpoints would otherwise pin executor storage once
+      // per iteration — and Dataset.unpersist does NOT release them (it
+      // only clears CacheManager entries), so unpersist the checkpoint's
+      // underlying RDD directly
+      releaseLocalCheckpoint(prop)
+      if (prev ne labels) releaseLocalCheckpoint(prev)
       iter += 1
     }
-    edges.unpersist()
+    releaseLocalCheckpoint(edges)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters iterations — " +
         "component diameter exceeds the propagation budget; raise maxIters " +
@@ -504,13 +561,28 @@ object Dedup {
     * Assumes disjoint ids between the two frames (callers de-conflict).
     */
   private[operators] def incrementalFromSigs(seenSigs: DataFrame, incSigs: DataFrame,
-      numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+      numHashes: Int, bands: Int, minJaccard: Double): DataFrame =
+    incrementalFromBuckets(seenSigs, bandBuckets(seenSigs, numHashes, bands),
+      incSigs, bandBuckets(incSigs, numHashes, bands), numHashes, minJaccard)
+
+  /** The band-bucket-level core of the incremental variants: pairs of
+    * `incSigs` against `seenSigs` ∪ `incSigs`, with the candidate join
+    * running over ALREADY-MATERIALIZED bucket frames — the seam
+    * [[streamingMinhashDedup]] feeds from its persisted (id, band,
+    * band_hash) index so per-trigger work never re-derives buckets over
+    * the accumulated corpus. Assumes disjoint ids between seen and inc
+    * (callers de-conflict) and that `seenBuckets`/`incBuckets` are the
+    * [[bandBuckets]] expansion of the matching signature frame.
+    */
+  private[operators] def incrementalFromBuckets(seenSigs: DataFrame, seenBuckets: DataFrame,
+      incSigs: DataFrame, incBuckets: DataFrame,
+      numHashes: Int, minJaccard: Double): DataFrame = {
     val allSigs = seenSigs.unionByName(incSigs)
     // probe side: ONLY the increment; build side: full corpus (seen +
     // incoming, so new-vs-new pairs surface too). Id pairs only, as ever.
-    val probe = bandBuckets(incSigs, numHashes, bands)
+    val probe = incBuckets
       .select(col("band"), col("band_hash"), col("id").as("a_id"))
-    val build = bandBuckets(allSigs, numHashes, bands)
+    val build = seenBuckets.unionByName(incBuckets)
       .select(col("band"), col("band_hash"), col("id").as("b_id"))
     val candidates = probe.join(build, Seq("band", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))

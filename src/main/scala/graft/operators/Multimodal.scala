@@ -48,6 +48,31 @@ object Multimodal {
   private val pngSig =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
 
+  /** Per-thread zlib codec reuse. `new Deflater`/`new Inflater` allocate
+    * native zlib stream state (window buffers, ~hundreds of KB) on EVERY
+    * call — under a cold heap that churn dominated preview-sized encodes
+    * and made the x15 bench swing 6× run-to-run. Executor task threads are
+    * long-lived, so one pair per thread, `reset()` between uses, is the
+    * standard codec-pool shape (bounded: threads × one stream pair).
+    * `reset()` restores the exact initial stream state, so reused output
+    * bytes are bit-identical to a fresh instance — the frozen VALUES
+    * oracles over encoded lengths stay valid.
+    */
+  private object Zlib {
+    private val pool = new ThreadLocal[
+        (java.util.zip.Deflater, java.util.zip.Inflater)] {
+      override def initialValue() =
+        (new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED),
+          new java.util.zip.Inflater())
+    }
+    def deflater(): java.util.zip.Deflater = {
+      val d = pool.get()._1; d.reset(); d
+    }
+    def inflater(): java.util.zip.Inflater = {
+      val i = pool.get()._2; i.reset(); i
+    }
+  }
+
   private def writeChunk(out: ByteArrayOutputStream, tag: String,
       body: Array[Byte]): Unit = {
     val tb = tag.getBytes("US-ASCII")
@@ -82,13 +107,12 @@ object Multimodal {
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val defl = Zlib.deflater()
     defl.setInput(raw)
     defl.finish()
     val idat = new ByteArrayOutputStream(raw.length / 4 + 64)
     val buf = new Array[Byte](8192)
     while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
-    defl.end()
     val out = new ByteArrayOutputStream(idat.size() + 64)
     out.write(pngSig, 0, pngSig.length)
     val ihdr = java.nio.ByteBuffer.allocate(13)
@@ -139,7 +163,7 @@ object Multimodal {
       if (w == 0 || idat.size() == 0) return None
       val stride = 1 + bpp * w
       val raw = new Array[Byte](stride * h)
-      val infl = new java.util.zip.Inflater()
+      val infl = Zlib.inflater()
       infl.setInput(idat.toByteArray)
       var off = 0
       while (off < raw.length && !infl.finished()) {
@@ -147,10 +171,10 @@ object Multimodal {
         // zero progress while unfinished = truncated stream OR a preset
         // dictionary demand (FDICT) — either way not our canonical PNG;
         // without the needsDictionary case this loop would spin forever
-        if (n == 0) { infl.end(); return None }
+        // (the pooled inflater resets on next acquire, so bailing is safe)
+        if (n == 0) return None
         off += n
       }
-      infl.end()
       if (off < raw.length) return None
       // defilter in place, row by row (spec: filters act on the bpp-ahead
       // byte, with the prior row's reconstructed bytes for Up/Avg/Paeth)
@@ -619,14 +643,28 @@ object Multimodal {
 
   /** Resize every image asset to `targetW`×`targetH` (real decode +
     * bilinear + re-encode); metadata recomputed alongside the bytes,
-    * map-only, no shuffle.
+    * map-only, no shuffle. A mapPartitions pass rather than a per-row UDF:
+    * the codec kernel runs once per row with no SQL↔Scala boxing on the
+    * binary column, and per-partition iteration keeps the hot loop out of
+    * interpreted expression glue (the per-row-UDF shape was the variance
+    * tail the round-5 driver bench caught).
     */
   def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val fn = udf((c: Array[Byte]) => resizeImage(c, targetW, targetH))
-    assets.filter(col("media_type") === "image")
-      .withColumn("content", fn(col("content")))
-      .withColumn("width", lit(targetW))
-      .withColumn("height", lit(targetH))
+    val in = assets.filter(col("media_type") === "image")
+    val schema = in.schema
+    val ci = schema.fieldIndex("content")
+    val wi = schema.fieldIndex("width")
+    val hi = schema.fieldIndex("height")
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(ci) = resizeImage(r.getAs[Array[Byte]](ci), targetW, targetH)
+        vals(wi) = targetW
+        vals(hi) = targetH
+        Row(vals: _*)
+      }
+    }(encoder)
   }
 
   /** REAL video frame sampling over the PNG-frame container: parse the

@@ -139,20 +139,42 @@ object F1Pipeline {
       // Await ALL tables before declaring the batch done (and before the
       // finally-unpersist) — a failed table must fail the batch, but only
       // after its siblings finish, so no write races a cache eviction.
-      // Interrupts included: an InterruptedException must not abandon the
-      // await loop mid-way (that unpersists the cache under running sinks,
-      // the exact race the pool exists to avoid) — note it, keep waiting,
-      // re-assert the flag after the siblings land.
+      // Interrupts: an InterruptedException must not abandon the await loop
+      // immediately (that unpersists the cache under running sinks, the
+      // exact race the pool exists to avoid) — but it must not wait
+      // UNBOUNDED either, or a hung sink job makes the stream execution
+      // thread uninterruptible and StreamingQuery.stop() wedges. After the
+      // first interrupt, siblings get a bounded grace window; past the
+      // deadline the remaining sinks are cancelled and the interrupt
+      // rethrown.
       var interrupted = false
+      var deadlineNanos = 0L
+      val graceNanos = 30L * 1000 * 1000 * 1000
       val failures = pending.flatMap { f =>
         var result: Option[Throwable] = None
         var done = false
         while (!done) {
-          try { f.get(); done = true }
-          catch {
+          try {
+            if (interrupted) {
+              val remaining = deadlineNanos - System.nanoTime()
+              if (remaining <= 0) {
+                pending.foreach(_.cancel(true))
+                Thread.currentThread().interrupt()
+                throw new InterruptedException(
+                  "sink await interrupted and grace window expired; " +
+                    "remaining sink jobs cancelled")
+              }
+              f.get(remaining, java.util.concurrent.TimeUnit.NANOSECONDS)
+            } else f.get()
+            done = true
+          } catch {
             case e: java.util.concurrent.ExecutionException =>
               result = Some(e.getCause); done = true
-            case _: InterruptedException => interrupted = true
+            case _: java.util.concurrent.CancellationException => done = true
+            case _: java.util.concurrent.TimeoutException => () // re-check deadline
+            case _: InterruptedException =>
+              interrupted = true
+              if (deadlineNanos == 0L) deadlineNanos = System.nanoTime() + graceNanos
           }
         }
         result

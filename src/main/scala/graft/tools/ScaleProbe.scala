@@ -85,14 +85,20 @@ object ScaleProbe {
         s"$base/state", s"$base/pairs", s"$base/ckpt", "doc_id", "text",
         compactEvery = 4)
       try {
+        // per-arrival wall: with the persisted band-bucket index this must
+        // stay ~flat as the state grows (equal-size increments; before the
+        // index, batch N re-derived buckets over N·increment signatures)
         (0 until 5).foreach { i =>
+          val b0 = System.nanoTime()
           land(docs.filter(pmod(col("doc_id"), lit(5)) === i), f"a$i.parquet")
           q.processAllAvailable()
+          println(f"""{"probe":"streaming_dedup_batch","i":$i,"wall_sec":${
+            (System.nanoTime() - b0) / 1e9}%.1f}""")
         }
       } finally q.stop()
       println(s"""{"probe":"streaming_dedup_pairs","n":${
         spark.read.parquet(s"$base/pairs").dropDuplicates("a_id", "b_id").count()},"state_rows":${
-        spark.read.parquet(s"$base/state").count()}}""")
+        spark.read.parquet(s"$base/state/sigs").count()}}""")
     }
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until factor).map(i => emb0.select(

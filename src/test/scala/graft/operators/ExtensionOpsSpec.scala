@@ -154,8 +154,11 @@ class ExtensionOpsSpec extends SparkSpec {
     val batch = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 32, 8, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
-    // state accumulated every doc exactly once
-    assert(spark.read.parquet(s"$base/state").count() == 5)
+    // state accumulated every doc exactly once — and the persisted
+    // band-bucket index carries exactly `bands` rows per doc, matching
+    // what bandBuckets would re-derive from the signatures
+    assert(spark.read.parquet(s"$base/state/sigs").count() == 5)
+    assert(spark.read.parquet(s"$base/state/buckets").count() == 5 * 8)
   }
 
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
