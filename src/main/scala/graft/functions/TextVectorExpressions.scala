@@ -241,6 +241,38 @@ object TextVectorKernels {
     new GenericArrayData(out)
   }
 
+  /** The verbatim (whitespace-normalized, lowercased) word-`n`-gram at
+    * token position `pos` — the text counterpart of one
+    * [[shingleHashSeq]] window, tokenized identically, so (hash, gram)
+    * pairs key hash-collision checks. Tokens are joined with a single
+    * space: two texts whose windows hash equal (per-token hashes see no
+    * inter-token whitespace) canonicalize to the same gram. Null when the
+    * text has fewer than `pos + n` tokens.
+    */
+  def tokenGramAt(text: UTF8String, n: Int, pos: Int): UTF8String = {
+    if (pos < 0 || n < 1) return null
+    val s = text.toString.toLowerCase
+    val len = s.length
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    var tok = 0
+    var got = 0
+    while (i < len && got < n) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        if (tok >= pos) {
+          if (got > 0) sb.append(' ')
+          sb.append(s, st, i)
+          got += 1
+        }
+        tok += 1
+      }
+    }
+    if (got < n) null else UTF8String.fromString(sb.toString)
+  }
+
   /** Product-quantization encode: argmin-L2 codeword per subspace (ties →
     * lower codeword id). `codebooks` is the flattened (m·k)×subDim matrix,
     * sub s's codewords at rows s·k … s·k+k-1. Returns m codeword ids.
@@ -496,6 +528,32 @@ case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hash_seq"
 }
 
+/** Verbatim word-n-gram extraction at a token position — see
+  * [[TextVectorKernels.tokenGramAt]]. Null (not error) past end-of-text,
+  * so codegen handles the nullable result explicitly.
+  */
+case class TokenGramExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_gram requires (STRING, INT), got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullSafeEval(t: Any, p: Any): Any =
+    TextVectorKernels.tokenGramAt(t.asInstanceOf[UTF8String], n,
+      p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) => s"""
+      ${ev.value} = graft.functions.TextVectorKernels.tokenGramAt($t, $n, $p);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenGramExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "token_gram"
+}
+
 /** PQ codeword assignment of a vector against an embedded flattened
   * codebook matrix — map-only broadcast-model scoring, like
   * [[NearestCentroids]] but argmin-L2 per subspace.
@@ -607,6 +665,11 @@ object TextVectorExpressions {
     Registry.registerOnce(SparkSession.active, "shingle_hash_seq")(
       exprs => ShingleHashSeq(exprs(0), litInt(exprs(1))))
     call_function("shingle_hash_seq", c, lit(n))
+  }
+  def token_gram(c: Column, n: Int, pos: Column): Column = {
+    Registry.registerOnce(SparkSession.active, "token_gram")(
+      exprs => TokenGramExpr(exprs(0), exprs(2), litInt(exprs(1))))
+    call_function("token_gram", c, lit(n), pos)
   }
   def minhash_signature(c: Column, k: Int): Column = {
     register(SparkSession.active); call_function("minhash_signature", c, lit(k))

@@ -369,14 +369,19 @@ object Dedup {
     * document with the overlapping/adjacent hash windows merged into
     * maximal spans.
     *
-    * Duplicate means hash-identical, not verified-verbatim: at ~10^11
-    * distinct n-grams a 64-bit space yields a statistically certain
-    * trickle of colliding pairs, each a span that is not actually
-    * repeated text. Lee et al.'s exact formulation is a suffix array; a
-    * verbatim-verify pass here would mean shipping the span text through
-    * the hash shuffle (the same memory hazard the LSH operators avoid by
-    * shipping ids only). Callers cutting spans at extreme scale should
-    * re-read the flagged spans' text before deletion.
+    * By default duplicate means hash-identical: at ~10^11 distinct
+    * n-grams a 64-bit space yields a statistically certain trickle of
+    * colliding pairs, each a span that is not actually repeated text.
+    * `verify = true` closes that: flagged windows are re-read
+    * ([[verifySpanWindows]]) and a window survives only if its VERBATIM
+    * n-gram appears in ≥ `minDocs` documents — the grouping key becomes
+    * (hash, gram), so a collision's distinct grams split into groups
+    * below the threshold and drop. The verify pass is O(flagged), not
+    * O(corpus): only docs holding flagged windows ship their text (one
+    * doc_id equi-join), and only flagged windows' n-gram text (n tokens
+    * each, never the document) enters the regroup shuffle — the
+    * ids-only discipline of the LSH operators, relaxed exactly where
+    * deletion-from-training-data needs the verbatim guarantee.
     *
     * Plan shape, all declarative: positional rolling n-gram hashes
     * ([[graft.functions.ShingleHashSeq]] kernel, map-only) → one shuffle
@@ -392,7 +397,7 @@ object Dedup {
     * 0-based inclusive.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
+      n: Int = 8, minDocs: Int = 2, verify: Boolean = false): DataFrame = {
     require(n >= 1 && minDocs >= 2,
       s"need n ≥ 1 and minDocs ≥ 2 (got n=$n, minDocs=$minDocs)")
     // read by BOTH the frequency aggregate and the position join, and
@@ -412,7 +417,11 @@ object Dedup {
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val dupPos = hashed.join(dupHashes, "h")
+    val dupWin = hashed.join(dupHashes, "h")
+    val okWin =
+      if (verify) verifySpanWindows(docs, idCol, textCol, dupWin, n, minDocs)
+      else dupWin
+    val dupPos = okWin
       .select(col("doc_id"), col("pos").as("start"),
         (col("pos") + lit(n - 1)).as("end"))
     // gaps-and-islands: a window starts a new island iff it begins past
@@ -429,6 +438,43 @@ object Dedup {
       .agg(min("start").as("span_start"), max("end").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** The hash-collision filter behind `duplicateSpans(verify = true)`:
+    * given flagged windows (doc_id, pos, h), keep only windows whose
+    * verbatim n-gram text (whitespace-normalized + lowercased, exactly
+    * the [[graft.functions.TextVectorKernels.tokenGramAt]] counterpart
+    * of the window's hash) appears in ≥ `minDocs` distinct documents.
+    * Two non-identical grams that collide into one 64-bit hash regroup
+    * under distinct (h, gram) keys, fall below the threshold, and drop.
+    *
+    * Cost shape: text ships once per FLAGGED doc (semi-join, then one
+    * doc_id equi-join against the windows — broadcastable when the
+    * flagged set is small), gram extraction is a codegen'd kernel in the
+    * join's output projection, and the regroup shuffles n-token grams
+    * for flagged windows only — O(flagged) end to end.
+    *
+    * Exposed at window granularity so a collision can be PLANTED in a
+    * spec: feed windows where two docs share `h` at positions whose text
+    * differs and assert the window is dropped — a real 64-bit collision
+    * is not constructible on demand.
+    */
+  private[operators] def verifySpanWindows(docs: DataFrame, idCol: String,
+      textCol: String, windows: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val flaggedText = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(windows.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    // a planted/out-of-range window yields a null gram, which the inner
+    // regroup join then drops — null can never be "verified verbatim"
+    val grams = windows.join(flaggedText, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        graft.functions.TextVectorExpressions
+          .token_gram(col("_text"), n, col("pos")).as("_gram"))
+    val okKeys = grams.groupBy("h", "_gram")
+      .agg(countDistinct("doc_id").as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("h", "_gram")
+    grams.join(okKeys, Seq("h", "_gram")).select("doc_id", "pos", "h")
   }
 
   /** Connected components over an undirected dup-pair edge list:

@@ -105,6 +105,17 @@ object ExtensionQueries {
         "doc_id", "text", n = 8, minDocs = 2)
         .orderBy("doc_id", "span_start"), F1OracleSql.sql.get("x21_dedup_spans")),
 
+    // The deletion-grade variant: every reported span is verified
+    // VERBATIM-duplicated (hash-collision false spans dropped — see
+    // Dedup.verifySpanWindows). On a collision-free corpus the output
+    // equals x21 exactly; the frozen oracle pins that equivalence, and
+    // the planted-collision spec pins the divergence case.
+    Q("x21b_dedup_spans_verified",
+      (s, d) => Dedup.duplicateSpans(plantTextDups(Tables.documents(s, d)),
+        "doc_id", "text", n = 8, minDocs = 2, verify = true)
+        .orderBy("doc_id", "span_start"),
+      F1OracleSql.sql.get("x21b_dedup_spans_verified")),
+
     // Pairs → verdicts: connected components over the LSH pair graph, one
     // keep/drop row per document (transitive closure picks up A~C via B).
     Q("x17_dedup_clusters",

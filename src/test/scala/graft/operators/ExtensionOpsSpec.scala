@@ -93,6 +93,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(ms.toSeq == Seq((0, 7), (10, 17)), ms.toSeq.toString)
   }
 
+  test("duplicateSpans verify=true: equals verify=false on a collision-free corpus") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j unique tail one"),
+      (2L, "prefix two words a b c d e f g h i j"),
+      (3L, "a b c d e completely different ending here now"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    def spans(verify: Boolean) =
+      Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, minDocs = 2, verify = verify)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(spans(verify = true) == spans(verify = false))
+    assert(spans(verify = true) == Seq((1L, 0, 9, 10), (2L, 3, 12, 10)))
+  }
+
+  test("verifySpanWindows: a planted hash collision is dropped, verbatim windows survive") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 extra"),
+      (2L, "w1 w2 w3 w4 other"),
+      (3L, "q1 q2 q3 q4 stuff")   // different text, same planted hash below
+    ).toDF("doc_id", "text")
+    // windows as the frequency filter would flag them IF hash 42 collided:
+    // docs 1 and 2 genuinely share the 4-gram at pos 0; doc 3's window has
+    // the same hash but different text (the collision being planted — not
+    // constructible through the real 64-bit kernel on demand)
+    val windows = Seq((1L, 0, 42L), (2L, 0, 42L), (3L, 0, 42L))
+      .toDF("doc_id", "pos", "h")
+    val ok = Dedup.verifySpanWindows(docs, "doc_id", "text", windows, n = 4, minDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ok.toSeq == Seq((1L, 0), (2L, 0)), ok.toSeq.toString)
+    // and if the collision had split the group below minDocs entirely,
+    // nothing survives: docs 2 and 3 "colliding" with different grams
+    val split = Seq((2L, 0, 7L), (3L, 0, 7L)).toDF("doc_id", "pos", "h")
+    assert(Dedup.verifySpanWindows(docs, "doc_id", "text", split, n = 4, minDocs = 2)
+      .count() == 0)
+    // out-of-range planted window → null gram → dropped, not crashed
+    val oob = Seq((1L, 99, 42L), (2L, 99, 42L)).toDF("doc_id", "pos", "h")
+    assert(Dedup.verifySpanWindows(docs, "doc_id", "text", oob, n = 4, minDocs = 2)
+      .count() == 0)
+  }
+
   test("keepDecisions edge cases: clean corpus (no pairs), pairs from a superset of docs") {
     // a clean corpus produces ZERO pairs — must converge to all-keep, not NPE
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
