@@ -477,6 +477,72 @@ object Dedup {
     grams.join(okKeys, Seq("h", "_gram")).select("doc_id", "pos", "h")
   }
 
+  /** Benchmark decontamination (the Lee et al. 2022 use case
+    * [[duplicateSpans]]' machinery exists for): report every ≥ `n`-token
+    * run a training document shares with a held-out benchmark/eval
+    * document, as (doc_id, benchmark_id, span_start, span_end, n_tokens)
+    * with positions in the TRAINING doc — the rows a pipeline either
+    * drops from the corpus or flags as contaminated-eval overlap.
+    *
+    * Plan shape for the real size asymmetry (100 TB corpus vs MB-scale
+    * eval suites): the benchmark side is exploded to a distinct
+    * (benchmark_id, hash) key set — positions within the benchmark don't
+    * matter, so its windows dedup to at most |benchmark tokens| keys and
+    * the join against the corpus windows is broadcastable; the corpus
+    * side is one map-only positional-hash explode, no corpus-side
+    * shuffle before the match. Matched windows then merge per
+    * (doc_id, benchmark_id) with the same gaps-and-islands window as
+    * [[duplicateSpans]], partitioned by doc — the input's natural
+    * distribution.
+    *
+    * `verify = true` adds the hash-collision guarantee deletion needs:
+    * each matched window's verbatim n-gram (via
+    * [[graft.functions.TextVectorKernels.tokenGramAt]] on BOTH sides)
+    * must be equal, not just hash-equal. Two-sided equality makes this a
+    * plain post-join filter — O(matched windows), no regroup; only
+    * matched docs ship their text.
+    */
+  def decontaminate(docs: DataFrame, docIdCol: String, docTextCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8, verify: Boolean = false): DataFrame = {
+    require(n >= 1, s"need n ≥ 1 (got n=$n)")
+    import graft.functions.TextVectorExpressions.{shingle_hash_seq, token_gram}
+    val docWin = docs.select(col(docIdCol).as("doc_id"),
+      posexplode(shingle_hash_seq(col(docTextCol), n)).as(Seq("pos", "h")))
+    val benchWin = bench.select(col(benchIdCol).as("benchmark_id"),
+      posexplode(shingle_hash_seq(col(benchTextCol), n)).as(Seq("b_pos", "h")),
+      col(benchTextCol).as("_btext"))
+    val benchKeys =
+      (if (verify)
+        benchWin.select(col("benchmark_id"), col("h"),
+          token_gram(col("_btext"), n, col("b_pos")).as("_gram"))
+      else benchWin.select(col("benchmark_id"), col("h"))).distinct()
+    val hits = docWin.join(benchKeys, Seq("h"))
+    val okHits =
+      if (verify) {
+        val matchedText = docs
+          .select(col(docIdCol).as("doc_id"), col(docTextCol).as("_text"))
+          .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        hits.join(matchedText, Seq("doc_id"))
+          .filter(token_gram(col("_text"), n, col("pos")) === col("_gram"))
+      } else hits
+    val spans = okHits.select(col("doc_id"), col("benchmark_id"),
+      col("pos").as("start"), (col("pos") + lit(n - 1)).as("end"))
+    val w = Window.partitionBy("doc_id", "benchmark_id").orderBy("start")
+    spans
+      .withColumn("prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start") > col("prev_max_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(w))
+      .groupBy("doc_id", "benchmark_id", "island")
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col("doc_id"), col("benchmark_id"), col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Connected components over an undirected dup-pair edge list:
     * (id, cluster_id), cluster_id = the component's minimum id — the
     * missing step between pairwise near-dup output and an actual

@@ -116,6 +116,24 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start"),
       F1OracleSql.sql.get("x21b_dedup_spans_verified")),
 
+    // Benchmark decontamination: ≥8-token overlap of the (planted) corpus
+    // against a held-out eval set. The "benchmark" is derived from the
+    // corpus itself — the first 10 docs' 120-char prefixes as eval
+    // prompts — so contamination is planted by construction: those docs
+    // (and their planted near-copies, which share the prefix run) must
+    // surface, everything else must not. verify=true exercises the
+    // two-sided verbatim gram check on every reported span.
+    Q("x25_decontaminate",
+      (s, d) => {
+        val corpus = plantTextDups(Tables.documents(s, d))
+        val bench = Tables.documents(s, d).filter(col("doc_id") < 10).select(
+          (col("doc_id") + 5000L).as("bench_id"),
+          substring(col("text"), lit(1), lit(120)).as("prompt"))
+        Dedup.decontaminate(corpus, "doc_id", "text",
+          bench, "bench_id", "prompt", n = 8, verify = true)
+          .orderBy("doc_id", "benchmark_id", "span_start")
+      }, F1OracleSql.sql.get("x25_decontaminate")),
+
     // Pairs → verdicts: connected components over the LSH pair graph, one
     // keep/drop row per document (transitive closure picks up A~C via B).
     Q("x17_dedup_clusters",

@@ -134,6 +134,30 @@ class ExtensionOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("decontaminate: planted benchmark overlap reported with merged spans, clean docs silent") {
+    val docs = Seq(
+      // doc 1 embeds the benchmark's 9-token prompt mid-document
+      (1L, "lead in words the quick brown fox jumps over the lazy dog trailing text"),
+      // doc 2 is clean
+      (2L, "совершенно unrelated content with no overlap at all whatsoever here"),
+      // doc 3 shares a run with benchmark 101 too (prefix position)
+      (3L, "the quick brown fox jumps over the lazy dog and then some")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "an entirely different benchmark prompt with nothing shared anywhere")
+    ).toDF("bench_id", "prompt")
+    for (verify <- Seq(false, true)) {
+      val out = Dedup.decontaminate(docs, "doc_id", "text",
+          bench, "bench_id", "prompt", n = 8, verify = verify)
+        .orderBy("doc_id", "benchmark_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      // 9-token shared run → two n=8 windows, merged into ONE span each
+      assert(out.toSeq == Seq((1L, 101L, 3, 11, 9), (3L, 101L, 0, 8, 9)),
+        s"verify=$verify: ${out.toSeq}")
+    }
+  }
+
   test("keepDecisions edge cases: clean corpus (no pairs), pairs from a superset of docs") {
     // a clean corpus produces ZERO pairs — must converge to all-keep, not NPE
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
