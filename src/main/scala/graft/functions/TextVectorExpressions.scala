@@ -273,6 +273,46 @@ object TextVectorKernels {
     if (got < n) null else UTF8String.fromString(sb.toString)
   }
 
+  // PII token shapes (public, standard corpus-cleaning patterns). Order
+  // of application matters and is fixed: EMAIL → SSN → IP → PHONE, each
+  // stage scanning the previous stage's redacted text, so counts and
+  // redaction can never disagree (an IP inside an already-redacted email
+  // is not double-counted). Phones require separators (3-3-4 with
+  // space/dot/dash, optional +CC / (area)) — bare 10-digit runs stay, to
+  // keep ids/quantities out of the match set. All classes are ASCII, so
+  // Java regex and any SQL re-implementation agree byte-for-byte.
+  private val PiiEmail = java.util.regex.Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val PiiSsn = java.util.regex.Pattern.compile(
+    "(?<!\\d)\\d{3}-\\d{2}-\\d{4}(?!\\d)")
+  private val PiiIp = java.util.regex.Pattern.compile(
+    "(?<![\\d.])(?:\\d{1,3}\\.){3}\\d{1,3}(?![\\d.])")
+  private val PiiPhone = java.util.regex.Pattern.compile(
+    "(?<![\\d(])(?:\\+\\d{1,2}[ .-])?(?:\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}(?!\\d)")
+
+  /** Single-pass PII scan: (n_email, n_phone, n_ip, n_ssn, redacted). */
+  def piiScan(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var s = text.toString
+    var nEmail = 0; var nPhone = 0; var nIp = 0; var nSsn = 0
+    def pass(p: java.util.regex.Pattern, token: String): Int = {
+      val m = p.matcher(s)
+      var cnt = 0
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        do { cnt += 1; m.appendReplacement(sb, token) } while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+      }
+      cnt
+    }
+    nEmail = pass(PiiEmail, "<EMAIL>")
+    nSsn = pass(PiiSsn, "<SSN>")
+    nIp = pass(PiiIp, "<IP>")
+    nPhone = pass(PiiPhone, "<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmail, nPhone, nIp, nSsn, UTF8String.fromString(s)))
+  }
+
   /** Product-quantization encode: argmin-L2 codeword per subspace (ties →
     * lower codeword id). `codebooks` is the flattened (m·k)×subDim matrix,
     * sub s's codewords at rows s·k … s·k+k-1. Returns m codeword ids.
@@ -554,6 +594,36 @@ case class TokenGramExpr(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "token_gram"
 }
 
+/** One-pass PII detect + redact — see [[TextVectorKernels.piiScan]].
+  * Struct result so detection counts and the redacted text come out of a
+  * single text scan (separate count/redact expressions would scan twice
+  * and could drift on overlapping matches).
+  */
+case class PiiScanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PiiScanExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pii_scan requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.piiScan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.piiScan($c);")
+  override protected def withNewChildInternal(newChild: Expression): PiiScanExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pii_scan"
+}
+
+object PiiScanExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_phone", IntegerType, nullable = false),
+    StructField("n_ip", IntegerType, nullable = false),
+    StructField("n_ssn", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+}
+
 /** PQ codeword assignment of a vector against an embedded flattened
   * codebook matrix — map-only broadcast-model scoring, like
   * [[NearestCentroids]] but argmin-L2 per subspace.
@@ -665,6 +735,11 @@ object TextVectorExpressions {
     Registry.registerOnce(SparkSession.active, "shingle_hash_seq")(
       exprs => ShingleHashSeq(exprs(0), litInt(exprs(1))))
     call_function("shingle_hash_seq", c, lit(n))
+  }
+  def pii_scan(c: Column): Column = {
+    Registry.registerOnce(SparkSession.active, "pii_scan")(
+      exprs => PiiScanExpr(exprs(0)))
+    call_function("pii_scan", c)
   }
   def token_gram(c: Column, n: Int, pos: Column): Column = {
     Registry.registerOnce(SparkSession.active, "token_gram")(

@@ -30,6 +30,22 @@ object ExtensionQueries {
         substring(col("text"), lit(1), greatest(length(col("text")) - 15, lit(1)).cast("int"))
           .as("text")))
 
+  /** Planted PII: every doc with doc_id ≡ 3 (mod 50) gets a deterministic
+    * contact sentence appended (one email, one phone, one IP, one SSN).
+    * Applied AFTER [[plantTextDups]], the id arithmetic keeps original ↔
+    * planted-copy pairs aligned: copy ids are original + 1,000,000 and
+    * 1,000,000 ≡ 0 (mod 50) and (mod 200), so a selected original's copy
+    * is also selected and gets the same IP octet — near-dup pairs survive
+    * planting, keeping BOTH the dedup and PII arms of x23 load-bearing.
+    */
+  private def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(50)) === 3,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 from 192.168.1."),
+          pmod(col("doc_id"), lit(200)), lit(" ssn 123-45-6789")))
+        .otherwise(col("text")))
+
   private def plantVecDups(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding")).unionByName(
       emb.filter(col("vec_id") < 10).select(
@@ -78,25 +94,51 @@ object ExtensionQueries {
     // broadcast-able join of drop ids).
     Q("x23_corpus_clean",
       (s, d) => {
-        // the pipeline runs on the PLANTED corpus so the dedup arm is
-        // load-bearing: planted near-copies must lose their clusters and
-        // vanish from the survivor stats — a dedup regression (no pairs,
-        // all-keep) changes the frozen counts and fails the oracle
-        val corpus = plantTextDups(Tables.documents(s, d))
+        // the pipeline runs on the PLANTED corpus (near-dup copies AND
+        // PII sentences) so both arms are load-bearing: planted
+        // near-copies must lose their clusters and vanish from the
+        // survivor stats, and planted PII must show up redacted in
+        // n_pii_redacted — a dedup regression (no pairs, all-keep) or a
+        // dead PII kernel (all-zero counts) changes the frozen counts
+        // and fails the oracle. Downstream gates (language, quality,
+        // token counts) all read the REDACTED text — the order a real
+        // release pipeline runs in.
+        val corpus = plantPii(plantTextDups(Tables.documents(s, d)))
         val verdicts = Dedup.keepDecisions(corpus, "doc_id",
           Dedup.minhashLsh(corpus, "doc_id", "text",
             shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
-        corpus
+        val kept = corpus
           .join(verdicts.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
-          .withColumn("lang_pred", TextOps.langId(col("text")))
+        TextOps.piiScrub(kept, "doc_id", "text")
+          .withColumn("lang_pred", TextOps.langId(col("redacted")))
           .filter(col("lang_pred").isin("en", "es", "fr", "de"))
-          .filter(TextOps.qualityScore(col("text")) >= 0.5)
+          .filter(TextOps.qualityScore(col("redacted")) >= 0.5)
           .groupBy("lang_pred")
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextOps.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+            sum(TextOps.wsTokenCount(col("redacted")).cast("long")).as("n_tokens"),
+            sum((col("n_email") + col("n_phone") + col("n_ip")
+              + col("n_ssn")).cast("long")).as("n_pii_redacted"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
           .orderBy("lang_pred")
       }, F1OracleSql.sql.get("x23_corpus_clean")),
+
+    // Standalone PII gate: per-doc detection counts + redacted-text hash
+    // over the planted corpus, PII-bearing docs only (the planted set by
+    // construction — an unplanted corpus row matching would show up as an
+    // extra frozen row, a false-positive regression signal).
+    Q("x26_pii_scrub",
+      // the small fixture table arrives as ONE parquet split, which would
+      // serialize the regex scan onto one core (same hazard as x15's
+      // codecs) — spread the docs first; at real scale the source has
+      // many splits and a user would not add this
+      (s, d) => TextOps.piiScrub(
+        plantPii(Tables.documents(s, d))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id", "text")
+        .filter(col("n_email") + col("n_phone") + col("n_ip") + col("n_ssn") > 0)
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          col("n_ssn"), xxhash64(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id"),
+      F1OracleSql.sql.get("x26_pii_scrub")),
 
     // Substring-level dedup: maximal ≥8-token spans appearing verbatim in
     // ≥2 docs (planted truncated copies share their whole prefix run).

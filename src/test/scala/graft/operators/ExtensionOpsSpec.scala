@@ -501,6 +501,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(2).getInt(1) == 5) // [hello][,][world][!][x2]
   }
 
+  test("pii scan: detects and redacts emails, phones, IPs, SSNs; clean text untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk or call 555-123-4567",
+      "server 192.168.1.100 and (800) 555-0199 plus +1 212.555.7890",
+      "ssn 123-45-6789 but order 123-456-7890 is a phone not an ssn",
+      "no pii here, just words and numbers like 1234567890 or 3.14",
+      ""
+    ).toDF("text")
+    val out = df.select(TextOps.piiScan(col("text")).as("p"))
+      .select("p.n_email", "p.n_phone", "p.n_ip", "p.n_ssn", "p.redacted")
+      .collect()
+    assert(out(0).getInt(0) == 1 && out(0).getInt(1) == 1)
+    assert(out(0).getString(4) == "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1).getInt(2) == 1 && out(1).getInt(1) == 2)
+    assert(out(1).getString(4) == "server <IP> and <PHONE> plus <PHONE>")
+    assert(out(2).getInt(3) == 1 && out(2).getInt(1) == 1)
+    assert(out(2).getString(4) == "ssn <SSN> but order <PHONE> is a phone not an ssn")
+    // bare digit runs and decimals are NOT pii — false-positive guard
+    assert(out(3).toSeq.take(4) == Seq(0, 0, 0, 0) &&
+      out(3).getString(4) == "no pii here, just words and numbers like 1234567890 or 3.14")
+    assert(out(4).toSeq.take(4) == Seq(0, 0, 0, 0) && out(4).getString(4) == "")
+    // an IP inside an email-like local@host stays an IP (email needs an
+    // alpha TLD), and the counts reflect the same sequential passes the
+    // redaction applied — no double counting
+    val tricky = Seq("ping admin@192.168.0.1 now").toDF("text")
+      .select(TextOps.piiScan(col("text")).as("p"))
+      .select("p.n_email", "p.n_ip", "p.redacted").collect()(0)
+    assert(tricky.getInt(0) == 0 && tricky.getInt(1) == 1 &&
+      tricky.getString(2) == "ping admin@<IP> now")
+  }
+
   test("langId picks stopword-dominant language; CJK → zh") {
     val df = Seq(
       ("en", "the cat and the dog went to the park in the morning"),
