@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The storage-backend seam for keyed table maintenance (SURVEY §2.6).
+  *
+  * [[graft.streaming.F1Pipeline]] dispatches every per-batch table load
+  * through one of these operations; the trait is the single point where a
+  * deployment swaps the table format. The default, [[ParquetSwapMergeEngine]],
+  * is the vanilla-parquet read-merge-write with an atomic-ish directory swap
+  * ([[TableSink]] — correct and replay-idempotent, but the swap is not
+  * transactional under concurrent readers). A production deployment plugs in
+  * one class backed by an ACID table format (Delta `MERGE INTO` /
+  * Iceberg `MERGE`) with the same six operations and identical call sites —
+  * the reference's analogue is Postgres transactional upserts
+  * (loader.py:159-193, supabase_loader.py:134-172).
+  *
+  * Contract shared by every implementation:
+  *  - incoming batches carry `(_batch, _line)` arrival-order columns
+  *    ([[TableSink.withSeq]]); merges resolve precedence by that
+  *    lexicographic order, which makes batch replay idempotent;
+  *  - `upsert` is whole-row last-wins per key; `coalescingUpsert` is
+  *    per-column last-non-null per key; `partitionedCoalescingUpsert` is the
+  *    same merge over a partitioned layout touching only the batch's
+  *    partitions; `append` never rewrites; `dedupAppend` appends only keys
+  *    absent from the table; `compact` rewrites file layout without changing
+  *    the row multiset.
+  */
+trait MergeEngine {
+  /** U1/U2 — keyed upsert, whole-row last-wins by (_batch, _line). */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Unit
+
+  /** U3 — per-column last-non-null merge per key. */
+  def coalescingUpsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Unit
+
+  /** U3 at scale — coalescing merge over a `partCol`-partitioned layout;
+    * IO is O(touched partitions) per merge.
+    */
+  def partitionedCoalescingUpsert(spark: SparkSession, path: String,
+      batch: DataFrame, keys: Seq[String], partCol: String): Unit
+
+  /** U4 — plain append; the high-volume path, never rewrites. */
+  def append(path: String, batch: DataFrame): Unit
+
+  /** A9/A2 — append only keys not already present in the table. */
+  def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
+      key: String): Unit
+
+  /** Maintenance: rewrite into ≈`targetBytes` files, row multiset unchanged
+    * (Delta/Iceberg `OPTIMIZE` in an ACID implementation).
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit
+}
+
+/** Default engine: vanilla-parquet read-merge-write with staged directory
+  * swaps and crash recovery — [[TableSink]]'s semantics, unchanged.
+  */
+object ParquetSwapMergeEngine extends MergeEngine {
+  def upsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Unit =
+    TableSink.upsert(spark, path, batch, keys)
+
+  def coalescingUpsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Unit =
+    TableSink.coalescingUpsert(spark, path, batch, keys)
+
+  def partitionedCoalescingUpsert(spark: SparkSession, path: String,
+      batch: DataFrame, keys: Seq[String], partCol: String): Unit =
+    TableSink.partitionedCoalescingUpsert(spark, path, batch, keys, partCol)
+
+  def append(path: String, batch: DataFrame): Unit =
+    TableSink.append(path, batch)
+
+  def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
+      key: String): Unit =
+    TableSink.dedupAppend(spark, path, batch, key)
+
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Unit =
+    TableSink.compact(spark, path, targetBytes)
+}

@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * a partitioned layout where each merge reads and rewrites ONLY the
   * partitions its batch touches — O(touched partitions) IO per merge. The
   * high-volume tables (telemetry/positions) are APPEND-only, partitioned by
-  * date at 100 TB, and never rewritten. A production deployment would swap
-  * this class for Delta/Iceberg MERGE with identical call sites.
+  * date at 100 TB, and never rewritten. A production deployment swaps the
+  * backend by implementing [[MergeEngine]] (Delta/Iceberg MERGE) — this
+  * object is the default [[ParquetSwapMergeEngine]] implementation.
   */
 object TableSink {
 

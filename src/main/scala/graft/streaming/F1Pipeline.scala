@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.F1Transforms
-import graft.sinks.TableSink
+import graft.sinks.{MergeEngine, ParquetSwapMergeEngine, TableSink}
 import graft.sources.EventSource
 import graft.sources.EventSource.WireFormat
 
@@ -185,23 +185,26 @@ object F1Pipeline {
   }
 
   /** Load one micro-batch into every derived table (S6). Also used by the
-    * batch (non-streaming) pipeline with batchId=0.
+    * batch (non-streaming) pipeline with batchId=0. `engine` is the
+    * storage-backend seam ([[graft.sinks.MergeEngine]]): the default is the
+    * parquet directory-swap; an ACID deployment passes a Delta/Iceberg
+    * implementation here and nothing else changes.
     */
   def loadBatch(spark: SparkSession, events: DataFrame, tablesDir: String,
-      batchId: Long): Unit =
+      batchId: Long, engine: MergeEngine = ParquetSwapMergeEngine): Unit =
     loadBatchWith(events, batchId, new BatchSinkOps {
       def upsert(table: String, out: DataFrame, keys: Seq[String]): Unit =
-        TableSink.upsert(spark, s"$tablesDir/$table", out, keys)
+        engine.upsert(spark, s"$tablesDir/$table", out, keys)
       def coalescing(table: String, out: DataFrame, keys: Seq[String]): Unit =
-        TableSink.coalescingUpsert(spark, s"$tablesDir/$table", out, keys)
+        engine.coalescingUpsert(spark, s"$tablesDir/$table", out, keys)
       def partitionedCoalescing(table: String, out: DataFrame, keys: Seq[String],
           partitionCol: String): Unit =
-        TableSink.partitionedCoalescingUpsert(spark, s"$tablesDir/$table", out,
+        engine.partitionedCoalescingUpsert(spark, s"$tablesDir/$table", out,
           keys, partitionCol)
       def append(table: String, out: DataFrame): Unit =
-        TableSink.append(s"$tablesDir/$table", out)
+        engine.append(s"$tablesDir/$table", out)
       def dedupAppend(table: String, out: DataFrame, key: String): Unit =
-        TableSink.dedupAppend(spark, s"$tablesDir/$table", out, key)
+        engine.dedupAppend(spark, s"$tablesDir/$table", out, key)
     })
 
   /** [[loadBatch]] against a JDBC database instead of parquet — the
@@ -257,7 +260,8 @@ object F1Pipeline {
   def startUnified(spark: SparkSession, sourceDir: String, tablesDir: String,
       checkpointDir: String, format: WireFormat = WireFormat.PyList,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      engine: MergeEngine = ParquetSwapMergeEngine): StreamingQuery = {
     val events = Metrics.observed(
       EventSource.readStream(spark, sourceDir, format, maxFilesPerTrigger))
     events.writeStream
@@ -265,7 +269,7 @@ object F1Pipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        loadBatch(spark, batch, tablesDir, batchId)
+        loadBatch(spark, batch, tablesDir, batchId, engine)
       }
       .start()
   }

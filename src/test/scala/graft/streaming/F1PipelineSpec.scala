@@ -124,6 +124,73 @@ class F1PipelineSpec extends SparkSpec {
     assert(laps.head.getAs[Int]("speed_trap") == 315)
   }
 
+  test("MergeEngine seam: unified pipeline + replay route every sink through a pluggable engine") {
+    // A recording engine wrapping the parquet default: proves the pipeline
+    // dispatches 100% of its table maintenance through the MergeEngine
+    // trait (the one-class ACID swap point), with unchanged semantics.
+    import graft.sinks.{MergeEngine, ParquetSwapMergeEngine}
+    import java.util.concurrent.ConcurrentHashMap
+    val calls = new ConcurrentHashMap[String, Integer]()
+    def bump(op: String): Unit = calls.merge(op, 1, (a, b) => a + b)
+    val recording = new MergeEngine {
+      def upsert(s: org.apache.spark.sql.SparkSession, p: String,
+          b: org.apache.spark.sql.DataFrame, k: Seq[String]): Unit = {
+        bump("upsert"); ParquetSwapMergeEngine.upsert(s, p, b, k)
+      }
+      def coalescingUpsert(s: org.apache.spark.sql.SparkSession, p: String,
+          b: org.apache.spark.sql.DataFrame, k: Seq[String]): Unit = {
+        bump("coalescing"); ParquetSwapMergeEngine.coalescingUpsert(s, p, b, k)
+      }
+      def partitionedCoalescingUpsert(s: org.apache.spark.sql.SparkSession,
+          p: String, b: org.apache.spark.sql.DataFrame, k: Seq[String],
+          pc: String): Unit = {
+        bump("partitionedCoalescing")
+        ParquetSwapMergeEngine.partitionedCoalescingUpsert(s, p, b, k, pc)
+      }
+      def append(p: String, b: org.apache.spark.sql.DataFrame): Unit = {
+        bump("append"); ParquetSwapMergeEngine.append(p, b)
+      }
+      def dedupAppend(s: org.apache.spark.sql.SparkSession, p: String,
+          b: org.apache.spark.sql.DataFrame, k: String): Unit = {
+        bump("dedupAppend"); ParquetSwapMergeEngine.dedupAppend(s, p, b, k)
+      }
+      def compact(s: org.apache.spark.sql.SparkSession, p: String,
+          t: Long): Unit = ParquetSwapMergeEngine.compact(s, p, t)
+    }
+
+    val src = tmp("f1srcE")
+    val tables = tmp("f1tablesE")
+    val ckpt = tmp("f1ckptE")
+    val (part1, part2) = Fixtures.pyLines.splitAt(6)
+    Files.write(java.nio.file.Paths.get(s"$src/p1.txt"), part1.mkString("\n").getBytes)
+    val q = F1Pipeline.startUnified(spark, src, tables, ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"), engine = recording)
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$src/p2.txt"), part2.mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every sink kind the fixture exercises went through the seam
+    assert(calls.getOrDefault("upsert", 0) >= 2, calls)               // sessions+drivers
+    assert(calls.getOrDefault("partitionedCoalescing", 0) >= 1, calls) // lap_data
+    assert(calls.getOrDefault("append", 0) >= 2, calls)               // weather/telemetry/…
+    assert(calls.getOrDefault("dedupAppend", 0) >= 1, calls)          // race_control
+
+    // semantics identical to the default engine (same convergence checks as
+    // the unified-pipeline test), and a replayed batch stays idempotent
+    val laps = spark.read.parquet(s"$tables/lap_data")
+      .orderBy("driver_number", "lap_number").collect()
+    assert(laps.length == 2)
+    assert(laps.head.getAs[Int]("speed_trap") == 315)
+    assert(spark.read.parquet(s"$tables/race_control").count() == 2)
+    val events = graft.sources.EventSource.fromLines(spark, part2)
+    F1Pipeline.loadBatch(spark, events, tables, batchId = 1, engine = recording)
+    assert(spark.read.parquet(s"$tables/lap_data").count() == 2)
+    assert(spark.read.parquet(s"$tables/sessions").count() == 1)
+    assert(spark.read.parquet(s"$tables/race_control").count() == 2)
+  }
+
   test("coalescing upsert is idempotent under batch replay (U3)") {
     val path = tmp("lapsink") + "/lap_data"
     val frag1 = Seq((1, 1, Some(92.5), None: Option[Double], 10L))
