@@ -11,17 +11,36 @@ A query regresses when fresh > max(prev * TOLERANCE, prev + FLOOR_SEC):
 the multiplicative bound catches real slowdowns on substantial queries,
 the additive floor keeps 0.2 s queries from tripping the gate on
 scheduler jitter. New/removed queries are reported but don't fail.
+
+When BENCH_COLDWARM.json exists (written by `graft.tools.ColdWarmBench`,
+table in BASELINE.md), a flagged query is additionally judged against its
+recorded COLD ceiling: a serial-bench number that stays at-or-under the
+measured cold run (codegen compile + JIT, which amortizes to zero at real
+scale) is ambient variance, not a slowdown of the steady-state plan —
+reported as AMBIENT, non-failing. Anything past the cold ceiling's band
+is a real regression of the warm path.
 """
 import json
+import os
 import sys
 
 TOLERANCE = 1.5
 FLOOR_SEC = 0.5
+COLDWARM_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_COLDWARM.json")
+
+
+def load_coldwarm():
+    try:
+        return json.load(open(COLDWARM_PATH))["queries"]
+    except Exception:
+        return {}
 
 
 def main(prev_path, fresh_path):
     prev = json.load(open(prev_path))["queries"]
     fresh = json.load(open(fresh_path))["queries"]
+    coldwarm = load_coldwarm()
     bad = []
     for name, t in sorted(fresh.items()):
         if name not in prev:
@@ -32,6 +51,15 @@ def main(prev_path, fresh_path):
             continue  # failed run recorded as -1: not a timing signal
         limit = max(p * TOLERANCE, p + FLOOR_SEC)
         if t > limit:
+            cw = coldwarm.get(name)
+            if cw and cw.get("cold", -1) > 0:
+                # within the measured cold band (compile+JIT) → ambient
+                ceiling = max(cw["cold"] * TOLERANCE, cw["cold"] + FLOOR_SEC)
+                if t <= ceiling:
+                    print(f"AMBIENT {name}: {p:.2f}s -> {t:.2f}s but within "
+                          f"recorded cold band (cold {cw['cold']:.2f}s, "
+                          f"warm {cw['warm']:.2f}s) — compile/JIT variance")
+                    continue
             bad.append((name, p, t))
             print(f"REGRESSION {name}: {p:.2f}s -> {t:.2f}s "
                   f"({t / p:.2f}x, limit {limit:.2f}s)")

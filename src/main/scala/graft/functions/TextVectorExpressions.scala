@@ -150,12 +150,11 @@ object TextVectorKernels {
     c
   }
 
-  /** Nearest-`nprobe` centroid ids by cosine, descending (ties → lower id).
-    * Returns 1-based ids matching the IVF index's `cid` column.
+  /** Cosine of `x` against every centroid (shared by the fixed and
+    * adaptive probe selections — one definition, no drift).
     */
-  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]],
-      cnorms: Array[Double], nprobe: Int, isFloat: Boolean): ArrayData = {
-    val x = toDoubles(v, isFloat)
+  private def centroidSims(x: Array[Double], centroids: Array[Array[Double]],
+      cnorms: Array[Double]): Array[Double] = {
     var xn = 0.0
     var xi = 0
     while (xi < x.length) { xn += x(xi) * x(xi); xi += 1 }
@@ -173,12 +172,22 @@ object TextVectorKernels {
       sims(c) = if (denom == 0.0) 0.0 else s / denom
       c += 1
     }
-    // allocation-free partial selection of the nprobe best (ties → lower id)
-    val m = math.min(nprobe, k)
+    sims
+  }
+
+  /** Allocation-free descending-cosine selection (ties → lower id) of up to
+    * `max` centroid indices; stops early once `stop(sel, sims(best))` says
+    * so. Returns 1-based ids.
+    */
+  private def selectProbes(sims: Array[Double], max: Int,
+      stop: (Int, Double) => Boolean): ArrayData = {
+    val k = sims.length
+    val m = math.min(max, k)
     val out = new Array[Int](m)
     val taken = new Array[Boolean](k)
     var sel = 0
-    while (sel < m) {
+    var done = false
+    while (sel < m && !done) {
       var best = -1
       var bestSim = Double.NegativeInfinity
       var i = 0
@@ -191,12 +200,45 @@ object TextVectorKernels {
         // lowest untaken id instead of crashing the task
         var j = 0
         while (best < 0 && j < k) { if (!taken(j)) best = j; j += 1 }
+        bestSim = Double.NegativeInfinity
       }
-      taken(best) = true
-      out(sel) = best + 1
-      sel += 1
+      if (stop(sel, bestSim)) done = true
+      else {
+        taken(best) = true
+        out(sel) = best + 1
+        sel += 1
+      }
     }
-    new GenericArrayData(out)
+    if (sel == m) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, sel))
+  }
+
+  /** Nearest-`nprobe` centroid ids by cosine, descending (ties → lower id).
+    * Returns 1-based ids matching the IVF index's `cid` column.
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]],
+      cnorms: Array[Double], nprobe: Int, isFloat: Boolean): ArrayData =
+    selectProbes(centroidSims(toDoubles(v, isFloat), centroids, cnorms),
+      nprobe, (_, _) => false)
+
+  /** Margin-routed probe list: always the `minProbe` nearest lists; keep
+    * taking lists (cosine-descending) while the gap to the BEST list's
+    * cosine is ≤ `margin`, up to `maxProbe`. A query that lands squarely in
+    * one Voronoi cell probes `minProbe` lists; a query near a cell boundary
+    * (small top-2 gap — exactly where fixed-nprobe recall dies) fans out to
+    * every plausibly-owning list. Per-query scan cost becomes proportional
+    * to routing ambiguity instead of a global worst-case knob.
+    */
+  def adaptiveNearestCentroids(v: ArrayData, centroids: Array[Array[Double]],
+      cnorms: Array[Double], minProbe: Int, maxProbe: Int, margin: Double,
+      isFloat: Boolean): ArrayData = {
+    val sims = centroidSims(toDoubles(v, isFloat), centroids, cnorms)
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < sims.length) { if (sims(i) > best) best = sims(i); i += 1 }
+    val floor = best - margin
+    selectProbes(sims, maxProbe,
+      (sel, sim) => sel >= minProbe && !(sim >= floor))
   }
 
   /** Sign-bit bucket under `planes` deterministic pseudo-random hyperplanes
@@ -552,6 +594,39 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Margin-routed probe list ([[TextVectorKernels.adaptiveNearestCentroids]]):
+  * variable-length array of 1-based centroid ids — `minProbe` always, up to
+  * `maxProbe` while within `margin` cosine of the best list.
+  */
+case class AdaptiveNearestCentroids(child: Expression,
+    centroids: Array[Array[Double]], minProbe: Int, maxProbe: Int,
+    margin: Double) extends UnaryExpression {
+  @transient private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"adaptive_nearest_centroids requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.adaptiveNearestCentroids(input.asInstanceOf[ArrayData],
+      centroids, cnorms, minProbe, maxProbe, margin, elemIsFloat)
+  // same fallback rationale as NearestCentroids: the matrix would need a
+  // generated static field; the interpreted loop is already tight.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adaptiveNearestCentroidsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AdaptiveNearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "adaptive_nearest_centroids"
+}
+
 /** Positional word-n-gram hashes of text (index = token position). */
 case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -781,6 +856,29 @@ object TextVectorExpressions {
     registerNearestCentroids(SparkSession.active)
     call_function("nearest_centroids", c,
       org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
+  }
+
+  private[graft] def litDouble(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double  => d
+      case f: Float   => f.toDouble
+      case i: Int     => i.toDouble
+      case l: Long    => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+    }
+
+  private def registerAdaptiveNearestCentroids(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "adaptive_nearest_centroids")(
+      exprs => AdaptiveNearestCentroids(exprs(0), foldableMatrix(exprs(1)),
+        litInt(exprs(2)), litInt(exprs(3)), litDouble(exprs(4))))
+
+  def adaptive_nearest_centroids(c: Column, centroids: Array[Array[Double]],
+      minProbe: Int, maxProbe: Int, margin: Double): Column = {
+    registerAdaptiveNearestCentroids(SparkSession.active)
+    call_function("adaptive_nearest_centroids", c,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
+      lit(minProbe), lit(maxProbe), lit(margin))
   }
 
   private def registerPq(spark: SparkSession): Unit = {

