@@ -417,6 +417,102 @@ object TextVectorKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass repetition/boilerplate profile of a document — the
+    * Gopher-rules repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", table A1; also the C4 boilerplate heuristics family):
+    * machine-generated and template text shows up as repeated lines and
+    * repeated word n-grams long before any semantic filter sees it.
+    *
+    * Definitions (all deterministic, all coverage-based so every fraction
+    * is in [0, 1] even with overlapping n-grams):
+    *  - lines = '\n'-split, trimmed, blanks dropped; a line is DUPLICATE
+    *    if byte-identical to an earlier line. `dup_line_frac` = duplicate
+    *    lines / lines; `dup_line_char_frac` = their chars / all line chars.
+    *  - tokens = lowercased whitespace tokens. `top_2gram_char_frac` =
+    *    chars of token positions covered by the most frequent word 2-gram
+    *    among those occurring MORE THAN ONCE (ties → lexicographically
+    *    smallest; 0 when no 2-gram repeats — a count-1 "top" gram is
+    *    arbitrary noise on short docs, not a repetition signal) / total
+    *    token chars. `dup_5gram_char_frac` = chars of positions covered
+    *    by ANY word 5-gram occurring more than once / total token chars.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+    val seenLines = new java.util.HashSet[String]()
+    var dupLines = 0
+    var dupLineChars = 0L
+    var lineChars = 0L
+    var li = 0
+    while (li < lines.length) {
+      val ln = lines(li)
+      lineChars += ln.length
+      if (!seenLines.add(ln)) { dupLines += 1; dupLineChars += ln.length }
+      li += 1
+    }
+    val nLines = lines.length
+    val dupLineFrac = if (nLines == 0) 0.0 else dupLines.toDouble / nLines
+    val dupLineCharFrac = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+
+    val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    var tokChars = 0L
+    var ti = 0
+    while (ti < toks.length) { tokChars += toks(ti).length; ti += 1 }
+
+    // coverage of token positions by qualifying n-grams; the two callers
+    // differ only in which grams qualify (the single most frequent one vs
+    // every gram seen more than once)
+    def gramCoverage(n: Int, topOnly: Boolean): Double = {
+      if (toks.length < n || tokChars == 0) return 0.0
+      val nGrams = toks.length - n + 1
+      val counts = new java.util.HashMap[String, Integer]()
+      val keys = new Array[String](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val key = sb.toString
+        keys(i) = key
+        counts.merge(key, 1, (a: Integer, b: Integer) => a + b)
+        i += 1
+      }
+      var topKey: String = null
+      if (topOnly) {
+        var topCnt = 1 // only repeated grams qualify — see scaladoc
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > topCnt ||
+              (e.getValue == topCnt && topKey != null && e.getKey.compareTo(topKey) < 0)) {
+            topCnt = e.getValue
+            topKey = e.getKey
+          }
+        }
+      }
+      val covered = new Array[Boolean](toks.length)
+      i = 0
+      while (i < nGrams) {
+        val q = if (topOnly) topKey != null && keys(i) == topKey
+                else counts.get(keys(i)) > 1
+        if (q) { var j = 0; while (j < n) { covered(i + j) = true; j += 1 } }
+        i += 1
+      }
+      var cov = 0L
+      i = 0
+      while (i < toks.length) { if (covered(i)) cov += toks(i).length; i += 1 }
+      cov.toDouble / tokChars
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, dupLineFrac, dupLineCharFrac,
+        gramCoverage(2, topOnly = true), gramCoverage(5, topOnly = false)))
+  }
+
   /** Approximate inner product from PQ codes + a query's LUT: fixed-order
     * sum of m lookups — deterministic at any parallelism.
     */
@@ -699,6 +795,35 @@ object PiiScanExpr {
     StructField("redacted", StringType, nullable = false)))
 }
 
+/** One-pass repetition/boilerplate profile —
+  * see [[TextVectorKernels.repetitionStats]]. Struct result so the line
+  * and n-gram statistics come out of a single text scan.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.repetitionStats($c);")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_2gram_char_frac", DoubleType, nullable = false),
+    StructField("dup_5gram_char_frac", DoubleType, nullable = false)))
+}
+
 /** PQ codeword assignment of a vector against an embedded flattened
   * codebook matrix — map-only broadcast-model scoring, like
   * [[NearestCentroids]] but argmin-L2 per subspace.
@@ -815,6 +940,11 @@ object TextVectorExpressions {
     Registry.registerOnce(SparkSession.active, "pii_scan")(
       exprs => PiiScanExpr(exprs(0)))
     call_function("pii_scan", c)
+  }
+  def repetition_stats(c: Column): Column = {
+    Registry.registerOnce(SparkSession.active, "repetition_stats")(
+      exprs => RepetitionStatsExpr(exprs(0)))
+    call_function("repetition_stats", c)
   }
   def token_gram(c: Column, n: Int, pos: Column): Column = {
     Registry.registerOnce(SparkSession.active, "token_gram")(

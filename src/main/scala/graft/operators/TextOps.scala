@@ -109,6 +109,45 @@ object TextOps {
         col("_p.n_ip").as("n_ip"), col("_p.n_ssn").as("n_ssn"),
         col("_p.redacted").as("redacted"))
 
+  /** One-pass repetition/boilerplate profile of a text column: struct
+    * (n_lines, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    * dup_5gram_char_frac) — the Gopher-rules repetition signals (Rae et
+    * al. 2021), which catch machine-generated/template text before any
+    * semantic filter sees it. Definitions on
+    * [[graft.functions.TextVectorKernels.repetitionStats]].
+    */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextVectorExpressions.repetition_stats(text)
+
+  /** Composite repetition verdict over a [[repetitionStats]] struct, at
+    * the Gopher-family thresholds: dup_line_frac > 0.30,
+    * dup_line_char_frac > 0.20, top_2gram_char_frac > 0.20,
+    * dup_5gram_char_frac > 0.15 — any one trips it. One definition,
+    * shared by [[repetitionProfile]] and the x23 corpus-clean gate.
+    */
+  def repetitive(rep: Column): Column =
+    rep.getField("dup_line_frac") > 0.30 ||
+      rep.getField("dup_line_char_frac") > 0.20 ||
+      rep.getField("top_2gram_char_frac") > 0.20 ||
+      rep.getField("dup_5gram_char_frac") > 0.15
+
+  /** Repetition profile as a DataFrame pass: one row per doc with the
+    * four repetition fractions plus the [[repetitive]] verdict. Map-only,
+    * zero shuffles, like every TextOps gate; the same explode(array(…))
+    * barrier as [[piiScrub]] keeps the single kernel scan from being
+    * inlined into each of the five field uses.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array(repetitionStats(col(textCol)))).as("_r"))
+      .select(col("doc_id"),
+        col("_r.n_lines").as("n_lines"),
+        round(col("_r.dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("_r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        round(col("_r.top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+        round(col("_r.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
+        repetitive(col("_r")).as("repetitive"))
+
   /** Word n-gram shingles of the lowercased text — the declarative
     * reference semantics for [[graft.functions.ShingleHashes]] (which the
     * dedup/fingerprint operators use; this Column form re-evaluates the

@@ -46,6 +46,25 @@ object ExtensionQueries {
           pmod(col("doc_id"), lit(200)), lit(" ssn 123-45-6789")))
         .otherwise(col("text")))
 
+  /** Planted boilerplate: every doc with doc_id ≡ 7 (mod 100) is wrapped
+    * in the repeated nav/footer lines a scraped template page actually
+    * has — the shape the repetition gate (x27) exists to catch. The
+    * testdata corpus is template-free, so without planting the
+    * duplicate-LINE arm of the profile would be all-zero and a dead
+    * kernel would freeze green.
+    */
+  private def plantBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(100)) === 7,
+        concat(
+          lit("home | about | products | contact\n"),
+          lit("home | about | products | contact\n"),
+          col("text"),
+          lit("\ncopyright 2024 example corp all rights reserved"),
+          lit("\ncopyright 2024 example corp all rights reserved"),
+          lit("\nhome | about | products | contact")))
+        .otherwise(col("text")))
+
   private def plantVecDups(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding")).unionByName(
       emb.filter(col("vec_id") < 10).select(
@@ -94,16 +113,18 @@ object ExtensionQueries {
     // broadcast-able join of drop ids).
     Q("x23_corpus_clean",
       (s, d) => {
-        // the pipeline runs on the PLANTED corpus (near-dup copies AND
-        // PII sentences) so both arms are load-bearing: planted
-        // near-copies must lose their clusters and vanish from the
-        // survivor stats, and planted PII must show up redacted in
-        // n_pii_redacted — a dedup regression (no pairs, all-keep) or a
-        // dead PII kernel (all-zero counts) changes the frozen counts
-        // and fails the oracle. Downstream gates (language, quality,
-        // token counts) all read the REDACTED text — the order a real
-        // release pipeline runs in.
-        val corpus = plantPii(plantTextDups(Tables.documents(s, d)))
+        // the pipeline runs on the PLANTED corpus (near-dup copies, PII
+        // sentences, AND boilerplate template pages) so all three arms
+        // are load-bearing: planted near-copies must lose their clusters
+        // and vanish from the survivor stats, planted PII must show up
+        // redacted in n_pii_redacted, and planted boilerplate must be
+        // dropped by the repetition gate — a dedup regression (no pairs,
+        // all-keep), a dead PII kernel (all-zero counts), or a dead
+        // repetition kernel (boilerplate surviving) each changes the
+        // frozen counts and fails the oracle. Downstream gates (language,
+        // quality, repetition, token counts) all read the REDACTED
+        // text — the order a real release pipeline runs in.
+        val corpus = plantBoilerplate(plantPii(plantTextDups(Tables.documents(s, d))))
         val verdicts = Dedup.keepDecisions(corpus, "doc_id",
           Dedup.minhashLsh(corpus, "doc_id", "text",
             shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
@@ -113,6 +134,11 @@ object ExtensionQueries {
           .withColumn("lang_pred", TextOps.langId(col("redacted")))
           .filter(col("lang_pred").isin("en", "es", "fr", "de"))
           .filter(TextOps.qualityScore(col("redacted")) >= 0.5)
+          // Gopher-rules repetition gate (x27's kernel); the explode
+          // barrier keeps the one-pass scan from inlining into the four
+          // threshold comparisons (same hazard piiScrub documents)
+          .withColumn("_rep", explode(array(TextOps.repetitionStats(col("redacted")))))
+          .filter(!TextOps.repetitive(col("_rep")))
           .groupBy("lang_pred")
           .agg(count(lit(1)).as("n_docs"),
             sum(TextOps.wsTokenCount(col("redacted")).cast("long")).as("n_tokens"),
@@ -308,6 +334,17 @@ object ExtensionQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"), F1OracleSql.sql.get("x10_text_quality")),
+
+    // Repetition/boilerplate gate (Gopher rules): per-doc duplicate-line
+    // and repeated-n-gram fractions + the composite verdict, over the
+    // corpus with planted template pages ([[plantBoilerplate]] — the
+    // planted rows trip the duplicate-LINE arm; the testdata's tiny
+    // vocabulary gives the n-gram arms natural nonzero signal).
+    Q("x27_repetition",
+      (s, d) => TextOps.repetitionProfile(
+        plantBoilerplate(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id"),
+      F1OracleSql.sql.get("x27_repetition")),
 
     // Single-row aggregate checksum over the 500-row quality output (the
     // detail stays rows-only): exact DECIMAL sum of the 4-decimal scores.

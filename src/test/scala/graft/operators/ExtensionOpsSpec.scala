@@ -577,6 +577,43 @@ class ExtensionOpsSpec extends SparkSpec {
       tricky.getString(2) == "ping admin@<IP> now")
   }
 
+  test("repetition stats: duplicate lines, repeated n-grams, clean-text floors") {
+    val boiler = "nav | home | shop\nnav | home | shop\nreal payload sentence here\nnav | home | shop"
+    val phrase = "click here to subscribe " * 6 // 24 tokens, one repeated 4-gram run
+    val clean = "every word in this sentence differs from all neighbours entirely"
+    val df = Seq(boiler, phrase, clean, "", "one").toDF("text")
+    val out = df.select(TextOps.repetitionStats(col("text")).as("r"))
+      .select("r.n_lines", "r.dup_line_frac", "r.dup_line_char_frac",
+        "r.top_2gram_char_frac", "r.dup_5gram_char_frac").collect()
+
+    // boilerplate: 4 lines, 2 non-first duplicates of "nav | home | shop"
+    assert(out(0).getInt(0) == 4)
+    assert(math.abs(out(0).getDouble(1) - 0.5) < 1e-12)
+    assert(out(0).getDouble(2) > 0.4 && out(0).getDouble(2) < 0.7)
+
+    // repeated phrase: every 5-gram occurs more than once → full coverage,
+    // and the top 2-gram covers a large share
+    assert(out(1).getInt(0) == 1 && out(1).getDouble(1) == 0.0)
+    assert(out(1).getDouble(4) == 1.0)
+    assert(out(1).getDouble(3) > 0.4)
+
+    // clean text: no duplicate lines/5-grams, and no REPEATED 2-gram →
+    // the top-2gram arm is 0 (a count-1 "top" gram is not repetition)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(4) == 0.0)
+    assert(out(2).getDouble(3) == 0.0)
+
+    // degenerate inputs: empty and sub-n-gram docs are all-zero, not NaN
+    assert(out(3).getInt(0) == 0 && (1 to 4).forall(out(3).getDouble(_) == 0.0))
+    assert(out(4).getInt(0) == 1 && (1 to 4).forall(out(4).getDouble(_) == 0.0))
+
+    // DataFrame gate: planted boilerplate trips the verdict, clean doesn't
+    val prof = TextOps.repetitionProfile(
+      Seq((1L, boiler), (2L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(prof(0).getAs[Boolean]("repetitive"))
+    assert(!prof(1).getAs[Boolean]("repetitive"))
+  }
+
   test("langId picks stopword-dominant language; CJK → zh") {
     val df = Seq(
       ("en", "the cat and the dog went to the park in the morning"),

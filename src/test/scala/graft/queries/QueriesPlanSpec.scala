@@ -60,6 +60,26 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x27 repetition profile: map-only pass — the kernel runs once per row") {
+    val p = plan("x27_repetition")
+    // per-doc gate: no aggregation or join may appear; only the ORDER BY sort
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    // the explode(array(…)) barrier must survive as a Generate — if
+    // CollapseProject inlines the struct alias, the one-pass kernel
+    // re-runs per projected field (the measured 2.5× x26 hazard)
+    assert(p.contains("Generate"), p)
+    assert(p.split("repetition_stats", -1).length - 1 <= 1,
+      s"repetition_stats must appear at most once in the plan:\n$p")
+  }
+
+  test("x26 pii scrub: single Generate barrier — one kernel scan per row") {
+    val p = plan("x26_pii_scrub")
+    assert(p.contains("Generate"), p)
+    assert(p.split("pii_scan", -1).length - 1 <= 1,
+      s"pii_scan must appear at most once in the plan:\n$p")
+  }
+
   test("q18 decode pipeline: inflate_raw runs after the topic filter") {
     // needs a real file source: over a LocalRelation Catalyst constant-folds
     // the entire decode away (ConvertToLocalRelation), which is itself good
