@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deployment swaps the table format. The default, [[ParquetSwapMergeEngine]],
   * is the vanilla-parquet read-merge-write with an atomic-ish directory swap
   * ([[TableSink]] — correct and replay-idempotent, but the swap is not
-  * transactional under concurrent readers). A production deployment plugs in
-  * one class backed by an ACID table format (Delta `MERGE INTO` /
-  * Iceberg `MERGE`) with the same six operations and identical call sites —
-  * the reference's analogue is Postgres transactional upserts
+  * transactional under concurrent readers). [[ManifestMergeEngine]] is the
+  * ACID-flavored implementation (file-level manifest log, snapshot-isolated
+  * readers, version retention + GC); a Delta `MERGE INTO` / Iceberg `MERGE`
+  * backend is likewise one class with the same six operations and identical
+  * call sites — the reference's analogue is Postgres transactional upserts
   * (loader.py:159-193, supabase_loader.py:134-172).
   *
   * Contract shared by every implementation:

@@ -56,6 +56,39 @@ class ExtensionPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("repetition_stats property: fractions in [0,1], deterministic, self-concat monotone") {
+    val textGen = for {
+      nLines <- Gen.choose(0, 6)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (nLines, seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "", "  ", "tok.en")
+    sample(textGen, 50).foreach { case (nLines, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val text = Seq.fill(nLines)(
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+        .mkString("\n")
+      def stats(t: String): Seq[Double] =
+        Seq(t).toDF("text")
+          .select(graft.operators.TextOps.repetitionStats(col("text")).as("r"))
+          .select("r.dup_line_frac", "r.dup_line_char_frac",
+            "r.top_2gram_char_frac", "r.dup_5gram_char_frac")
+          .collect().head.toSeq.map(_.asInstanceOf[Double])
+      val s1 = stats(text)
+      assert(s1.forall(v => v >= 0.0 && v <= 1.0), s"$s1 for <$text>")
+      assert(stats(text) == s1, "deterministic")
+      // a doc concatenated with itself can only get MORE repetitive: every
+      // line duplicates, and (when the doc has >=5 tokens) every 5-gram of
+      // the original now occurs at least twice
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 5 && text.trim.nonEmpty) {
+        val s2 = stats(text + "\n" + text)
+        assert(s2(0) >= s1(0) - 1e-12, s"dup_line_frac $s1 -> $s2")
+        assert(s2(3) >= s1(3) - 1e-12, s"dup_5gram $s1 -> $s2")
+        assert(s2(3) > 0.9, s"self-concat 5-gram coverage should be ~1: $s2")
+      }
+    }
+  }
+
   test("splitAssign property: total, deterministic, and weight-consistent for arbitrary weights") {
     val weightsGen = for {
       a <- Gen.choose(1, 98)
