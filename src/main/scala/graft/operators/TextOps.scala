@@ -212,6 +212,32 @@ object TextOps {
     * long range so the same expression is reproducible in any engine
     * (the oracle recomputes it in DuckDB SQL verbatim).
     */
+  /** Deterministic per-source mixture sampling ("data mixing"): keep each
+    * doc with probability `rates(source)`, decided by the same
+    * Knuth-multiplicative id hash [[splitAssign]] uses but with a
+    * different additive salt, so a doc's mixture decision is independent
+    * of its split assignment. Map-only and id-pure: stable under re-runs,
+    * retries, repartitioning, and corpus growth — the doc set a mixture
+    * produces never silently shifts between pipeline runs (`rand()`-based
+    * sampling re-draws every run and every retry of a failed task).
+    * Sources absent from `rates` are dropped: a mixture spec is an
+    * explicit allowlist, and silently passing an unlisted source through
+    * would skew the trained distribution.
+    */
+  def mixSample(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"mixture rates must be in [0,1] (got $rates)")
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    // same exact-integer-range arithmetic as splitAssign (reproducible in
+    // any engine); salt 777777 decorrelates from the split's 12345
+    val frac = pmod(pmod(col(idCol).cast("long"), lit(1000003L)) * lit(2654435761L)
+      + lit(777777L), lit(4294967296L)).cast("double") / lit(4294967296.0)
+    docs.filter(frac < rate)
+  }
+
   def splitAssign(id: Column,
       weights: Seq[(String, Double)] =
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): Column = {

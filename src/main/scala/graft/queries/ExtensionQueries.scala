@@ -372,6 +372,32 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
+    // Mixture sampling: per-source keep rates (1.0/0.5/0.25/0.1 cycling
+    // by source index) decided by the deterministic id hash — per-source
+    // kept counts + id extrema pin membership, and the oracle recomputes
+    // the hash and the rate table verbatim in SQL (sf-independent).
+    Q("x28_mix_sample",
+      (s, d) => {
+        val rates = (0 until 20).map(i => s"src$i" -> (i % 4 match {
+          case 0 => 1.0
+          case 1 => 0.5
+          case 2 => 0.25
+          case _ => 0.1
+        })).toMap
+        TextOps.mixSample(Tables.documents(s, d), "doc_id", "source", rates)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("source")
+      },
+      Some("SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, " +
+        "max(doc_id) AS max_id FROM (" +
+        "SELECT doc_id, source, " +
+        "((doc_id % 1000003) * 2654435761 + 777777) % 4294967296 / 4294967296.0 AS frac, " +
+        "CASE (CAST(substr(source, 4) AS INT) % 4) " +
+        "WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate " +
+        "FROM documents) t WHERE frac < rate GROUP BY source ORDER BY source")),
+
     // Context-window chunking: 64-token windows every 32 tokens
     // (overlapping), re-derived verbatim in SQL — tokenization parity
     // with DuckDB is already pinned by the x09 oracle. The nums cross

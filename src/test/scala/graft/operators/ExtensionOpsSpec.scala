@@ -614,6 +614,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!prof(1).getAs[Boolean]("repetitive"))
   }
 
+  test("mixSample: deterministic, growth-stable, rate-proportional, allowlist-only") {
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.0)
+    val kept = TextOps.mixSample(docs, "doc_id", "source", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // deterministic across runs
+    val kept2 = TextOps.mixSample(docs, "doc_id", "source", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.sameElements(kept2.sorted))
+    // per-source proportions near the target (1000 docs/source)
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 1000)
+    assert(math.abs(bySrc("src1") - 500) < 60, bySrc)
+    assert(math.abs(bySrc("src2") - 100) < 35, bySrc)
+    assert(!bySrc.contains("src3")) // rate 0
+    // unlisted source dropped entirely
+    val extra = Seq((99999L, "srcX")).toDF("doc_id", "source")
+    assert(TextOps.mixSample(extra, "doc_id", "source", rates).count() == 0)
+    // growth-stable: decisions on the original ids are unchanged when the
+    // corpus doubles (the rand()-sampling failure mode this op exists to avoid)
+    val grown = (0L until 8000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val grownKept = TextOps.mixSample(grown, "doc_id", "source", rates)
+      .filter(col("doc_id") < 4000).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(grownKept.sorted.sameElements(kept.sorted))
+    // independent of the split hash: the kept set is not just "train" docs
+    val splits = TextOps.mixSample(docs, "doc_id", "source", rates)
+      .select(TextOps.splitAssign(col("doc_id")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), splits)
+  }
+
   test("langId picks stopword-dominant language; CJK → zh") {
     val df = Seq(
       ("en", "the cat and the dog went to the park in the morning"),
