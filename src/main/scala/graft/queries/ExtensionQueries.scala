@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -371,6 +371,35 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' " +
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
+
+    // ---- timeseries alignment ----
+
+    // As-of join (purchase→click attribution): for each purchase, the most
+    // recent preceding click by the same user. No join node — union +
+    // per-key cumulative window (one shuffle); the oracle is DuckDB's
+    // native ASOF LEFT JOIN, so the semantics (inclusive match, latest
+    // right row at-or-before each left ts) are pinned against an
+    // independent implementation.
+    Q("x29_asof_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Map("click_id" -> "click_id"), rightTieBreak = "click_id")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000").as("ts_ms"),
+            expr("asof_ts div 1000000").as("click_ts_ms"),
+            col("click_id"))
+          .orderBy("event_id")
+      },
+      Some("SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
+        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id")),
 
     // Mixture sampling: per-source keep rates (1.0/0.5/0.25/0.1 cycling
     // by source index) decided by the deterministic id hash — per-source
