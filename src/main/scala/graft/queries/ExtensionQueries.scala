@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -400,6 +400,68 @@ object ExtensionQueries {
         "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id")),
+
+    // Range join (point-in-interval): purchases matched into the 2-hour
+    // window opened by each signup of the same user. Bucketed equi-join
+    // formulation (interval explodes into its covered buckets; no
+    // broadcast-nested-loop); oracle is the naive BETWEEN join in DuckDB,
+    // pinning multiset parity with the O(n·m) formulation.
+    Q("x31_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val windows = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("w_start"),
+            (col("ts") + lit(7200000000000L)).as("w_end"),
+            col("event_id").as("signup_id"))
+        RangeJoin.pointInInterval(purchases, windows, Seq("user_id"),
+          "ts", "w_start", "w_end", bucketWidth = 7200000000000L)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000").as("ts_ms"), col("signup_id"),
+            expr("w_start div 1000000").as("signup_ts_ms"))
+          .orderBy("event_id", "signup_id")
+      },
+      Some("SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
+        "s.event_id AS signup_id, epoch_ns(s.ts)//1000000 AS signup_ts_ms " +
+        "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type='signup') s " +
+        "ON p.user_id = s.user_id AND epoch_ns(p.ts) >= epoch_ns(s.ts) " +
+        "AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 7200000000000 " +
+        "ORDER BY p.event_id, signup_id")),
+
+    // Sessionization: 30-minute-gap sessions per user over the event
+    // stream, rolled up to per-session bounds/counts/value sums (exact
+    // DECIMAL sum per the determinism conventions). The oracle recomputes
+    // the lag → boundary-flag → cumulative-sum formulation verbatim in
+    // SQL — live, sf-independent.
+    Q("x30_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Sessionize.sessionize(ev, Seq("user_id"), "ts", "event_id",
+          maxGap = 1800000000000L) // 30 min in nanos
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("min(ts) div 1000000").as("start_ms"),
+            expr("max(ts) div 1000000").as("end_ms"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_value"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "count(*) AS n_events, " +
+        "epoch_ns(min(ts))//1000000 AS start_ms, " +
+        "epoch_ns(max(ts))//1000000 AS end_ms, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
+        "SELECT user_id, ts, value, " +
+        "sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 " +
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM (" +
+        "SELECT user_id, ts, value, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "FROM events) a) b GROUP BY user_id, session_seq " +
+        "ORDER BY user_id, session_seq")),
 
     // Mixture sampling: per-source keep rates (1.0/0.5/0.25/0.1 cycling
     // by source index) decided by the deterministic id hash — per-source
