@@ -372,6 +372,28 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
+    // Mergeable distinct-count sketch (DataSketches HLL, built into
+    // Spark 4): per-event-type user sketches plus their UNION re-estimated
+    // as "__all__" — the sketch algebra (partial-aggregate per partition,
+    // merge anywhere, estimate at the end) is what replaces exact
+    // count-distinct's full shuffle at 100 TB. Deterministic given the
+    // data (register merge is order-independent), so the estimates freeze
+    // as a VALUES oracle; the 5%-of-exact accuracy bound is pinned in
+    // ExtensionOpsSpec against the true distinct counts.
+    Q("x32_distinct_sketch",
+      (s, d) => {
+        val per = Tables.events(s, d).groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        per.select(col("event_type"),
+            hll_sketch_estimate(col("sk")).as("approx_users"))
+          .unionByName(per
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+              .as("approx_users"))
+            .withColumn("event_type", lit("__all__")))
+          .orderBy("event_type")
+      },
+      F1OracleSql.sql.get("x32_distinct_sketch")),
+
     // ---- timeseries alignment ----
 
     // As-of join (purchase→click attribution): for each purchase, the most

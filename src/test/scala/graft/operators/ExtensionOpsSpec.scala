@@ -645,6 +645,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(splits == Set("train", "val", "test"), splits)
   }
 
+  test("hll sketch: estimates within 5% of exact; union ≈ sketch-of-union; parallelism-stable") {
+    val ev = spark.read.option("mergeSchema", "false")
+      .parquet("/root/testdata/sf0.01/events.parquet")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$t: approx $a vs exact $n")
+    }
+    // mergeability: union of per-type sketches tracks the global distinct
+    val globalExact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    assert(math.abs(merged - globalExact).toDouble / globalExact < 0.05,
+      s"union estimate $merged vs exact $globalExact")
+    // register merge is order-independent: same estimates at 1 partition
+    val serial = ev.repartition(1).groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(serial == approx, s"parallelism changed sketch estimates")
+  }
+
   test("langId picks stopword-dominant language; CJK → zh") {
     val df = Seq(
       ("en", "the cat and the dog went to the park in the morning"),

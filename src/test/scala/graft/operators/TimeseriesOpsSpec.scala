@@ -68,6 +68,48 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sessionize parity with streaming session_window aggregation") {
+    // the scaladoc claim: batch backfill (Sessionize) and the
+    // streaming-native session_window share semantics. Same instants, gap
+    // 50 s: per-session (user, n_events, start, end) sets must be equal.
+    // (Boundary nuance: at a gap of EXACTLY maxGap, Sessionize merges
+    // (`> maxGap` splits) while session_window splits (exclusive end) —
+    // the fixture avoids the boundary, as real gap choices should.)
+    val rows = Seq(
+      (1L, 1L, 100L), (2L, 1L, 120L), (3L, 1L, 300L), (4L, 1L, 330L),
+      (5L, 2L, 20L), (6L, 2L, 21L), (7L, 2L, 60L))
+    val srcDir = java.nio.file.Files.createTempDirectory("sesssrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sessckpt").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("sec", LongType)))
+    rows.toDF("event_id", "user_id", "sec").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+
+    val streamed = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .groupBy(session_window(col("ts"), "50 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        // session_window end is exclusive: last event + gap
+        unix_timestamp(col("session_window.end")).as("end_sec"))
+    val q = streamed.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sess_parity").start()
+    try q.processAllAvailable() finally q.stop()
+    val streaming = spark.table("sess_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) - 50))
+      .toSet
+
+    val batch = Sessionize.sessionStats(rows.toDF("event_id", "user_id", "sec"),
+      Seq("user_id"), "sec", "event_id", maxGap = 50L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_start"), r.getAs[Long]("session_end")))
+      .toSet
+    assert(streaming == batch, s"streaming=$streaming batch=$batch")
+  }
+
   test("range join: degenerate bucket widths stay correct (1 and huge)") {
     val points = Seq((1L, "k", 7L)).toDF("pid", "key", "pt")
     val intervals = Seq(("k", 5L, 9L, 10L), ("k", 8L, 12L, 20L))
