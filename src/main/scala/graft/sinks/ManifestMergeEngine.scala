@@ -261,7 +261,15 @@ object ManifestMergeEngine {
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new Path(dir, s"m$v.json"))
+    // rename signals failure by RETURNING FALSE (dst exists = another
+    // writer won version v, or an FS fault) — unchecked, the commit would
+    // be silently lost while the caller believes it landed
+    if (!fs.rename(tmp, new Path(dir, s"m$v.json"))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest commit lost the race for version $v at $path " +
+          "(single-writer contract violated, or filesystem rename fault)")
+    }
     gc(fs, path, retain)
   }
 
