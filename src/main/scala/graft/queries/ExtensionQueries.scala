@@ -372,6 +372,25 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
+    // Per-group exact quantiles (median / p95 / max of event value, linear
+    // interpolation): both engines sort-and-interpolate identically, so the
+    // oracle is live SQL (percentile ↔ quantile_cont). At 100 TB the exact
+    // path shuffles every value per group — ExtensionOpsSpec pins
+    // approx_percentile (mergeable sketch, bounded error) against these
+    // exact numbers as the scale route.
+    Q("x33_quantiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(max(col("value")), 4).as("vmax"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.95), 4) AS p95, " +
+        "round(max(value), 4) AS vmax, count(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // Mergeable distinct-count sketch (DataSketches HLL, built into
     // Spark 4): per-event-type user sketches plus their UNION re-estimated
     // as "__all__" — the sketch algebra (partial-aggregate per partition,

@@ -509,6 +509,13 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(probeCounts.forall(n => n >= 4 && n <= 12), probeCounts.toSeq)
     assert(probeCounts.exists(_ > 4),
       "expected at least one ambiguous query to fan out on this corpus")
+
+    // the uncompressed path routes the same way: adaptive IVF beats the
+    // fixed-nprobe 0.82 ceiling too (exact scoring, no PQ error)
+    val ivfAdaptive = pairs(Similarity.ivfTopKAdaptive(ivf, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    val ivfRecall = (brute & ivfAdaptive).size.toDouble / brute.size
+    assert(ivfRecall >= 0.9, f"adaptive ivf recall@5 = $ivfRecall%.3f")
   }
 
   test("incremental LSH composes with streaming: per-batch dedup against growing state") {
@@ -643,6 +650,25 @@ class ExtensionOpsSpec extends SparkSpec {
       .select(TextOps.splitAssign(col("doc_id")).as("s")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(splits == Set("train", "val", "test"), splits)
+  }
+
+  test("approx_percentile tracks exact percentiles within its accuracy bound") {
+    // the 100 TB route for x33: approx_percentile is a mergeable sketch
+    // (partial-aggregates per partition) with a deterministic rank-error
+    // bound of n/accuracy rows; at accuracy=10000 on ~2k-row groups the
+    // estimate must land within one value-neighborhood of exact
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val joined = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.95)").as("exact"),
+        expr("approx_percentile(value, 0.95, 10000)").as("approx"),
+        expr("percentile(value, 0.93)").as("lo"),
+        expr("percentile(value, 0.97)").as("hi"))
+      .collect()
+    joined.foreach { r =>
+      val (a, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(a >= lo && a <= hi,
+        s"${r.getString(0)}: approx p95 $a outside exact [p93=$lo, p97=$hi]")
+    }
   }
 
   test("hll sketch: estimates within 5% of exact; union ≈ sketch-of-union; parallelism-stable") {
