@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   * attribution, point-in-time feature lookup) that Spark has no built-in
   * for.
   *
-  * Formulation: tag both sides, UNION, and carry each right column forward
-  * with `last(_, ignoreNulls)` over a per-key (ts, side) window — no join
-  * node at all. One shuffle on the keys, one sort inside each partition,
-  * and every window column shares the same WindowSpec so Spark evaluates
-  * them in a single Window operator. This is the shape that scales: a
+  * Formulation: tag both sides, UNION, and carry the matched right row —
+  * as ONE struct, so all carried columns come from the SAME right row
+  * even when it holds nulls — with `last(_, ignoreNulls)` over a per-key
+  * (ts, side) window. No join node at all: one shuffle on the keys, one
+  * sort inside each partition, a single Window operator. This is the shape that scales: a
   * per-row range join would rescan the right side per left row, and
   * Spark's own range-join fallback is a broadcast-nested-loop. AQE splits
   * skewed key groups; a key whose timeline is too hot for one partition
@@ -40,6 +40,9 @@ object AsofJoin {
     require(rightCols.nonEmpty, "rightCols maps right column -> output name")
     val leftCols = left.columns.toSeq
     val outNames = rightCols.toSeq // (rightCol, outName) in stable order
+    val clash = outNames.map(_._2).toSet.intersect(leftCols.toSet + "asof_ts")
+    require(clash.isEmpty,
+      s"rightCols output names collide with left/output columns: $clash")
 
     // aligned union schema: left's columns + _ats/_side/_tie + one _r_* slot
     // per carried right column
@@ -61,29 +64,25 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = outNames.foldLeft(
-      l2.unionByName(r2)
-        .withColumn("_asof_ts",
-          last(when(col("_side") === 0, col("_ats")), ignoreNulls = true).over(w))) {
-      case (df, (_, out)) =>
-        df.withColumn(out, last(col(s"_r_$out"), ignoreNulls = true).over(w))
-    }
+    // carry the matched right row as ONE struct: per-column
+    // last(ignoreNulls) carries would mix columns from DIFFERENT right
+    // rows whenever the most recent row holds a null (a chimera row with a
+    // fresh asof_ts but a stale value, invisible to the tolerance guard)
+    val rightRow = when(col("_side") === 0,
+      struct(col("_ats").as("_rts") +:
+        outNames.map { case (_, out) => col(s"_r_$out").as(out) }: _*))
+    val carried = l2.unionByName(r2)
+      .withColumn("_carry", last(rightRow, ignoreNulls = true).over(w))
 
     val matched = carried.filter(col("_side") === 1)
-    val bounded = tolerance match {
+    val fresh = tolerance match {
       case Some(t) =>
-        val stale = col("_asof_ts").isNull || (col("_ats") - col("_asof_ts")) > t
-        outNames.foldLeft(
-          matched.withColumn("_asof_ts",
-            when(stale, lit(null)).otherwise(col("_asof_ts")))) {
-          case (df, (rc, out)) =>
-            df.withColumn(out, when(stale,
-              lit(null).cast(right.schema(rc).dataType)).otherwise(col(out)))
-        }
-      case None => matched
+        when(col("_carry").isNotNull &&
+          (col("_ats") - col("_carry._rts")) <= t, col("_carry"))
+      case None => col("_carry")
     }
-    bounded.select(
-      leftCols.map(col) ++ Seq(col("_asof_ts").as("asof_ts")) ++
-        outNames.map { case (_, out) => col(out) }: _*)
+    matched.withColumn("_carry", fresh).select(
+      leftCols.map(col) ++ Seq(col("_carry._rts").as("asof_ts")) ++
+        outNames.map { case (_, out) => col(s"_carry.$out").as(out) }: _*)
   }
 }

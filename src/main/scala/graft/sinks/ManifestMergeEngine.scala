@@ -130,14 +130,38 @@ final class ManifestMergeEngine(retainVersions: Int = 3) extends MergeEngine {
       prev.map(_.version + 1).getOrElse(0L), retainVersions)
   }
 
-  def compact(spark: SparkSession, path: String, targetBytes: Long): Unit =
-    read(spark, path).foreach { df =>
-      val fs = fileSystem(spark, path)
-      val bytes = currentManifest(fs, path).get.files
-        .map(f => fs.getFileStatus(new Path(dataRoot(path), f)).getLen).sum
-      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      commitFullRewrite(spark, path, df.repartition(nFiles), retainVersions)
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Unit = {
+    val fs = fileSystem(spark, path)
+    currentManifest(fs, path).foreach { m =>
+      readFiles(spark, path, m.files).foreach { df =>
+        // size from one recursive summary of data/ — per-file getFileStatus
+        // round-trips serialize on the driver at high file counts; the
+        // summary may overcount by not-yet-GC'd older versions, which only
+        // rounds the target file count up (harmless for a layout pass)
+        val bytes = fs.getContentSummary(dataRoot(path)).getLength
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // preserve a partitioned layout: a flat rewrite would demote the
+        // partition column to an embedded field, killing directory pruning
+        // and forcing the next partitionedCoalescingUpsert into a
+        // full-table merge (every file would look "touched")
+        val partCols = m.files.flatMap { f =>
+          val slash = f.indexOf('/')
+          if (slash <= 0) None
+          else {
+            val eq = f.indexOf('=')
+            if (eq > 0 && eq < slash) Some(f.substring(0, eq)) else None
+          }
+        }.distinct
+        val partitionBy =
+          if (partCols.length == 1 && m.files.forall(_.contains('/')))
+            Some(partCols.head)
+          else None
+        val staged = stageFiles(spark, path,
+          df.repartition(nFiles), partitionBy)
+        commit(fs, path, staged, m.version + 1, retainVersions)
+      }
     }
+  }
 
   /** Current snapshot of a manifest table (readers' entry point). */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -217,7 +241,12 @@ object ManifestMergeEngine {
             s"c$commitId-$name"
           val target = new Path(data, rel)
           fs.mkdirs(target.getParent)
-          fs.rename(st.getPath, target)
+          // rename failure returns FALSE — unchecked, the manifest would
+          // commit a path whose file never arrived and every later read
+          // of this version fails
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"failed to stage $rel into $data (rename returned false)")
           moved += rel
         }
       }
@@ -277,7 +306,20 @@ object ManifestMergeEngine {
     * no retained manifest references (and stray temp files).
     */
   private def gc(fs: FileSystem, path: String, retain: Int): Unit = {
+    // crash leftovers (single writer: anything still present when gc runs
+    // is orphaned — the live commit's staging dir is already gone):
+    // _staging_<uuid>/ trees from a crash mid-write, .m*.tmp manifests
+    // from a crash between create and rename
+    fs.listStatus(new Path(path)).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_staging_"))
+        fs.delete(st.getPath, true)
+    }
     val dir = manifestDir(path)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      if (!st.isDirectory && st.getPath.getName.startsWith(".") &&
+          st.getPath.getName.endsWith(".tmp"))
+        fs.delete(st.getPath, false)
+    }
     val versions = fs.listStatus(dir).flatMap(_.getPath.getName match {
       case ManifestName(n) => Some(n.toLong)
       case _               => None

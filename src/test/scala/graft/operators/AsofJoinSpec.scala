@@ -66,6 +66,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("v") == 9.9)
   }
 
+  test("matched right row carries atomically: a null value is NOT backfilled from older rows") {
+    // the chimera hazard: per-column last(ignoreNulls) would skip the
+    // matched row's null v and surface ts=0's value with a fresh asof_ts
+    val l = Seq((1L, "a", 101L)).toDF("id", "key", "ts")
+    val r = Seq((10L, "a", 0L, Some(5.0)), (11L, "a", 100L, None))
+      .toDF("rid", "key", "ts", "v")
+    val row = AsofJoin.asofJoin(l, r, Seq("key"), "ts", "ts",
+      Map("v" -> "v", "rid" -> "rid"), rightTieBreak = "rid").head()
+    assert(row.getAs[Long]("asof_ts") == 100L)
+    assert(row.getAs[Long]("rid") == 11L)
+    assert(row.isNullAt(row.fieldIndex("v")), "null v of the matched row must survive")
+  }
+
+  test("output-name collision with a left column is rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("key"), "ts", "ts",
+        Map("v" -> "id"), rightTieBreak = "rid") // "id" already on the left
+    }
+  }
+
   test("plan: single Window over one shuffle, no join node") {
     val plan = AsofJoin.asofJoin(left, right, Seq("key"), "ts", "ts",
       Map("v" -> "v"), rightTieBreak = "rid")

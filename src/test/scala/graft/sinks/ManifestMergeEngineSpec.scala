@@ -160,6 +160,59 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(engine.read(spark, path).get.head().getAs[String]("name") == "v4")
   }
 
+  test("compact preserves a partitioned layout and collapses fragmentation") {
+    val path = tmp("msengCmp") + "/lap_data"
+    val keys = Seq("driver_number", "lap_number")
+    (1 to 4).foreach { b =>
+      val df = Seq((1, b, Some(90.0 + b), 10L), (2, b, Some(95.0 + b), 11L))
+        .toDF("driver_number", "lap_number", "lap_time", "line_id")
+      engine.partitionedCoalescingUpsert(spark, path,
+        TableSink.withSeq(df, b), keys, "driver_number")
+    }
+    val before = engine.read(spark, path).get.collect().map(_.toString).sorted
+    engine.compact(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestMergeEngine.currentManifest(fs, path).get
+    // layout survived: every committed file still sits under a
+    // driver_number= partition directory (a flat rewrite would demote the
+    // partition column and force the next merge into a full-table rewrite)
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(_.startsWith("driver_number=")), m.files)
+    val after = engine.read(spark, path).get.collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    // and a following one-partition merge still carries the other
+    // partition's files forward untouched
+    val d1Files = m.files.filter(_.startsWith("driver_number=1/")).toSet
+    engine.partitionedCoalescingUpsert(spark, path, TableSink.withSeq(
+      Seq((2, 1, Some(70.0), 12L))
+        .toDF("driver_number", "lap_number", "lap_time", "line_id"), 9),
+      keys, "driver_number")
+    val m2 = ManifestMergeEngine.currentManifest(fs, path).get
+    assert(m2.files.filter(_.startsWith("driver_number=1/")).toSet == d1Files)
+  }
+
+  test("GC removes crash leftovers: stranded staging trees and tmp manifests") {
+    val path = tmp("msengOrph") + "/sessions"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    engine.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "A", 0L)).toDF("session_key", "name", "line_id"), 1),
+      Seq("session_key"))
+    // plant crash leftovers: a staging tree and a half-written tmp manifest
+    val staging = new org.apache.hadoop.fs.Path(path, "_staging_deadbeef")
+    fs.mkdirs(staging)
+    val orphanTmp = new org.apache.hadoop.fs.Path(s"$path/_manifests/.m99.json.zz.tmp")
+    val out = fs.create(orphanTmp, true); out.write("junk".getBytes); out.close()
+    // next commit's GC sweeps both
+    engine.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "B", 0L)).toDF("session_key", "name", "line_id"), 2),
+      Seq("session_key"))
+    assert(!fs.exists(staging), "stranded staging tree must be GC'd")
+    assert(!fs.exists(orphanTmp), "orphan tmp manifest must be GC'd")
+    assert(engine.read(spark, path).get.head().getAs[String]("name") == "B")
+  }
+
   test("concurrent reader during writes: every poll resolves a complete committed snapshot") {
     val path = tmp("msengCW") + "/sessions"
     val keys = Seq("session_key")
