@@ -36,14 +36,14 @@ object Stopwords {
 
   /** Per-language stopword-hit ratios over lowercased whitespace tokens. */
   def ratios(text: UTF8String): Array[Double] = {
-    val s = text.toString.toLowerCase
+    val s = TextVectorKernels.lower(text)
     val hits = new Array[Int](langs.length)
     var nTokens = 0
     var i = 0
     val n = s.length
     val sb = new java.lang.StringBuilder(16)
     while (i <= n) {
-      if (i == n || Character.isWhitespace(s.charAt(i))) {
+      if (i == n || TextVectorKernels.isWs(s.charAt(i))) {
         if (sb.length() > 0) {
           nTokens += 1
           val tok = sb.toString

@@ -31,17 +31,34 @@ object TextVectorKernels {
     z ^ (z >>> 31)
   }
 
+  /** The Java-regex `\s` set — the SAME whitespace definition the
+    * declarative reference formulations use (`split(text, "\\s+")` in
+    * TextOps/SQL oracles). Character.isWhitespace would additionally split
+    * on U+2028/U+0085/U+1680 etc., silently diverging kernel token
+    * positions from the declarative ones on scraped web text.
+    */
+  @inline final def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Locale-independent lowercase: a tr-locale JVM lowercases 'I' to a
+    * dotless 'ı', which would make every hash-derived signature differ
+    * across executors with different default locales — the kernels'
+    * determinism contract forbids any environment dependence.
+    */
+  @inline final def lower(text: UTF8String): String =
+    text.toString.toLowerCase(java.util.Locale.ROOT)
+
   /** Whitespace-token hashes of the lowercased text. */
   def tokenHashes(text: UTF8String): Array[Long] = {
-    val s = text.toString.toLowerCase
+    val s = lower(text)
     val out = new scala.collection.mutable.ArrayBuffer[Long](32)
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWs(s.charAt(i))) i += 1
       if (i < n) {
         var h = 0xCBF29CE484222325L
-        while (i < n && !Character.isWhitespace(s.charAt(i))) {
+        while (i < n && !isWs(s.charAt(i))) {
           h = (h ^ s.charAt(i)) * 0x100000001B3L
           i += 1
         }
@@ -293,17 +310,17 @@ object TextVectorKernels {
     */
   def tokenGramAt(text: UTF8String, n: Int, pos: Int): UTF8String = {
     if (pos < 0 || n < 1) return null
-    val s = text.toString.toLowerCase
+    val s = lower(text)
     val len = s.length
     val sb = new java.lang.StringBuilder(n * 8)
     var i = 0
     var tok = 0
     var got = 0
     while (i < len && got < n) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         val st = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isWs(s.charAt(i))) i += 1
         if (tok >= pos) {
           if (got > 0) sb.append(' ')
           sb.append(s, st, i)
@@ -472,7 +489,7 @@ object TextVectorKernels {
         val sb = new java.lang.StringBuilder()
         var j = 0
         while (j < n) {
-          if (j > 0) sb.append(' ')
+          if (j > 0) sb.append(' ')
           sb.append(toks(i + j))
           j += 1
         }

@@ -424,20 +424,30 @@ object Dedup {
     val dupPos = okWin
       .select(col("doc_id"), col("pos").as("start"),
         (col("pos") + lit(n - 1)).as("end"))
-    // gaps-and-islands: a window starts a new island iff it begins past
-    // the running max end + 1 of everything before it
-    val w = Window.partitionBy("doc_id").orderBy("start")
-    val islands = dupPos
+    mergeSpanWindows(dupPos, Seq("doc_id"))
+  }
+
+  /** Gaps-and-islands merge of overlapping/adjacent [start, end] windows
+    * per `partitionCols` group: a window starts a new island iff it begins
+    * past the running max end + 1 of everything before it. ONE definition
+    * shared by [[duplicateSpans]] and [[decontaminate]] — the adjacency
+    * rule drifting between the two operators would make "duplicated span"
+    * and "contaminated span" mean different things.
+    */
+  private def mergeSpanWindows(windows: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy("start")
+    windows
       .withColumn("prev_max_end",
         max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("prev_max_end").isNull ||
           col("start") > col("prev_max_end") + 1, 1).otherwise(0))
       .withColumn("island", sum("new_island").over(w))
-    islands.groupBy("doc_id", "island")
+      .groupBy((partitionCols :+ "island").map(col): _*)
       .agg(min("start").as("span_start"), max("end").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+      .select(partitionCols.map(col) ++ Seq(col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens")): _*)
   }
 
   /** The hash-collision filter behind `duplicateSpans(verify = true)`:
@@ -528,19 +538,7 @@ object Dedup {
       } else hits
     val spans = okHits.select(col("doc_id"), col("benchmark_id"),
       col("pos").as("start"), (col("pos") + lit(n - 1)).as("end"))
-    val w = Window.partitionBy("doc_id", "benchmark_id").orderBy("start")
-    spans
-      .withColumn("prev_max_end",
-        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("new_island",
-        when(col("prev_max_end").isNull ||
-          col("start") > col("prev_max_end") + 1, 1).otherwise(0))
-      .withColumn("island", sum("new_island").over(w))
-      .groupBy("doc_id", "benchmark_id", "island")
-      .agg(min("start").as("span_start"), max("end").as("span_end"))
-      .select(col("doc_id"), col("benchmark_id"), col("span_start"),
-        col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+    mergeSpanWindows(spans, Seq("doc_id", "benchmark_id"))
   }
 
   /** Connected components over an undirected dup-pair edge list:

@@ -541,8 +541,11 @@ object Multimodal {
 
   /** Partition-parallel feature extraction: the Scala analogue of a
     * batch-arrow UDF — one iterator pass per partition, no per-row driver
-    * involvement, output schema fixed. Images go through the real ImageIO
-    * decode; audio/video through the byte stub.
+    * involvement, output schema fixed. All three media types run REAL
+    * decodes — images via the direct PNG codec (ImageIO fallback), audio
+    * via RIFF/PCM parse → windowed RMS, video via GFV1 demux → per-frame
+    * luminance — and only unrecognized containers hit [[decodeStub]] (the
+    * declared ffmpeg/JNI swap-in slot).
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(

@@ -337,7 +337,12 @@ class ExtensionOpsSpec extends SparkSpec {
 
   test("declarative shingles agree with the ShingleHashes kernel on set size") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
-      "one two", "single", "").toDF("text")
+      "one two", "single", "",
+      // exotic Unicode whitespace (U+2028 line sep, U+00A0 nbsp): the
+      // kernel must tokenize with the SAME \s set as the declarative
+      // split — Character.isWhitespace would split on U+2028 and diverge
+      "alpha\u2028beta gamma", "nbsp\u00A0stays one-token here"
+    ).toDF("text")
     val out = df.select(
       size(array_distinct(TextOps.shingles(col("text"), 3))).as("decl"),
       size(graft.functions.TextVectorExpressions.shingle_hashes(col("text"), 3)).as("kern"))
