@@ -372,6 +372,23 @@ object ExtensionQueries {
         "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
 
+    // Table profile (ANALYZE-style data-quality pass, C-family
+    // extension): per-column null/distinct counts + min/max over the
+    // documents table, one aggregation pass + declarative unpivot. The
+    // oracle recomputes each column's row in SQL (string-rendered
+    // min/max — binary collation on both engines).
+    Q("x34_profile",
+      (s, d) => graft.catalog.Profile.profile(
+        Tables.documents(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"SELECT '$c' AS \"column\", " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value FROM documents"
+      }.mkString("", " UNION ALL ", " ORDER BY \"column\""))),
+
     // Per-group exact quantiles (median / p95 / max of event value, linear
     // interpolation): both engines sort-and-interpolate identically, so the
     // oracle is live SQL (percentile ↔ quantile_cont). At 100 TB the exact

@@ -82,4 +82,23 @@ class SchemaVerifySpec extends SparkSpec {
       .head().getLong(0)
     assert(bad > 0)
   }
+
+  test("profile: per-column nulls, distincts, min/max; one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("aa"), 10),
+      (2L, None, 20),
+      (3L, Some("zz"), 20),
+      (4L, Some("aa"), 30)
+    ).toDF("id", "name", "score")
+    val out = graft.catalog.Profile.profile(df, Seq("id", "name", "score"))
+      .orderBy("column").collect()
+    assert(out.length == 3)
+    val byCol = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(byCol("id") == (0L, 4L, "1", "4"))
+    // null is not a distinct value, and min/max skip it
+    assert(byCol("name") == (1L, 2L, "aa", "zz"))
+    assert(byCol("score") == (0L, 3L, "10", "30"))
+  }
 }
