@@ -114,6 +114,60 @@ object ScaleProbe {
     }
   }
 
+  /** Timeseries-family probe: replicate sf0.1 events `factor`× (shifted
+    * ids/users, jittered timestamps so sessions and as-of matches stay
+    * realistic) and time as-of join, sessionization, range join, and the
+    * HLL sketch — the window/bucket formulations' committed scale
+    * evidence.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 10 timeseries"
+    */
+  private def timeseriesProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val ev0 = spark.read
+      .option("mergeSchema", "false")
+      .parquet("/root/testdata/sf0.1/events.parquet")
+      .select("event_id", "user_id", "event_type", "ts")
+    val ev = (0 until factor).map(i => ev0.select(
+      (col("event_id") + lit(i * 10000000L)).as("event_id"),
+      (col("user_id") + lit(i * 1000L)).as("user_id"),
+      col("event_type"),
+      (col("ts") + lit(i * 7919L * 1000000L)).as("ts")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"events","n":${ev.count()}}""")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    timed("asof_join") {
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Map("click_id" -> "click_id"), rightTieBreak = "click_id").count()
+    }
+    timed("sessionize") {
+      Sessionize.sessionStats(ev, Seq("user_id"), "ts", "event_id",
+        maxGap = 1800000000000L).count()
+    }
+    timed("range_join") {
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + lit(7200000000000L)).as("w_end"))
+      RangeJoin.pointInInterval(purchases, windows, Seq("user_id"),
+        "ts", "w_start", "w_end", bucketWidth = 7200000000000L).count()
+    }
+    timed("hll_sketch") {
+      ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -127,6 +181,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "dedup") {
       try dedupProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "timeseries") {
+      // events.parquet carries TIMESTAMP(NANOS)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      try timeseriesProbe(spark, n) finally spark.stop()
       return
     }
 
