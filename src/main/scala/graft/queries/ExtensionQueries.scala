@@ -65,11 +65,23 @@ object ExtensionQueries {
           lit("\nhome | about | products | contact")))
         .otherwise(col("text")))
 
+  /** Planted near-dup vectors: ±10% alternating-sign per-component
+    * scaling. Cosine is scale-invariant, so a uniform `x * 1.001` copy
+    * scores EXACTLY 1.0 and never exercises the threshold; the
+    * alternating pattern lands cos ≈ 1 − ε²(1−r²)/2 (r = the vector's
+    * signed component-energy imbalance), which at ε=0.1 puts the planted
+    * pairs in a band STRADDLING the 0.99 gate — 9 of 10 pass at sf0.01 —
+    * so any scoring or threshold drift moves borderline pairs across the
+    * gate and fails the frozen oracle.
+    */
   private def plantVecDups(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding")).unionByName(
       emb.filter(col("vec_id") < 10).select(
         (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + lit(0.1f) *
+            when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+          .as("embedding")))
 
   val all: Seq[Q] = Seq(
 

@@ -22,29 +22,11 @@ import org.apache.spark.sql.SparkSession
 object ColdWarmBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.buildSession()
 
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[coldwarm] $name failed: ${e.getMessage}")
-        -1.0
-      } finally spark.catalog.clearCache()
-    }
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      Harness.timeNoop(spark, sfDir, name, fn)
 
     // No pre-warmup here, on purpose: the whole point is measuring what a
     // cold serial run (the driver's protocol) pays per query. Session init

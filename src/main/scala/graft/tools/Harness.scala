@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One session-builder + one noop-sink timer shared by every measurement
+  * main (Bench, ColdWarmBench) and the correctness dump (Verify). The
+  * configs drifting apart between these runners silently breaks their
+  * comparability — Verify had already lost `spark.sql.adaptive.enabled`
+  * relative to Bench before this was extracted.
+  */
+object Harness {
+
+  def buildSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark can only read
+      // as raw nanos longs (see graft.tables.Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Time one registry query through the noop sink (a bare `.count()`
+    * lets Catalyst shortcut to parquet footer counts). Failures record
+    * as -1.0; the per-query cache is always cleared so a failed LSH/dedup
+    * query cannot leave persisted intermediates behind to skew the next
+    * timing.
+    */
+  def timeNoop(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      -1.0
+    } finally spark.catalog.clearCache()
+  }
+}

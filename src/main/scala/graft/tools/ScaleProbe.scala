@@ -22,10 +22,16 @@ import graft.streaming.{F1Pipeline, Metrics}
   */
 object ScaleProbe {
 
-  /** Dedup/ANN probe: replicate the sf0.1 tables `factor`× (text-perturbed
-    * copies, every 5th a planted near-dup) and time the pair→cluster→
-    * verdict chain, the incremental variant, and PQ build/search — the
-    * committed, reproducible form of the BASELINE.md round-5 numbers.
+  /** Dedup/ANN probe: replicate the sf0.1 tables `factor`× with a
+    * one-token suffix perturbation. On ~56-token docs that leaves
+    * replica Jaccard ≈ 0.9, so each original fans into a factor-sized
+    * near-dup CLIQUE (every-5th rows are exact copies) — a deliberately
+    * dup-saturated stress corpus: pair count grows ~factor²·docs (the
+    * recorded 250,401 pairs at 50k docs) and the probe times the chain
+    * under clique-dense load, the worst case for banding, components and
+    * verdicts. Times the pair→cluster→verdict chain, the incremental
+    * variant, and PQ build/search — the committed, reproducible form of
+    * the BASELINE.md round-5 numbers.
     *
     *   sbt "runMain graft.tools.ScaleProbe 10 dedup"
     */
@@ -114,9 +120,12 @@ object ScaleProbe {
     }
   }
 
-  /** Timeseries-family probe: replicate sf0.1 events `factor`× (shifted
-    * ids/users, jittered timestamps so sessions and as-of matches stay
-    * realistic) and time as-of join, sessionization, range join, and the
+  /** Timeseries-family probe: replicate sf0.1 events `factor`× with
+    * DISJOINT user-id ranges per replica (sf0.1 user_ids span 0–1499, so
+    * the shift must exceed that span — an overlapping shift would
+    * superpose replicas' timelines onto shared users, merging sessions
+    * and cross-attributing as-of matches) and a small per-replica ts
+    * jitter, then time as-of join, sessionization, range join, and the
     * HLL sketch — the window/bucket formulations' committed scale
     * evidence.
     *
@@ -138,7 +147,7 @@ object ScaleProbe {
       .select("event_id", "user_id", "event_type", "ts")
     val ev = (0 until factor).map(i => ev0.select(
       (col("event_id") + lit(i * 10000000L)).as("event_id"),
-      (col("user_id") + lit(i * 1000L)).as("user_id"),
+      (col("user_id") + lit(i * 100000L)).as("user_id"), // > the 0–1499 span
       col("event_type"),
       (col("ts") + lit(i * 7919L * 1000000L)).as("ts")))
       .reduce(_ unionByName _).repartition(par).cache()
