@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the ANALYZE-style data-quality pass that complements
@@ -13,29 +13,53 @@ import org.apache.spark.sql.functions._
   * (explode over an array of structs) emits one row per column. Exact
   * `countDistinct` over multiple columns expands the input (one copy per
   * distinct aggregate) — fine at profile-sized tables and what the oracle
-  * can reproduce; at 100 TB swap in `approx_count_distinct` (or the x32
-  * HLL sketches) and the pass stays single-scan with no expand. Min/max
-  * string rendering uses Spark's binary string ordering, which matches
-  * the oracle engine's default collation.
+  * can reproduce; [[profileApprox]] is the 100 TB route: HLL-sketch
+  * distinct counts ([[approx_count_distinct]]) keep the pass single-scan
+  * with NO expand node (plan-guarded in QueriesPlanSpec) at a bounded
+  * relative error. Min/max string rendering uses Spark's binary string
+  * ordering, which matches the oracle engine's default collation.
+  *
+  * Internal aggregate aliases are POSITIONAL (`__p{i}_…`), never derived
+  * from the user's column names: a name-derived alias would round-trip a
+  * profiled column containing dots or backticks through column-name
+  * parsing and break the lookup.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(c))
+
+  /** [[profile]] with sketch-based distinct counts: one scan, no expand,
+    * mergeable partials — the shape that survives 100 TB. `rsd` is the
+    * HLL++ target relative standard deviation (Spark's default 0.05).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(c, rsd))
+
+  /** Backtick-quoted reference: a profiled column named `a.b` must hit the
+    * column literally, not parse as struct-field access.
+    */
+  private def qcol(df: DataFrame, c: String): Column =
+    df.col("`" + c.replace("`", "``") + "`")
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: Column => Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val in = qcol(df, c)
       Seq(
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__${c}_nulls"),
-        countDistinct(col(c)).as(s"__${c}_distinct"),
-        min(col(c)).cast("string").as(s"__${c}_min"),
-        max(col(c)).cast("string").as(s"__${c}_max"))
+        sum(when(in.isNull, 1).otherwise(0)).cast("long").as(s"__p${i}_nulls"),
+        distinctAgg(in).as(s"__p${i}_distinct"),
+        min(in).cast("string").as(s"__p${i}_min"),
+        max(in).cast("string").as(s"__p${i}_max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.map { c =>
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("column"),
-        col(s"__${c}_nulls").as("n_nulls"),
-        col(s"__${c}_distinct").as("n_distinct"),
-        col(s"__${c}_min").as("min_value"),
-        col(s"__${c}_max").as("max_value"))
+        col(s"__p${i}_nulls").as("n_nulls"),
+        col(s"__p${i}_distinct").as("n_distinct"),
+        col(s"__p${i}_min").as("min_value"),
+        col(s"__p${i}_max").as("max_value"))
     }
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }

@@ -420,6 +420,35 @@ object ExtensionQueries {
         "round(max(value), 4) AS vmax, count(*) AS n " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // The 100 TB quantile route as a FIRST-CLASS entry (not just a spec
+    // assertion): approx_percentile is a mergeable t-digest-style sketch —
+    // partial-aggregate per partition, merge anywhere — so the per-group
+    // sort shuffle of the exact path (x33) never happens. Deterministic
+    // given the data, so the estimates freeze as a VALUES oracle;
+    // ExtensionOpsSpec pins them inside a quantile band of the exact
+    // values (the accuracy contract, like x32's 5%).
+    Q("x33b_quantiles_sketch",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"),
+          round(max(col("value")), 4).as("vmax"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      F1OracleSql.sql.get("x33b_quantiles_sketch")),
+
+    // The 100 TB profile route as a first-class entry: HLL-sketch distinct
+    // counts keep the pass ONE scan with NO expand node (exact multi-column
+    // countDistinct expands the input ×columns — x34's documented
+    // tradeoff). Plan-guarded in QueriesPlanSpec (no Expand); accuracy
+    // pinned within 5% of exact in ExtensionOpsSpec; estimates are
+    // deterministic given the data, frozen as a VALUES oracle.
+    Q("x34b_profile_sketch",
+      (s, d) => graft.catalog.Profile.profileApprox(
+        Tables.documents(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      F1OracleSql.sql.get("x34b_profile_sketch")),
+
     // Mergeable distinct-count sketch (DataSketches HLL, built into
     // Spark 4): per-event-type user sketches plus their UNION re-estimated
     // as "__all__" — the sketch algebra (partial-aggregate per partition,
@@ -445,11 +474,14 @@ object ExtensionQueries {
     // ---- timeseries alignment ----
 
     // As-of join (purchase→click attribution): for each purchase, the most
-    // recent preceding click by the same user. No join node — union +
-    // per-key cumulative window (one shuffle); the oracle is DuckDB's
-    // native ASOF LEFT JOIN, so the semantics (inclusive match, latest
-    // right row at-or-before each left ts) are pinned against an
-    // independent implementation.
+    // recent preceding click by the same user (inclusive match). The
+    // oracle is an explicit window formulation — rank candidate clicks
+    // per purchase by (ts DESC, event_id DESC) and keep rn=1 — rather
+    // than DuckDB's native ASOF JOIN, whose tie-break among right rows
+    // sharing (user_id, ts) is unspecified; the explicit ORDER BY pins
+    // the same max-click_id tie-break the Spark side's rightTieBreak
+    // implements, so the oracle stays deterministic even if future
+    // testdata carries duplicate click timestamps per user.
     Q("x29_asof_attribution",
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -465,11 +497,15 @@ object ExtensionQueries {
             col("click_id"))
           .orderBy("event_id")
       },
-      Some("SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
-        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id " +
+      Some("SELECT event_id, user_id, ts_ms, click_ts_ms, click_id FROM (" +
+        "SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
+        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
         "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
-        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
-        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id")),
+        "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
+        "WHERE rn = 1 ORDER BY event_id")),
 
     // Range join (point-in-interval): purchases matched into the 2-hour
     // window opened by each signup of the same user. Bucketed equi-join
@@ -499,6 +535,40 @@ object ExtensionQueries {
         "ON p.user_id = s.user_id AND epoch_ns(p.ts) >= epoch_ns(s.ts) " +
         "AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 7200000000000 " +
         "ORDER BY p.event_id, signup_id")),
+
+    // Interval-overlap join (interval×interval): each signup's 2-hour
+    // onboarding window overlapped with the 1-hour windows opened by the
+    // same user's error events. Both sides explode into coarse buckets and
+    // meet in a hash EQUI-join; exactly-once emission via the
+    // bucket-of-overlap-start rule (RangeJoin.intervalOverlap scaladoc).
+    // Oracle = the naive inequality join in DuckDB, pinning multiset
+    // parity with the O(n·m) formulation.
+    Q("x35_overlap_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("a_start"),
+            (col("ts") + lit(7200000000000L)).as("a_end"),
+            col("event_id").as("signup_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("b_start"),
+            (col("ts") + lit(3600000000000L)).as("b_end"),
+            col("event_id").as("error_id"))
+        RangeJoin.intervalOverlap(signups, errors, Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end", bucketWidth = 7200000000000L)
+          .select(col("signup_id"), col("error_id"), col("user_id"),
+            expr("greatest(a_start, b_start) div 1000000").as("ov_start_ms"),
+            expr("least(a_end, b_end) div 1000000").as("ov_end_ms"))
+          .orderBy("signup_id", "error_id")
+      },
+      Some("SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id, " +
+        "greatest(epoch_ns(s.ts), epoch_ns(e.ts))//1000000 AS ov_start_ms, " +
+        "least(epoch_ns(s.ts) + 7200000000000, epoch_ns(e.ts) + 3600000000000)//1000000 AS ov_end_ms " +
+        "FROM (SELECT * FROM events WHERE event_type='signup') s " +
+        "JOIN (SELECT * FROM events WHERE event_type='error') e " +
+        "ON s.user_id = e.user_id AND epoch_ns(s.ts) <= epoch_ns(e.ts) + 3600000000000 " +
+        "AND epoch_ns(e.ts) <= epoch_ns(s.ts) + 7200000000000 " +
+        "ORDER BY signup_id, error_id")),
 
     // Sessionization: 30-minute-gap sessions per user over the event
     // stream, rolled up to per-session bounds/counts/value sums (exact

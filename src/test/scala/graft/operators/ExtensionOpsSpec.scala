@@ -676,6 +676,41 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("profileApprox: sketch distinct within 5% of exact, other stats identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val exact = graft.catalog.Profile.profile(docs, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = graft.catalog.Profile.profileApprox(docs, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // nulls/min/max run the same exact aggregates — byte-identical
+      assert(a.getLong(1) == e.getLong(1), s"$c nulls")
+      assert(a.getString(3) == e.getString(3) && a.getString(4) == e.getString(4),
+        s"$c min/max")
+      val (en, an) = (e.getLong(2), a.getLong(2))
+      // rsd=0.05 with an absolute-1 floor: at tiny cardinalities (the
+      // 20-distinct source column) a single-count wobble is within the
+      // sketch's contract but trips a pure relative bound
+      assert(math.abs(an - en) <= math.max(1L, math.round(0.05 * en)),
+        s"$c: approx distinct $an vs exact $en")
+    }
+  }
+
+  test("profile survives column names with dots and backticks") {
+    // the aggregate aliases are positional, and input refs are
+    // backtick-quoted — a name like "a.b" must profile the COLUMN, not
+    // parse as struct-field access
+    val df = spark.range(5).toDF("id")
+      .withColumn("a.b", col("id") * 2)
+      .withColumn("we`ird", col("id").cast("string"))
+    val out = graft.catalog.Profile.profile(df, Seq("a.b", "we`ird"))
+      .orderBy("column").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a.b", "we`ird"))
+    assert(out.forall(_.getLong(2) == 5L), out.mkString("; ")) // 5 distinct each
+  }
+
   test("hll sketch: estimates within 5% of exact; union ≈ sketch-of-union; parallelism-stable") {
     val ev = spark.read.option("mergeSchema", "false")
       .parquet("/root/testdata/sf0.01/events.parquet")

@@ -110,6 +110,38 @@ class TimeseriesOpsSpec extends SparkSpec {
     assert(streaming == batch, s"streaming=$streaming batch=$batch")
   }
 
+  test("overlap join: naive-join parity, exactly-once across shared buckets, equi-join plan") {
+    // left/right intervals engineered so pairs co-cover MANY buckets at
+    // width 10 (the exactly-once hazard), plus touching-endpoint overlaps
+    // (inclusive bounds) and disjoint / other-key negatives
+    val left = Seq(
+      ("k", 0L, 50L, 1L),   // wide — overlaps r100 (5 shared buckets), r200 (touch at 50)
+      ("k", 60L, 65L, 2L),  // overlaps r200 only
+      ("k", 90L, 95L, 3L),  // disjoint from everything
+      ("z", 0L, 50L, 4L))   // other key — no partner
+      .toDF("key", "ls", "le", "lid")
+    val right = Seq(
+      ("k", 5L, 45L, 100L),  // inside l1
+      ("k", 50L, 62L, 200L), // touches l1 at 50 (inclusive), overlaps l2
+      ("z", 60L, 70L, 300L)) // other key, disjoint from z's left
+      .toDF("key", "rs", "re", "rid")
+
+    def pairs(w: Long) = RangeJoin.intervalOverlap(left, right, Seq("key"),
+      "ls", "le", "rs", "re", bucketWidth = w)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = Seq((1L, 100L), (1L, 200L), (2L, 200L))
+    // exactly once per overlapping pair at every width regime (shared
+    // buckets at 10, single bucket at huge, per-unit at 1)
+    assert(pairs(10L) == expected, pairs(10L))
+    assert(pairs(1L) == expected)
+    assert(pairs(1000000L) == expected)
+
+    val plan = RangeJoin.intervalOverlap(left, right, Seq("key"),
+      "ls", "le", "rs", "re", 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("range join: degenerate bucket widths stay correct (1 and huge)") {
     val points = Seq((1L, "k", 7L)).toDF("pid", "key", "pt")
     val intervals = Seq(("k", 5L, 9L, 10L), ("k", 8L, 12L, 20L))

@@ -132,4 +132,29 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x34b sketch profile: single scan, NO expand node (x34's exact path expands)") {
+    // exact multi-column countDistinct expands the input ×distinct-aggs;
+    // the sketch route must not — that's the whole point of x34b
+    val sketch = plan("x34b_profile_sketch")
+    assert(!sketch.contains("Expand"), sketch)
+    assert(sketch.contains("partial"), sketch) // still partial-aggregated map-side
+    val exact = plan("x34_profile")
+    assert(exact.contains("Expand"), "x34's exact path stopped expanding — " +
+      "if countDistinct planning improved, retire this contrast assertion")
+  }
+
+  test("x35 overlap join: hash equi-join on (key, bucket), never nested-loop") {
+    val p = plan("x35_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x33b sketch quantiles: partial aggregation, no per-group value sort") {
+    val p = plan("x33b_quantiles_sketch")
+    // the exact path (x33) sorts every group's values; the sketch path is
+    // a hash aggregate with map-side partials — one exchange, no Sort
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
