@@ -94,8 +94,11 @@ object Similarity {
 
   /** Map-only assignment: nearest-centroid id via the broadcast-quantizer
     * kernel ([[graft.functions.NearestCentroids]]) — no join, no shuffle.
+    * Public as the FROZEN-quantizer encode path: growing a persisted index
+    * ([[AnnIndexStore.addVectors]]) assigns new vectors with the stored
+    * centroids instead of retraining.
     */
-  private def assignCid(corpus: DataFrame, corpusVec: String,
+  def assignCid(corpus: DataFrame, corpusVec: String,
       centroids: Array[Array[Double]]): DataFrame =
     corpus.withColumn("cid", element_at(
       graft.functions.TextVectorExpressions.nearest_centroids(
@@ -295,6 +298,20 @@ object Similarity {
       norm(col(corpusVec)).as("_cn"))
     PqModel(codebooks, m, k, encoded)
   }
+
+  /** PQ-encode `corpus` with FROZEN codebooks (no training): the encoded
+    * schema [[buildPq]] produces — (id, codes, _cn). The incremental
+    * index-growth path: new vectors joining a persisted index encode with
+    * the stored model ([[AnnIndexStore.addVectors]]), identical to what a
+    * full re-encode with the same codebooks would produce (parity-pinned
+    * in AnnIndexStoreSpec).
+    */
+  def pqEncode(corpus: DataFrame, corpusId: String, corpusVec: String,
+      codebooks: Array[Array[Double]], m: Int, k: Int): DataFrame =
+    corpus.select(col(corpusId),
+      graft.functions.TextVectorExpressions.pq_encode(col(corpusVec), codebooks, m, k)
+        .as("codes"),
+      norm(col(corpusVec)).as("_cn"))
 
   /** PQ top-k by asymmetric distance: each query computes its m·k-entry
     * inner-product LUT once (map-only, [[graft.functions.PqLutExpr]]),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -305,6 +305,30 @@ object ExtensionQueries {
           minProbe = 4, maxProbe = 12, margin = 0.5, rerank = 50)
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x24_ann_ivfpq_topk")),
+
+    // Build-once/search-many: the SAME index as x24 saved as parquet
+    // artifacts (manifest-backed tables), loaded back, and searched —
+    // pinning that the persisted round-trip loses nothing: the frozen
+    // oracle values are exactly x24's. The store is the 100 TB shape
+    // (index build as a pipeline stage; searches plan against stored
+    // inverted lists + codes); search-only latency and the incremental
+    // add-vectors path are probed in tools.AnnIndexProbe / BASELINE.md.
+    Q("x24b_ann_persisted",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        AnnIndexStore.save(s, dir, ivf, pq)
+        val loaded = AnnIndexStore.load(s, dir)
+        AnnIndexStore.searchTopK(loaded,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5,
+          minProbe = 4, maxProbe = 12, margin = 0.5, rerank = 50)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x24b_ann_persisted")),
 
     Q("x14_ann_ivf_topk",
       (s, d) => {

@@ -53,6 +53,12 @@ trait MergeEngine {
     * (Delta/Iceberg `OPTIMIZE` in an ACID implementation).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit
+
+  /** Current snapshot of a table this engine maintains; None if the table
+    * doesn't exist yet. The read side of the seam — consumers (e.g.
+    * [[graft.operators.AnnIndexStore]]) stay backend-agnostic.
+    */
+  def read(spark: SparkSession, path: String): Option[DataFrame]
 }
 
 /** Default engine: vanilla-parquet read-merge-write with staged directory
@@ -80,4 +86,7 @@ object ParquetSwapMergeEngine extends MergeEngine {
 
   def compact(spark: SparkSession, path: String, targetBytes: Long): Unit =
     TableSink.compact(spark, path, targetBytes)
+
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    TableSink.readIfExists(spark, path)
 }

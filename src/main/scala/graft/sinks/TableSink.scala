@@ -54,7 +54,7 @@ object TableSink {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+  private[sinks] def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     recover(spark, path)
     if (exists(spark, path)) Some(spark.read.parquet(path)) else None
   }

@@ -177,6 +177,72 @@ object ScaleProbe {
     }
   }
 
+  /** Persisted-ANN-index probe (round-7 directive #1 evidence): attribute
+    * the build-once/search-many split on a factor×-replicated embedding
+    * corpus. Reports index build+save, load, SEARCH-ONLY latency against
+    * the stored artifact (×3 — the steady-state cost), the incremental
+    * addVectors path, and a full rebuild for contrast.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 100 annindex"
+    */
+  private def annIndexProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndexStore, Similarity}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    // replicate with an alternating per-component perturbation so replicas
+    // spread over lists instead of stacking on their original's centroid
+    val corpus = (0 until factor).map(i => emb0.select(
+      (col("vec_id") + lit(i.toLong * 1000000L)).as("c_id"),
+      transform(col("embedding"), (x, j) =>
+        x * (lit(1.0f) + lit(0.002f * (i % 40)) *
+          when(pmod(j + lit(i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+        .as("c_vec")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"ann_corpus","vectors":${corpus.count()}}""")
+    val queries = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = Files.createTempDirectory("annprobe").toString
+
+    val (ivf, pq) = timed("annindex_build") {
+      (Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2),
+        Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2))
+    }
+    timed("annindex_save")(AnnIndexStore.save(spark, dir, ivf, pq))
+    val loaded = timed("annindex_load")(AnnIndexStore.load(spark, dir))
+    (1 to 3).foreach { i =>
+      timed(s"annindex_search_stored_$i") {
+        AnnIndexStore.searchTopK(loaded, queries, "c_id", "c_vec",
+          "q_id", "q_vec", k = 5, rerank = 50).collect()
+      }
+    }
+    // incremental growth: one original-corpus-worth of new ids (1/factor
+    // of the indexed rows) — must cost O(increment), not O(index)
+    val inc = emb0.select(
+      (col("vec_id") + lit(factor.toLong * 1000000L)).as("c_id"),
+      col("embedding").as("c_vec"))
+    timed("annindex_add_vectors")(
+      AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec"))
+    val grown = timed("annindex_reload")(AnnIndexStore.load(spark, dir))
+    timed("annindex_search_grown") {
+      AnnIndexStore.searchTopK(grown, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 50).collect()
+    }
+    // contrast: what every search paid before persistence (the x24 shape)
+    timed("annindex_full_rebuild") {
+      val all = corpus.unionByName(inc)
+      (Similarity.buildIvf(all, "c_id", "c_vec", k = 16, iters = 2),
+        Similarity.buildPq(all, "c_id", "c_vec", m = 16, k = 16, iters = 2))
+    }
+    corpus.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -190,6 +256,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "dedup") {
       try dedupProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "annindex") {
+      try annIndexProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted ANN index lifecycle: save/load round-trip fidelity,
+  * incremental growth parity with a frozen-model re-encode, and the
+  * search-against-stored-artifact path matching the in-memory search.
+  */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private def corpusOf(maxId: Long) = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") < maxId)
+    .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+  private def queries = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("annidx_spec").toString
+
+  private def searchRows(out: org.apache.spark.sql.DataFrame) =
+    out.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+  test("save/load round-trip: models bit-identical, search equals in-memory index") {
+    val corpus = corpusOf(300)
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    val loaded = AnnIndexStore.load(spark, dir)
+
+    assert(loaded.ivf.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    assert(loaded.pq.codebooks.map(_.toSeq).toSeq == pq.codebooks.map(_.toSeq).toSeq)
+    assert(loaded.pq.m == pq.m && loaded.pq.k == pq.k)
+    // data tables: same (id → cid) and (id → codes, norm) maps
+    val memAssigned = ivf.assigned.select("c_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stAssigned = loaded.ivf.assigned.select("c_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stAssigned == memAssigned)
+    val memCodes = pq.encoded.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val stCodes = loaded.pq.encoded.select("c_id", "codes", "_cn").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(stCodes == memCodes)
+
+    val inMem = searchRows(Similarity.ivfPqTopKAdaptive(ivf, pq, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    val stored = searchRows(AnnIndexStore.searchTopK(loaded, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    assert(stored == inMem, s"stored=$stored inMem=$inMem")
+
+    // a second save at the same path must refuse (rebuild = new path)
+    intercept[IllegalArgumentException] {
+      AnnIndexStore.save(spark, dir, ivf, pq)
+    }
+  }
+
+  test("addVectors: frozen-model encode parity with full re-encode; search sees new rows") {
+    val all = corpusOf(500)
+    val base = all.filter(col("c_id") < 250)
+    val increment = all.filter(col("c_id") >= 250)
+    // models train on the BASE corpus only
+    val ivf = Similarity.buildIvf(base, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(base, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    AnnIndexStore.addVectors(spark, dir, increment, "c_id", "c_vec")
+    val grown = AnnIndexStore.load(spark, dir)
+
+    // parity: grown tables == full re-encode of ALL vectors with the SAME
+    // frozen models (assignment and codes must not depend on arrival path)
+    val expAssigned = Similarity.assignCid(all, "c_vec", ivf.centroids)
+      .select("c_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotAssigned = grown.ivf.assigned.select("c_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotAssigned == expAssigned)
+    assert(gotAssigned.size == 500)
+    val expCodes = Similarity.pqEncode(all, "c_id", "c_vec", pq.codebooks, pq.m, pq.k)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val gotCodes = grown.pq.encoded.select("c_id", "codes", "_cn").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(gotCodes == expCodes)
+
+    // search parity against an in-memory index holding the same frozen
+    // models over the full corpus — and the increment's rows are reachable
+    val memIvf = Similarity.IvfIndex(ivf.centroids,
+      Similarity.assignCid(all, "c_vec", ivf.centroids))
+    val memPq = Similarity.PqModel(pq.codebooks, pq.m, pq.k,
+      Similarity.pqEncode(all, "c_id", "c_vec", pq.codebooks, pq.m, pq.k))
+    val inMem = searchRows(Similarity.ivfPqTopKAdaptive(memIvf, memPq, all, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 30))
+    val stored = searchRows(AnnIndexStore.searchTopK(grown, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 30))
+    assert(stored == inMem)
+    assert(stored.exists(_._2 >= 250), // at least one neighbor from the increment
+      s"no increment row in top-k — planted growth not searchable: $stored")
+  }
+}

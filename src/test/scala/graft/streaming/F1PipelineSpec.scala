@@ -156,6 +156,10 @@ class F1PipelineSpec extends SparkSpec {
       }
       def compact(s: org.apache.spark.sql.SparkSession, p: String,
           t: Long): Unit = ParquetSwapMergeEngine.compact(s, p, t)
+      def read(s: org.apache.spark.sql.SparkSession,
+          p: String): Option[org.apache.spark.sql.DataFrame] = {
+        bump("read"); ParquetSwapMergeEngine.read(s, p)
+      }
     }
 
     val src = tmp("f1srcE")
