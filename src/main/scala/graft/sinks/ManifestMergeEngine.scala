@@ -19,146 +19,171 @@ import org.apache.spark.sql.functions.col
   *
   * Commit protocol: (1) stage the merge's output files into `data/` under
   * names no other version references, (2) write the next manifest to a
-  * temp name and atomically rename it to `_manifests/m{N+1}.json`. The
-  * current version IS the max-numbered manifest, so there is no pointer
-  * file to overwrite and no window where the table is missing: a reader
-  * resolves either version N or N+1, never a half-swapped directory — the
-  * isolation gap [[ParquetSwapMergeEngine]] documents (its rename window)
-  * closes. A crash before the manifest rename leaves only orphaned data
-  * files (invisible to every reader; removed by the next GC), after it the
-  * commit is complete — nothing to recover either way.
+  * temp name and atomically PUBLISH it as `_manifests/m{N+1}.json` via a
+  * compare-and-swap (fail-if-exists). The current version IS the
+  * max-numbered manifest, so there is no pointer file to overwrite and no
+  * window where the table is missing: a reader resolves either version N
+  * or N+1, never a half-swapped directory. A crash before the manifest
+  * publish leaves only orphaned data files (invisible to every reader;
+  * removed by the next GC), after it the commit is complete — nothing to
+  * recover either way.
+  *
+  * Multi-writer CAS: the publish is atomic fail-if-exists — on HDFS-like
+  * filesystems `rename` refuses an existing destination; on the local
+  * filesystem POSIX `rename(2)` silently REPLACES, so the publish uses
+  * the `link(2)` trick instead (hard-link the temp file to the final
+  * name — fails with EEXIST atomically). A writer that loses version
+  * N+1 re-reads the NEW current manifest, recomputes its merge against
+  * that snapshot (rebase — untouched files re-carried, keyed merges
+  * re-run so the winner's rows participate), restages, and retries at
+  * N+2; its lost attempt's staged files become GC-able orphans. Bounded
+  * by `maxCommitAttempts` (fails loudly rather than livelocking).
   *
   * Partitioned merges carry UNTOUCHED partitions' file entries forward
   * into the new manifest instead of copying the files — O(touched
   * partitions) IO per merge, same as the directory-swap engine, but old
-  * versions stay intact for in-flight readers.
+  * versions stay intact for in-flight readers. The flat ops
+  * (append/dedupAppend/upsert/coalescingUpsert) detect a partitioned
+  * manifest and stage UNDER the partition layout (so a mixed
+  * flat+partitioned manifest — which breaks basePath partition discovery
+  * — can never be committed); a batch missing the partition column fails
+  * fast instead.
   *
   * GC: after each commit, manifests older than `retainVersions` are
   * dropped and data files referenced by NO retained manifest are deleted.
   * `retainVersions` ≥ 2 keeps the previous snapshot alive for readers
-  * that resolved it just before a commit. Single writer per table assumed
-  * (as for every engine here); multi-writer needs a CAS on the manifest
-  * name, which HDFS rename-without-overwrite provides and object stores
-  * provide via conditional put — out of scope.
+  * that resolved it just before a commit. `orphanGraceMs` guards
+  * CONCURRENT writers' in-flight work from the sweep: a staged-but-not-
+  * yet-committed data file is unreferenced by every manifest, so a
+  * competing writer's GC would delete it mid-commit; with a grace window
+  * ≥ the longest stage-to-publish time, only genuine orphans (crash
+  * leftovers, lost-race stages) age into deletion. The default 0 keeps
+  * single-writer GC prompt (delete-on-next-commit); multi-writer
+  * deployments MUST set it (minutes — the Delta tombstone-retention
+  * posture).
   */
-final class ManifestMergeEngine(retainVersions: Int = 3) extends MergeEngine {
+final class ManifestMergeEngine(retainVersions: Int = 3,
+    orphanGraceMs: Long = 0L, maxCommitAttempts: Int = 20) extends MergeEngine {
   require(retainVersions >= 1, "retainVersions must be >= 1")
+  require(orphanGraceMs >= 0, "orphanGraceMs must be >= 0")
+  require(maxCommitAttempts >= 1, "maxCommitAttempts must be >= 1")
   import ManifestMergeEngine._
 
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
-      keys: Seq[String]): Unit = {
-    val all = read(spark, path) match {
-      case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
-      case None           => batch
+      keys: Seq[String]): Unit =
+    retryingCommit(spark, path) { prev =>
+      val all = readPrev(spark, path, prev) match {
+        case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
+        case None           => batch
+      }
+      stageFiles(spark, path, TableSink.mergeLastWins(all, keys),
+        rewritePartitioning(prev, all, "upsert"))
     }
-    commitFullRewrite(spark, path, TableSink.mergeLastWins(all, keys), retainVersions)
-  }
 
   def coalescingUpsert(spark: SparkSession, path: String, batch: DataFrame,
-      keys: Seq[String]): Unit = {
-    val all = read(spark, path) match {
-      case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
-      case None           => batch
+      keys: Seq[String]): Unit =
+    retryingCommit(spark, path) { prev =>
+      val all = readPrev(spark, path, prev) match {
+        case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
+        case None           => batch
+      }
+      stageFiles(spark, path, TableSink.mergeCoalescing(all, keys),
+        rewritePartitioning(prev, all, "coalescingUpsert"))
     }
-    commitFullRewrite(spark, path, TableSink.mergeCoalescing(all, keys), retainVersions)
-  }
 
   def partitionedCoalescingUpsert(spark: SparkSession, path: String,
       batch: DataFrame, keys: Seq[String], partCol: String): Unit = {
     require(keys.contains(partCol),
       s"partition column $partCol must be part of the merge key $keys")
-    val fs = fileSystem(spark, path)
-    val current = currentManifest(fs, path)
-    val existingOpt = current.flatMap(m => readFiles(spark, path, m.files))
-    val schemaDrifted = existingOpt.exists(_.columns.toSet != batch.columns.toSet)
-    if (existingOpt.isEmpty || schemaDrifted) {
-      // first write, or column-set drift: merge the WHOLE table once so
-      // every partition carries the uniform widened schema (same rule as
-      // the directory-swap engine)
-      val all = existingOpt match {
-        case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
-        case None           => batch
+    retryingCommit(spark, path) { prev =>
+      val existingOpt = readPrev(spark, path, prev)
+      val schemaDrifted = existingOpt.exists(_.columns.toSet != batch.columns.toSet)
+      if (existingOpt.isEmpty || schemaDrifted) {
+        // first write, or column-set drift: merge the WHOLE table once so
+        // every partition carries the uniform widened schema (same rule as
+        // the directory-swap engine)
+        val all = existingOpt match {
+          case Some(existing) => existing.unionByName(batch, allowMissingColumns = true)
+          case None           => batch
+        }
+        stageFiles(spark, path,
+          TableSink.mergeCoalescing(all.repartitionByRange(keys.map(col): _*), keys),
+          partitionBy = Some(partCol))
+      } else {
+        val touched = batch.select(col(partCol)).distinct().collect()
+          .map(r => Option(r.get(0)).map(_.toString)).toSet
+        val touchedDirs = touched.map(v => partDirName(partCol, v))
+        val (touchedFiles, untouchedFiles) = prev.get.files.partition { f =>
+          // files of a partitioned table live under "<partCol>=<v>/…"; the
+          // root-level case (unpartitioned history) counts as touched so it
+          // gets folded into the rewrite rather than silently carried
+          val slash = f.indexOf('/')
+          slash < 0 || touchedDirs.contains(f.substring(0, slash))
+        }
+        val existingTouched = readFiles(spark, path, touchedFiles)
+        val all = existingTouched match {
+          case Some(t) => t.unionByName(batch, allowMissingColumns = true)
+          case None    => batch
+        }
+        val staged = stageFiles(spark, path,
+          TableSink.mergeCoalescing(all.repartitionByRange(keys.map(col): _*), keys),
+          partitionBy = Some(partCol))
+        untouchedFiles ++ staged
       }
-      commitPartitionedRewrite(spark, path,
-        TableSink.mergeCoalescing(all.repartitionByRange(keys.map(col): _*), keys),
-        partCol, carriedFiles = Seq.empty, retainVersions)
-    } else {
-      val touched = batch.select(col(partCol)).distinct().collect()
-        .map(r => Option(r.get(0)).map(_.toString)).toSet
-      val touchedDirs = touched.map(v => partDirName(partCol, v))
-      val (touchedFiles, untouchedFiles) = current.get.files.partition { f =>
-        // files of a partitioned table live under "<partCol>=<v>/…"; the
-        // root-level case (unpartitioned history) counts as touched so it
-        // gets folded into the rewrite rather than silently carried
-        val slash = f.indexOf('/')
-        slash < 0 || touchedDirs.contains(f.substring(0, slash))
-      }
-      val existingTouched = readFiles(spark, path, touchedFiles)
-      val all = existingTouched match {
-        case Some(t) => t.unionByName(batch, allowMissingColumns = true)
-        case None    => batch
-      }
-      commitPartitionedRewrite(spark, path,
-        TableSink.mergeCoalescing(all.repartitionByRange(keys.map(col): _*), keys),
-        partCol, carriedFiles = untouchedFiles, retainVersions)
     }
   }
 
   def append(path: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    // append never reads data: stage the new files, carry every current
-    // entry forward
-    val fs = fileSystem(spark, path)
-    val staged = stageFiles(spark, path, batch, partitionBy = None)
-    val prev = currentManifest(fs, path)
-    commit(fs, path, prev.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prev.map(_.version + 1).getOrElse(0L), retainVersions)
+    // append never reads data: stage the new files (under the table's
+    // partition layout when it has one), carry every current entry forward
+    retryingCommit(spark, path) { prev =>
+      val staged = stageFiles(spark, path, batch,
+        appendPartitioning(prev, batch, "append"))
+      prev.map(_.files).getOrElse(Seq.empty) ++ staged
+    }
   }
 
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit = {
     val inBatch = TableSink.firstWinsInBatch(batch, key)
-    val fresh = read(spark, path) match {
-      case Some(existing) =>
-        inBatch.join(existing.select(col(key)), Seq(key), "left_anti")
-      case None => inBatch
+    retryingCommit(spark, path) { prev =>
+      // the anti-join runs against THIS attempt's snapshot — a retry after
+      // a lost race re-filters against the winner's keys, preserving the
+      // only-absent-keys contract under concurrency
+      val fresh = readPrev(spark, path, prev) match {
+        case Some(existing) =>
+          inBatch.join(existing.select(col(key)), Seq(key), "left_anti")
+        case None => inBatch
+      }
+      val staged = stageFiles(spark, path, fresh,
+        appendPartitioning(prev, batch, "dedupAppend"))
+      prev.map(_.files).getOrElse(Seq.empty) ++ staged
     }
-    val fs = fileSystem(spark, path)
-    val staged = stageFiles(spark, path, fresh, partitionBy = None)
-    val prev = currentManifest(fs, path)
-    commit(fs, path, prev.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prev.map(_.version + 1).getOrElse(0L), retainVersions)
   }
 
   def compact(spark: SparkSession, path: String, targetBytes: Long): Unit = {
     val fs = fileSystem(spark, path)
-    currentManifest(fs, path).foreach { m =>
-      readFiles(spark, path, m.files).foreach { df =>
-        // size from one recursive summary of data/ — per-file getFileStatus
-        // round-trips serialize on the driver at high file counts; the
-        // summary may overcount by not-yet-GC'd older versions, which only
-        // rounds the target file count up (harmless for a layout pass)
-        val bytes = fs.getContentSummary(dataRoot(path)).getLength
-        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // preserve a partitioned layout: a flat rewrite would demote the
-        // partition column to an embedded field, killing directory pruning
-        // and forcing the next partitionedCoalescingUpsert into a
-        // full-table merge (every file would look "touched")
-        val partCols = m.files.flatMap { f =>
-          val slash = f.indexOf('/')
-          if (slash <= 0) None
-          else {
-            val eq = f.indexOf('=')
-            if (eq > 0 && eq < slash) Some(f.substring(0, eq)) else None
-          }
-        }.distinct
-        val partitionBy =
-          if (partCols.length == 1 && m.files.forall(_.contains('/')))
-            Some(partCols.head)
-          else None
-        val staged = stageFiles(spark, path,
-          df.repartition(nFiles), partitionBy)
-        commit(fs, path, staged, m.version + 1, retainVersions)
+    if (currentManifest(fs, path).isEmpty) return
+    retryingCommit(spark, path) { prevOpt =>
+      val m = prevOpt.getOrElse(
+        throw new java.io.IOException(s"manifest vanished mid-compact at $path"))
+      readFiles(spark, path, m.files) match {
+        case None => m.files // empty table: recommit the (empty) list as-is
+        case Some(df) =>
+          // size from one recursive summary of data/ — per-file
+          // getFileStatus round-trips serialize on the driver at high file
+          // counts; the summary may overcount by not-yet-GC'd older
+          // versions, which only rounds the target file count up (harmless
+          // for a layout pass)
+          val bytes = fs.getContentSummary(dataRoot(path)).getLength
+          val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          // preserve a partitioned layout: a flat rewrite would demote the
+          // partition column to an embedded field, killing directory
+          // pruning and forcing the next partitionedCoalescingUpsert into
+          // a full-table merge (every file would look "touched")
+          stageFiles(spark, path, df.repartition(nFiles),
+            manifestPartitionCol(m.files))
       }
     }
   }
@@ -167,6 +192,74 @@ final class ManifestMergeEngine(retainVersions: Int = 3) extends MergeEngine {
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fileSystem(spark, path)
     currentManifest(fs, path).flatMap(m => readFiles(spark, path, m.files))
+  }
+
+  private def readPrev(spark: SparkSession, path: String,
+      prev: Option[Manifest]): Option[DataFrame] =
+    prev.flatMap(m => readFiles(spark, path, m.files))
+
+  /** Full-rewrite staging layout for the flat keyed merges: keep a
+    * partitioned table partitioned (never commit a mixed manifest); fail
+    * fast when the merged frame can't express the layout.
+    */
+  private def rewritePartitioning(prev: Option[Manifest], merged: DataFrame,
+      op: String): Option[String] =
+    prev.map(_.files).flatMap(manifestPartitionCol) match {
+      case some @ Some(pc) =>
+        require(merged.columns.contains(pc),
+          s"$op on a $pc-partitioned manifest table: merged frame lost " +
+            s"the partition column $pc — cannot preserve the layout")
+        some
+      case None => None
+    }
+
+  /** Append-staging layout: a batch appended to a partitioned table must
+    * carry the partition column (there is no existing data to recover it
+    * from — appends never read).
+    */
+  private def appendPartitioning(prev: Option[Manifest], batch: DataFrame,
+      op: String): Option[String] =
+    prev.map(_.files).flatMap(manifestPartitionCol) match {
+      case some @ Some(pc) =>
+        require(batch.columns.contains(pc),
+          s"$op on a $pc-partitioned manifest table requires the batch to " +
+            s"carry the partition column $pc (got ${batch.columns.toSeq})")
+        some
+      case None => None
+    }
+
+  /** Optimistic-concurrency commit loop: each attempt computes+stages its
+    * file list against the CURRENT manifest, then CASes the next version.
+    * A lost race (or a staging fault caused by a competing GC) rebases:
+    * re-read, recompute, restage, retry. Lost attempts' staged files are
+    * orphans the next GC removes (after `orphanGraceMs`).
+    */
+  private def retryingCommit(spark: SparkSession, path: String)
+      (attempt: Option[Manifest] => Seq[String]): Unit = {
+    val fs = fileSystem(spark, path)
+    var n = 0
+    while (true) {
+      n += 1
+      val prev = currentManifest(fs, path)
+      val files =
+        try attempt(prev)
+        catch {
+          case e: java.io.IOException if n < maxCommitAttempts =>
+            // staging lost a file under a competing writer's GC — rebase
+            Thread.sleep(10L * n)
+            null
+        }
+      if (files != null) {
+        if (tryCommit(fs, path, files, prev.map(_.version + 1).getOrElse(0L))) {
+          gc(fs, path, retainVersions, orphanGraceMs)
+          return
+        }
+        if (n >= maxCommitAttempts)
+          throw new java.io.IOException(
+            s"manifest commit lost the CAS $maxCommitAttempts times at $path")
+        Thread.sleep(10L * n) // linear backoff; contention here is writer-count-bounded
+      }
+    }
   }
 }
 
@@ -216,6 +309,20 @@ object ManifestMergeEngine {
     s"$partCol=${value.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
   }
 
+  /** The single partition column of a manifest's layout, when EVERY entry
+    * sits under one "<col>=<value>/" directory level; None for flat (or
+    * mixed-history) layouts.
+    */
+  private[sinks] def manifestPartitionCol(files: Seq[String]): Option[String] = {
+    if (files.isEmpty || !files.forall(_.contains('/'))) return None
+    val partCols = files.flatMap { f =>
+      val slash = f.indexOf('/')
+      val eq = f.indexOf('=')
+      if (eq > 0 && eq < slash) Some(f.substring(0, eq)) else None
+    }.distinct
+    if (partCols.length == 1) Some(partCols.head) else None
+  }
+
   /** Write `df` into a staging dir, then move its part-files under
     * `data/` with a unique commit id prefixed to each name (no version
     * ever references another version's staged names). Returns relative
@@ -255,69 +362,62 @@ object ManifestMergeEngine {
     moved.toSeq
   }
 
-  /** Stage + commit a full-table rewrite: the new manifest lists ONLY the
-    * staged files.
+  /** Atomically publish version `v` via temp write + fail-if-exists CAS.
+    * Returns false when another writer already owns version `v`.
+    *
+    * Local filesystems need the hard-link trick: Hadoop's local `rename`
+    * bottoms out in POSIX rename(2), which silently REPLACES an existing
+    * destination — the one semantics a commit record cannot tolerate.
+    * `link(2)` fails with EEXIST atomically at the syscall level. On
+    * HDFS-like filesystems `rename` already refuses an existing
+    * destination (the public Delta commit protocol's assumption); object
+    * stores would use conditional put here.
     */
-  private def commitFullRewrite(spark: SparkSession, path: String, df: DataFrame,
-      retain: Int): Unit = {
-    val fs = fileSystem(spark, path)
-    val staged = stageFiles(spark, path, df, partitionBy = None)
-    val prev = currentManifest(fs, path)
-    commit(fs, path, staged, prev.map(_.version + 1).getOrElse(0L), retain)
-  }
-
-  /** Stage a partitioned rewrite of the touched partitions and commit it
-    * together with the carried-forward entries of untouched partitions.
-    */
-  private def commitPartitionedRewrite(spark: SparkSession, path: String,
-      df: DataFrame, partCol: String, carriedFiles: Seq[String],
-      retain: Int): Unit = {
-    val fs = fileSystem(spark, path)
-    val staged = stageFiles(spark, path, df, partitionBy = Some(partCol))
-    val prev = currentManifest(fs, path)
-    commit(fs, path, carriedFiles ++ staged,
-      prev.map(_.version + 1).getOrElse(0L), retain)
-  }
-
-  /** Atomically publish version `v` (temp write + rename — the manifest's
-    * existence IS the commit), then GC manifests/files beyond `retain`.
-    */
-  private def commit(fs: FileSystem, path: String, files: Seq[String],
-      v: Long, retain: Int): Unit = {
+  private def tryCommit(fs: FileSystem, path: String, files: Seq[String],
+      v: Long): Boolean = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".m$v.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // rename signals failure by RETURNING FALSE (dst exists = another
-    // writer won version v, or an FS fault) — unchecked, the commit would
-    // be silently lost while the caller believes it landed
-    if (!fs.rename(tmp, new Path(dir, s"m$v.json"))) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"manifest commit lost the race for version $v at $path " +
-          "(single-writer contract violated, or filesystem rename fault)")
-    }
-    gc(fs, path, retain)
+    val dst = new Path(dir, s"m$v.json")
+    val won =
+      if (fs.getUri.getScheme == "file") {
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, dst)
+    // the temp record is consumed either way (link copies the name, a
+    // failed rename keeps the source); losing is not an error — the
+    // caller rebases and retries
+    fs.delete(tmp, false)
+    won
   }
 
   /** Drop manifests older than the newest `retain`, then delete data files
-    * no retained manifest references (and stray temp files).
+    * no retained manifest references (and stray temp files). `graceMs`
+    * spares young unreferenced files — a CONCURRENT writer's staged-but-
+    * uncommitted work looks exactly like an orphan until its manifest
+    * publishes.
     */
-  private def gc(fs: FileSystem, path: String, retain: Int): Unit = {
-    // crash leftovers (single writer: anything still present when gc runs
-    // is orphaned — the live commit's staging dir is already gone):
-    // _staging_<uuid>/ trees from a crash mid-write, .m*.tmp manifests
-    // from a crash between create and rename
+  private def gc(fs: FileSystem, path: String, retain: Int, graceMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
+    // crash leftovers: _staging_<uuid>/ trees from a crash mid-write,
+    // .m*.tmp manifests from a crash between create and publish. With a
+    // grace window these too wait it out (a live writer's staging tree is
+    // indistinguishable from a stranded one by name alone).
     fs.listStatus(new Path(path)).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("_staging_"))
+      if (st.isDirectory && st.getPath.getName.startsWith("_staging_") && aged(st))
         fs.delete(st.getPath, true)
     }
     val dir = manifestDir(path)
     if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
       if (!st.isDirectory && st.getPath.getName.startsWith(".") &&
-          st.getPath.getName.endsWith(".tmp"))
+          st.getPath.getName.endsWith(".tmp") && aged(st))
         fs.delete(st.getPath, false)
     }
     val versions = fs.listStatus(dir).flatMap(_.getPath.getName match {
@@ -337,8 +437,9 @@ object ManifestMergeEngine {
         val rel = if (relPrefix.isEmpty) name else s"$relPrefix/$name"
         if (st.isDirectory) {
           sweep(st.getPath, rel)
-          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
-        } else if (!live.contains(rel)) fs.delete(st.getPath, false)
+          if (fs.listStatus(st.getPath).isEmpty && aged(st))
+            fs.delete(st.getPath, false)
+        } else if (!live.contains(rel) && aged(st)) fs.delete(st.getPath, false)
       }
     sweep(data, "")
   }

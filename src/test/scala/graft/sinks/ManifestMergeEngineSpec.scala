@@ -253,6 +253,91 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(engine.read(spark, path).get.head().getAs[String]("name") == "v5")
   }
 
+  test("multi-writer CAS: concurrent appends from two writers, no lost update") {
+    val path = tmp("msengMW") + "/events"
+    // grace >> test duration: a competing writer's GC must not sweep the
+    // other's staged-but-uncommitted files (the multi-writer deployment
+    // contract in the scaladoc)
+    val mw = new ManifestMergeEngine(retainVersions = 3, orphanGraceMs = 600000)
+    val perWriter = 6
+    // build the frames on the main thread (toDF needs the active session)
+    def batches(tag: String) = (0 until perWriter).map(i =>
+      Seq((s"$tag$i", tag)).toDF("id", "writer"))
+    val a = batches("a"); val b = batches("b")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writerThread(dfs: Seq[org.apache.spark.sql.DataFrame]) = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      try dfs.foreach(df => mw.append(path, df))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writerThread(a), writerThread(b))
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val rows = mw.read(spark, path).get.collect()
+    // every one of the 12 appends landed exactly once — the lost-update
+    // case would drop a batch whose carried file list predated the winner
+    assert(rows.length == 2 * perWriter, rows.map(_.getString(0)).sorted.mkString(","))
+    assert(rows.map(_.getString(0)).distinct.length == 2 * perWriter)
+    // 12 commits → versions 0..11 (every loser rebased to a NEW version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestMergeEngine.currentManifest(fs, path).get.version == 2L * perWriter - 1)
+  }
+
+  test("multi-writer CAS: concurrent keyed upserts rebase — both writers' keys survive") {
+    val path = tmp("msengMWU") + "/sessions"
+    val mw = new ManifestMergeEngine(retainVersions = 3, orphanGraceMs = 600000)
+    val perWriter = 4
+    // disjoint key ranges; each upsert is a FULL REWRITE, so without the
+    // rebase a stale loser would erase every row the winner just merged
+    def batches(base: Int, tag: String) = (0 until perWriter).map(i =>
+      TableSink.withSeq(Seq((base + i, s"$tag$i", 0L))
+        .toDF("session_key", "name", "line_id"), i))
+    val a = batches(100, "a"); val b = batches(200, "b")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writerThread(dfs: Seq[org.apache.spark.sql.DataFrame]) = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      try dfs.foreach(df => mw.upsert(spark, path, df, Seq("session_key")))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writerThread(a), writerThread(b))
+    ta.start(); tb.start(); ta.join(180000); tb.join(180000)
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val keys = mw.read(spark, path).get.collect()
+      .map(_.getAs[Int]("session_key")).sorted.toSeq
+    assert(keys == ((100 until 100 + perWriter) ++ (200 until 200 + perWriter)).toSeq,
+      keys.mkString(","))
+  }
+
+  test("flat ops on a partitioned manifest stage under the layout (no mixed manifest)") {
+    val path = tmp("msengFlatP") + "/lap_data"
+    val keys = Seq("driver_number", "lap_number")
+    engine.partitionedCoalescingUpsert(spark, path, TableSink.withSeq(
+      Seq((1, 1, Some(92.5), 10L), (2, 1, Some(95.0), 11L))
+        .toDF("driver_number", "lap_number", "lap_time", "line_id"), 1),
+      keys, "driver_number")
+    // append with the partition column: must land under driver_number=3/
+    engine.append(path, Seq((3, 1, Some(90.0), 12L))
+      .toDF("driver_number", "lap_number", "lap_time", "line_id"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = ManifestMergeEngine.currentManifest(fs, path).get
+    assert(m.files.forall(_.startsWith("driver_number=")), m.files)
+    assert(engine.read(spark, path).get.count() == 3)
+    // a batch MISSING the partition column fails fast instead of
+    // committing a mixed flat+partitioned manifest
+    intercept[IllegalArgumentException] {
+      engine.append(path, Seq((4, Some(91.0))).toDF("lap_number", "lap_time"))
+    }
+    // keyed full rewrites keep the layout too
+    engine.upsert(spark, path, TableSink.withSeq(
+      Seq((1, 1, Some(80.0), 13L))
+        .toDF("driver_number", "lap_number", "lap_time", "line_id"), 2), keys)
+    val m2 = ManifestMergeEngine.currentManifest(fs, path).get
+    assert(m2.files.forall(_.startsWith("driver_number=")), m2.files)
+    assert(engine.read(spark, path).get.count() == 3)
+  }
+
   test("streaming pipeline runs end-to-end through the manifest engine") {
     val src = tmp("msengStrSrc")
     val tables = tmp("msengStrTbl")
