@@ -13,20 +13,31 @@ import org.apache.spark.sql.functions.col
   *   data/…                immutable parquet files (partition subdirs when
   *                         the table is partitioned); files are NEVER
   *                         rewritten in place — a merge adds new files
-  *   _manifests/m{N}.json  the FULL relative file list of version N; the
-  *                         manifest file itself is the commit record
+  *   _manifests/d{N}.json  version N's commit record: the DELTA vs N-1
+  *                         ("+path" added / "-path" removed lines) — the
+  *                         CAS target, O(changed files) bytes per commit
+  *   _manifests/m{N}.json  periodic CHECKPOINT: the full file list at N
+  *                         (every `checkpointEvery` commits; derived from
+  *                         the log, written by the commit's winner)
   * }}}
+  * The delta log is what bounds commit cost: a long-lived table with
+  * millions of files pays O(delta) JSON per commit, not O(files) — the
+  * public Delta-log design. A reader reconstructs version N from the
+  * newest checkpoint ≤ N plus the deltas after it (≤ `checkpointEvery`
+  * small reads). Tables written by the pre-delta format (full m{N} only)
+  * read transparently: their newest m{N} is just a checkpoint with no
+  * trailing deltas.
   *
   * Commit protocol: (1) stage the merge's output files into `data/` under
-  * names no other version references, (2) write the next manifest to a
-  * temp name and atomically PUBLISH it as `_manifests/m{N+1}.json` via a
+  * names no other version references, (2) write version N+1's delta to a
+  * temp name and atomically PUBLISH it as `_manifests/d{N+1}.json` via a
   * compare-and-swap (fail-if-exists). The current version IS the
-  * max-numbered manifest, so there is no pointer file to overwrite and no
-  * window where the table is missing: a reader resolves either version N
-  * or N+1, never a half-swapped directory. A crash before the manifest
+  * max-numbered log record, so there is no pointer file to overwrite and
+  * no window where the table is missing: a reader resolves either version
+  * N or N+1, never a half-swapped directory. A crash before the delta
   * publish leaves only orphaned data files (invisible to every reader;
-  * removed by the next GC), after it the commit is complete — nothing to
-  * recover either way.
+  * removed by the next GC), after it the commit is complete — a missed
+  * checkpoint write only delays log truncation, never correctness.
   *
   * Multi-writer CAS: the publish is atomic fail-if-exists — on HDFS-like
   * filesystems `rename` refuses an existing destination; on the local
@@ -49,24 +60,29 @@ import org.apache.spark.sql.functions.col
   * — can never be committed); a batch missing the partition column fails
   * fast instead.
   *
-  * GC: after each commit, manifests older than `retainVersions` are
-  * dropped and data files referenced by NO retained manifest are deleted.
-  * `retainVersions` ≥ 2 keeps the previous snapshot alive for readers
-  * that resolved it just before a commit. `orphanGraceMs` guards
-  * CONCURRENT writers' in-flight work from the sweep: a staged-but-not-
-  * yet-committed data file is unreferenced by every manifest, so a
-  * competing writer's GC would delete it mid-commit; with a grace window
-  * ≥ the longest stage-to-publish time, only genuine orphans (crash
-  * leftovers, lost-race stages) age into deletion. The default 0 keeps
-  * single-writer GC prompt (delete-on-next-commit); multi-writer
-  * deployments MUST set it (minutes — the Delta tombstone-retention
+  * GC: after each commit, log segments below the retention window's
+  * reconstruction base are truncated and data files referenced by NO
+  * retained version are deleted. `retainVersions` ≥ 2 keeps the previous
+  * snapshot alive for readers that resolved it just before a commit.
+  * `orphanGraceMs` guards CONCURRENT writers' in-flight work from the
+  * sweep, in two places: (1) a staged-but-not-yet-committed data file is
+  * unreferenced by every manifest, so a competing writer's GC would
+  * delete it mid-commit; (2) truncating a delta REOPENS its version slot
+  * — a stale writer's CAS on the recreated name would "succeed" invisibly
+  * (reconstruction prefers the newer checkpoint), a silent lost update.
+  * With the grace ≥ the longest attempt's read-to-publish window, only
+  * genuine orphans and long-dead slots age into deletion. The default 0
+  * keeps single-writer GC prompt (delete-on-next-commit); multi-writer
+  * deployments MUST set it (minutes — the Delta tombstone/log-retention
   * posture).
   */
 final class ManifestMergeEngine(retainVersions: Int = 3,
-    orphanGraceMs: Long = 0L, maxCommitAttempts: Int = 20) extends MergeEngine {
+    orphanGraceMs: Long = 0L, maxCommitAttempts: Int = 20,
+    checkpointEvery: Int = 10) extends MergeEngine {
   require(retainVersions >= 1, "retainVersions must be >= 1")
   require(orphanGraceMs >= 0, "orphanGraceMs must be >= 0")
   require(maxCommitAttempts >= 1, "maxCommitAttempts must be >= 1")
+  require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
   import ManifestMergeEngine._
 
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
@@ -250,7 +266,8 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
             null
         }
       if (files != null) {
-        if (tryCommit(fs, path, files, prev.map(_.version + 1).getOrElse(0L))) {
+        if (tryCommit(fs, path, prev, files,
+            prev.map(_.version + 1).getOrElse(0L), checkpointEvery)) {
           gc(fs, path, retainVersions, orphanGraceMs)
           return
         }
@@ -273,23 +290,80 @@ object ManifestMergeEngine {
   private def fileSystem(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val ManifestName = "m(\\d+)\\.json".r
+  private val CheckpointName = "m(\\d+)\\.json".r
+  private val DeltaName = "d(\\d+)\\.json".r
+
+  private def checkpointPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"m$v.json")
+  private def deltaPath(path: String, v: Long) =
+    new Path(manifestDir(path), s"d$v.json")
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** (checkpoint versions, delta versions) present in the log dir. */
+  private def listLog(fs: FileSystem, path: String): (Seq[Long], Seq[Long]) = {
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    (names.collect { case CheckpointName(n) => n.toLong }.toSeq.sorted,
+      names.collect { case DeltaName(n) => n.toLong }.toSeq.sorted)
+  }
+
+  /** File list at version `v`: newest checkpoint ≤ v, then the deltas
+    * after it. A version covered by a checkpoint but missing its delta
+    * (pre-delta-format history) reads from the checkpoint alone.
+    */
+  private def reconstruct(fs: FileSystem, path: String, v: Long,
+      checkpoints: Seq[Long]): Seq[String] = {
+    val base = checkpoints.filter(_ <= v).lastOption
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    base.foreach(b => files ++= readLines(fs, checkpointPath(path, b)))
+    (base.map(_ + 1).getOrElse(0L) to v).foreach { i =>
+      val d = deltaPath(path, i)
+      if (fs.exists(d)) applyDelta(files, readLines(fs, d))
+      else if (fs.exists(checkpointPath(path, i))) {
+        // old-format full manifest without a delta twin: it IS the state
+        files.clear()
+        files ++= readLines(fs, checkpointPath(path, i))
+      } else throw new java.io.IOException(
+        s"manifest log at $path is missing version $i (needed to read $v)")
+    }
+    files.toSeq
+  }
+
+  private def applyDelta(files: scala.collection.mutable.LinkedHashSet[String],
+      lines: Seq[String]): Unit =
+    lines.foreach { l =>
+      if (l.startsWith("-")) files -= l.substring(1)
+      else if (l.startsWith("+")) files += l.substring(1)
+      else throw new java.io.IOException(s"malformed delta line: $l")
+    }
 
   private[sinks] def currentManifest(fs: FileSystem, path: String): Option[Manifest] = {
-    val dir = manifestDir(path)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).flatMap(_.getPath.getName match {
-      case ManifestName(n) => Some(n.toLong)
-      case _               => None
-    })
-    if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val in = fs.open(new Path(dir, s"m$v.json"))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(Manifest(v, body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq))
+    // a concurrent writer's GC can truncate log segments between our
+    // listLog and the reconstruct reads; re-listing picks up the newer
+    // checkpoint that replaced them — transient by construction, so a
+    // short bounded retry rides it out
+    var attempt = 0
+    while (true) {
+      val (ms, ds) = listLog(fs, path)
+      val all = ms ++ ds
+      if (all.isEmpty) return None
+      val v = all.max
+      try return Some(Manifest(v, reconstruct(fs, path, v, ms)))
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
     }
+    None // unreachable
   }
 
   private def readFiles(spark: SparkSession, path: String,
@@ -362,8 +436,12 @@ object ManifestMergeEngine {
     moved.toSeq
   }
 
-  /** Atomically publish version `v` via temp write + fail-if-exists CAS.
-    * Returns false when another writer already owns version `v`.
+  /** Atomically publish version `v`'s DELTA via temp write +
+    * fail-if-exists CAS; returns false when another writer already owns
+    * version `v`. The winner also writes the periodic full checkpoint —
+    * non-CAS (only the winner of `v` writes m{v}, and its content is a
+    * pure function of the log), and a crash between delta and checkpoint
+    * just delays log truncation.
     *
     * Local filesystems need the hard-link trick: Hadoop's local `rename`
     * bottoms out in POSIX rename(2), which silently REPLACES an existing
@@ -373,15 +451,21 @@ object ManifestMergeEngine {
     * destination (the public Delta commit protocol's assumption); object
     * stores would use conditional put here.
     */
-  private def tryCommit(fs: FileSystem, path: String, files: Seq[String],
-      v: Long): Boolean = {
+  private def tryCommit(fs: FileSystem, path: String, prev: Option[Manifest],
+      files: Seq[String], v: Long, checkpointEvery: Int): Boolean = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".m$v.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
+    val prevSet = prevFiles.toSet
+    val fileSet = files.toSet
+    val delta =
+      prevFiles.filterNot(fileSet.contains).map("-" + _) ++
+        files.filterNot(prevSet.contains).map("+" + _)
+    val tmp = new Path(dir, s".d$v.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((delta.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(dir, s"m$v.json")
+    val dst = deltaPath(path, v)
     val won =
       if (fs.getUri.getScheme == "file") {
         val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
@@ -393,21 +477,41 @@ object ManifestMergeEngine {
     // failed rename keeps the source); losing is not an error — the
     // caller rebases and retries
     fs.delete(tmp, false)
+    if (won && v % checkpointEvery == 0) {
+      // checkpoint publish must be ATOMIC: a plain create() exposes an
+      // empty/partial m{v} to concurrent readers, whose reconstruction
+      // would silently resolve an empty table (a torn checkpoint read is
+      // a lost update in the making). Temp write + rename; overwrite
+      // semantics are fine — only v's winner writes m{v}, and a repeat
+      // would carry identical content.
+      val ckTmp = new Path(dir,
+        s".m$v.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val ck = fs.create(ckTmp, true)
+      try ck.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally ck.close()
+      if (!fs.rename(ckTmp, checkpointPath(path, v))) fs.delete(ckTmp, false)
+    }
     won
   }
 
-  /** Drop manifests older than the newest `retain`, then delete data files
-    * no retained manifest references (and stray temp files). `graceMs`
-    * spares young unreferenced files — a CONCURRENT writer's staged-but-
-    * uncommitted work looks exactly like an orphan until its manifest
-    * publishes.
+  /** Truncate the log below the oldest retained version's reconstruction
+    * base, then delete data files no retained version references (and
+    * stray temp files). `graceMs` spares young unreferenced files — a
+    * CONCURRENT writer's staged-but-uncommitted work looks exactly like
+    * an orphan until its manifest publishes.
+    *
+    * Log truncation rule: the oldest retained version reconstructs from
+    * `base` = the newest checkpoint ≤ it, so every segment OLDER than
+    * base (checkpoints < base, deltas ≤ base) is droppable. base trails
+    * the retention horizon by < `checkpointEvery` commits, which bounds
+    * the live log at retain + checkpointEvery segments.
     */
   private def gc(fs: FileSystem, path: String, retain: Int, graceMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - graceMs
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       st.getModificationTime <= cutoff
     // crash leftovers: _staging_<uuid>/ trees from a crash mid-write,
-    // .m*.tmp manifests from a crash between create and publish. With a
+    // .d*.tmp records from a crash between create and publish. With a
     // grace window these too wait it out (a live writer's staging tree is
     // indistinguishable from a stranded one by name alone).
     fs.listStatus(new Path(path)).foreach { st =>
@@ -420,15 +524,42 @@ object ManifestMergeEngine {
           st.getPath.getName.endsWith(".tmp") && aged(st))
         fs.delete(st.getPath, false)
     }
-    val versions = fs.listStatus(dir).flatMap(_.getPath.getName match {
-      case ManifestName(n) => Some(n.toLong)
-      case _               => None
-    }).sorted
-    val dropped = versions.dropRight(retain)
-    dropped.foreach(v => fs.delete(new Path(dir, s"m$v.json"), false))
-    val live: Set[String] = versions.takeRight(retain).flatMap { v =>
-      currentManifestAt(fs, path, v)
-    }.toSet
+    val (ms, ds) = listLog(fs, path)
+    val versions = (ms ++ ds).distinct.sorted
+    if (versions.isEmpty) return
+    val retained = versions.takeRight(retain)
+    val minRetained = retained.head
+    val base = ms.filter(_ <= minRetained).lastOption
+    base.foreach { b =>
+      // log truncation honors the SAME grace window as data files, for a
+      // sharper reason than orphan safety: deleting d{v} REOPENS version
+      // slot v — a stale concurrent writer's CAS on the recreated name
+      // would "succeed" while reconstruction (which prefers the newer
+      // checkpoint) never sees its payload: a silent lost update. With
+      // the grace ≥ any in-flight attempt's age, only long-dead slots
+      // truncate (the public Delta log-retention posture).
+      def agedSegment(p: Path): Boolean =
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime <= cutoff
+      ms.filter(_ < b).map(checkpointPath(path, _)).filter(agedSegment)
+        .foreach(fs.delete(_, false))
+      ds.filter(_ <= b).map(deltaPath(path, _)).filter(agedSegment)
+        .foreach(fs.delete(_, false))
+    }
+    // live data files: walk the retained versions incrementally (one
+    // reconstruction + one delta application per newer version)
+    val live = scala.collection.mutable.Set.empty[String]
+    val state = scala.collection.mutable.LinkedHashSet.empty[String]
+    state ++= reconstruct(fs, path, minRetained, ms)
+    live ++= state
+    retained.tail.foreach { v =>
+      val d = deltaPath(path, v)
+      if (fs.exists(d)) applyDelta(state, readLines(fs, d))
+      else { // old-format full manifest
+        state.clear()
+        state ++= readLines(fs, checkpointPath(path, v))
+      }
+      live ++= state
+    }
     val data = dataRoot(path)
     if (!fs.exists(data)) return
     def sweep(d: Path, relPrefix: String): Unit =
@@ -442,16 +573,5 @@ object ManifestMergeEngine {
         } else if (!live.contains(rel) && aged(st)) fs.delete(st.getPath, false)
       }
     sweep(data, "")
-  }
-
-  private def currentManifestAt(fs: FileSystem, path: String, v: Long): Seq[String] = {
-    val p = new Path(manifestDir(path), s"m$v.json")
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    }
   }
 }

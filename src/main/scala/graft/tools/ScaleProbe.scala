@@ -243,6 +243,48 @@ object ScaleProbe {
     corpus.unpersist()
   }
 
+  /** Manifest-log probe (round-7 directive #3 evidence): `n` single-file
+    * appends to one manifest table; per-commit record bytes must stay
+    * O(delta) — flat — while the FULL file list grows linearly (what every
+    * commit paid before the delta log). Prints first/median/last record
+    * size and the hypothetical full-list size at the end.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 100 manifestlog"
+    */
+  private def manifestLogProbe(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mlprobe").toString
+    val path = s"$root/events"
+    val engine = new graft.sinks.ManifestMergeEngine(retainVersions = 3)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, "_manifests")
+    val t0 = System.nanoTime()
+    val sizes = (0 until n).flatMap { i =>
+      engine.append(path, Seq((i.toLong, s"payload$i")).toDF("id", "payload"))
+      val d = new org.apache.hadoop.fs.Path(dir, s"d$i.json")
+      if (fs.exists(d)) Some(fs.getFileStatus(d).getLen) else None // v0 folds into m0
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val m = engine.read(spark, path).get
+    val rows = m.count()
+    // hypothetical full-list cost: what every commit wrote before the
+    // delta log (reconstruct the current list from the data dir itself)
+    def walk(d: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val rel = if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, rel) else Seq(rel)
+      }
+    val fullListBytes = walk(new org.apache.hadoop.fs.Path(path, "data"), "")
+      .map(_.length + 1L).sum
+    val sorted = sizes.sorted
+    println(s"""{"probe":"manifest_log","commits":$n,"rows":$rows,""" +
+      s""""delta_bytes_first":${sorted.head},"delta_bytes_median":${sorted(sorted.length / 2)},""" +
+      s""""delta_bytes_max":${sorted.last},"full_list_bytes_at_end":$fullListBytes,""" +
+      f""""wall_sec":$wall%.1f}""")
+    require(rows == n, s"expected $n rows, read $rows")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -260,6 +302,10 @@ object ScaleProbe {
     }
     if (mode == "annindex") {
       try annIndexProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "manifestlog") {
+      try manifestLogProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {

@@ -131,25 +131,41 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("lap_time") == 95.0)
   }
 
-  test("GC: manifests beyond retention dropped, unreferenced files deleted, live files kept") {
+  test("GC: log truncated below the reconstruction base, unreferenced files deleted, live kept") {
     val path = tmp("msengG") + "/sessions"
     val keys = Seq("session_key")
-    (1 to 4).foreach { i =>
+    (1 to 4).foreach { i => // versions 0..3
       engine.upsert(spark, path, TableSink.withSeq(
         Seq((1, s"v$i", 0L)).toDF("session_key", "name", "line_id"), i), keys)
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path, "_manifests")
-    val manifests = fs.listStatus(dir).map(_.getPath.getName).sorted
-    assert(manifests.toSeq == Seq("m2.json", "m3.json"), manifests.toSeq) // retain=2
-    // every file on disk is referenced by a retained manifest (full rewrites
-    // → old versions' files were GC'd)
-    val live = ManifestMergeEngine.currentManifest(fs, path).get.files.toSet ++
-      // previous retained manifest
-      scala.io.Source.fromInputStream(
-        fs.open(new org.apache.hadoop.fs.Path(dir, "m2.json")), "UTF-8")
+    val segments = fs.listStatus(dir).map(_.getPath.getName).sorted
+    // retain=2 keeps versions 2,3; their reconstruction base is the m0
+    // checkpoint, so d1..d3 + m0 survive and d0 (folded into m0) is gone
+    assert(segments.toSeq == Seq("d1.json", "d2.json", "d3.json", "m0.json"),
+      segments.toSeq)
+    // every data file on disk is referenced by a RETAINED version (full
+    // rewrites → versions 0/1's files were GC'd even though their log
+    // segments are still needed as the reconstruction base)
+    def filesAt(v: Long): Set[String] = {
+      // reconstruct v: checkpoint m0 + deltas 1..v
+      val st = scala.collection.mutable.LinkedHashSet.empty[String]
+      st ++= scala.io.Source.fromInputStream(
+        fs.open(new org.apache.hadoop.fs.Path(dir, "m0.json")), "UTF-8")
         .mkString.split("\n").filter(_.nonEmpty)
+      (1L to v).foreach { i =>
+        scala.io.Source.fromInputStream(
+          fs.open(new org.apache.hadoop.fs.Path(dir, s"d$i.json")), "UTF-8")
+          .mkString.split("\n").filter(_.nonEmpty).foreach { l =>
+            if (l.startsWith("-")) st -= l.substring(1) else st += l.substring(1)
+          }
+      }
+      st.toSet
+    }
+    val live = filesAt(2) ++ filesAt(3)
+    assert(ManifestMergeEngine.currentManifest(fs, path).get.files.toSet == filesAt(3))
     def walk(d: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val rel = if (prefix.isEmpty) st.getPath.getName else s"$prefix/${st.getPath.getName}"
@@ -158,6 +174,39 @@ class ManifestMergeEngineSpec extends SparkSpec {
     val onDisk = walk(new org.apache.hadoop.fs.Path(path, "data"), "").toSet
     assert(onDisk == live, s"disk=$onDisk live=$live")
     assert(engine.read(spark, path).get.head().getAs[String]("name") == "v4")
+  }
+
+  test("delta log: per-commit record stays O(changed files); checkpoints bound reconstruction") {
+    val path = tmp("msengDL") + "/events"
+    val ck = 5
+    val dl = new ManifestMergeEngine(retainVersions = 2, checkpointEvery = ck)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, "_manifests")
+    dl.append(path, Seq((0L, "row0")).toDF("id", "payload"))
+    // v0's delta is truncated by its own commit's GC (the m0 checkpoint
+    // subsumes it) — measure from v1
+    val deltaBytes = (1 until 18).map { i =>
+      dl.append(path, Seq((i.toLong, s"row$i")).toDF("id", "payload"))
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"d$i.json")).getLen
+    }
+    // every append adds one file to a GROWING table: the commit record
+    // must not grow with table size (the old full-list manifest did —
+    // O(files) JSON per commit)
+    assert(deltaBytes.max <= deltaBytes.min * 2,
+      s"delta record grew with table size: $deltaBytes")
+    // reads see all rows through checkpoint + trailing deltas
+    assert(dl.read(spark, path).get.count() == 18)
+    // log stays bounded: segments ≥ newest base checkpoint only
+    val segments = fs.listStatus(dir).map(_.getPath.getName).sorted.toSeq
+    val checkpoints = segments.filter(_.startsWith("m"))
+    assert(checkpoints == Seq("m15.json"), segments) // m0,m5,m10 truncated
+    val deltas = segments.filter(_.startsWith("d")).map(_.stripPrefix("d").stripSuffix(".json").toLong)
+    assert(deltas.forall(_ > 15), segments) // d16, d17 only
+    // a keyed rewrite after all those appends still reads correctly
+    dl.upsert(spark, path, TableSink.withSeq(
+      Seq((99L, "merged", 0L)).toDF("id", "payload", "line_id"), 1), Seq("id"))
+    assert(dl.read(spark, path).get.count() == 19)
   }
 
   test("compact preserves a partitioned layout and collapses fragmentation") {
