@@ -85,4 +85,126 @@ object AsofJoin {
       leftCols.map(col) ++ Seq(col("_carry._rts").as("asof_ts")) ++
         outNames.map { case (_, out) => col(s"_carry.$out").as(out) }: _*)
   }
+
+  /** Streaming as-of join: micro-batch BACKFILL over persisted left/right
+    * state tables, the streaming twin of [[asofJoin]] (batch-parity-pinned
+    * in AsofJoinSpec the way streamingMinhashDedup pins the dedup chain).
+    *
+    * Both sides arrive interleaved on ONE source stream (the events-log
+    * shape x29 actually has) and are split by `leftFilter`/`rightFilter`.
+    * Per trigger:
+    *  1. late-beyond-`watermark` right rows are dropped (ts older than
+    *     `watermark` before the max event time seen so far);
+    *  2. surviving right rows append to the right state table, new left
+    *     rows to the left state table (both anti-joined against their
+    *     store first — a checkpoint-replayed batch heals instead of
+    *     duplicating state);
+    *  3. the AFFECTED left set is recomputed: the batch's own left rows
+    *     plus every STORED left row whose key got a new right row at or
+    *     before its timestamp (late right arrivals revise exactly the
+    *     left rows they could now match — O(touched keys), never a full
+    *     rescan);
+    *  4. [[asofJoin]] runs on (affected left × right state of those keys)
+    *     and the results UPSERT into `outDir` by `leftId` (last write
+    *     wins, so a revision replaces the earlier match).
+    *
+    * The result table converges to the one-shot batch [[asofJoin]] over
+    * all arrived data, for any arrival interleaving whose right-side
+    * lateness stays within `watermark` — beyond it, revisions are
+    * dropped by rule (the bounded-state contract; an unbounded revision
+    * window would mean unbounded re-emission at 100 TB).
+    *
+    * State growth: left/right stores accrete per trigger (appends);
+    * `compactEvery` > 0 compacts both every that many batches. The right
+    * store is NOT watermark-pruned here: an as-of match can reach
+    * arbitrarily far back (the newest right row at-or-before a left ts),
+    * so pruning needs the per-key keep-latest-below-horizon rule —
+    * [[graft.sinks.TableSink.compact]] keeps the layout sane and the
+    * horizon rule is a straightforward extension on top of it.
+    */
+  def streamingAsofJoin(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      stateDir: String, outDir: String, checkpointDir: String,
+      keys: Seq[String], leftFilter: String, rightFilter: String,
+      leftId: String, leftTs: String, rightTs: String,
+      rightCols: Map[String, String], rightTieBreak: String,
+      watermark: Long, compactEvery: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val leftDir = s"$stateDir/left"
+    val rightDir = s"$stateDir/right"
+    val rightProj = (keys ++ Seq(rightTs, rightTieBreak) ++ rightCols.keys).distinct
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_asof")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+          val newLeft = b.filter(expr(leftFilter))
+          val newRightAll = b.filter(expr(rightFilter)).select(rightProj.map(col): _*)
+          val leftStore =
+            if (exists(leftDir)) s.read.schema(newLeft.schema).parquet(leftDir)
+            else newLeft.limit(0)
+          val rightStore =
+            if (exists(rightDir)) s.read.schema(newRightAll.schema).parquet(rightDir)
+            else newRightAll.limit(0)
+          // watermark: event time high-water across everything seen;
+          // right rows older than (highWater - watermark) can no longer
+          // revise (bounded re-emission)
+          val highWater = Seq(
+            b.agg(greatest(max(col(leftTs).cast("long")),
+              max(col(rightTs).cast("long")))).head().get(0),
+            if (exists(rightDir)) rightStore.agg(max(col(rightTs).cast("long"))).head().get(0)
+            else null)
+            .collect { case l: java.lang.Long => l.longValue() }
+          val newRight =
+            if (highWater.isEmpty) newRightAll
+            else newRightAll.filter(col(rightTs).cast("long") >= highWater.max - watermark)
+          // replay heal: only genuinely new rows enter the stores (and the
+          // affected-set math below); materialize BEFORE appending — the
+          // filter reads the directory the append writes to
+          val freshLeft = newLeft
+            .join(leftStore.select(leftId), Seq(leftId), "left_anti")
+            .localCheckpoint(true)
+          val freshRight = newRight
+            .join(rightStore.select(rightTieBreak), Seq(rightTieBreak), "left_anti")
+            .localCheckpoint(true)
+          try {
+            // affected left rows: this batch's own, plus stored rows whose
+            // key gained a right row at-or-before their ts
+            val touched = freshRight.groupBy(keys.map(col): _*)
+              .agg(min(col(rightTs)).as("_minNewRts"))
+            val revised = leftStore.join(touched, keys)
+              .filter(col(leftTs) >= col("_minNewRts")).drop("_minNewRts")
+            val affected = freshLeft.unionByName(revised).dropDuplicates(leftId)
+            val rightState = rightStore.unionByName(freshRight)
+              .join(affected.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            val result = asofJoin(affected, rightState, keys, leftTs, rightTs,
+              rightCols, rightTieBreak)
+            // each left id appears once per batch, so the id itself serves
+            // as the in-batch line id; batch id gives revisions precedence
+            graft.sinks.TableSink.upsert(s, outDir,
+              graft.sinks.TableSink.withSeq(result, batchId, lineIdCol = leftId),
+              Seq(leftId))
+            freshLeft.write.mode("append").parquet(leftDir)
+            freshRight.write.mode("append").parquet(rightDir)
+          } finally {
+            graft.operators.Dedup.releaseLocalCheckpoint(freshLeft)
+            graft.operators.Dedup.releaseLocalCheckpoint(freshRight)
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            graft.sinks.TableSink.compact(s, leftDir)
+            graft.sinks.TableSink.compact(s, rightDir)
+          }
+        } finally b.unpersist()
+      }
+      .start()
+  }
 }

@@ -86,6 +86,120 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of: 3 arrival batches with late right rows converge to the batch join") {
+    // one interleaved event stream (the x29 shape): purchases = left,
+    // clicks = right
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("typ",
+        org.apache.spark.sql.types.StringType)))
+    // batch 1: u1 click@10, u1 purchase@20 (matches c1), u2 purchase@40 (no match)
+    val b1 = Seq((101L, 1L, 10L, "click"), (201L, 1L, 20L, "purchase"),
+      (202L, 2L, 40L, "purchase"))
+    // batch 2: u1 purchase@30 (matches c1 for now), u2 click@35 → revises
+    // NOTHING for u2's purchase@40? it precedes it → matches
+    val b2 = Seq((203L, 1L, 30L, "purchase"), (102L, 2L, 35L, "click"))
+    // batch 3: LATE right rows — u1 click@15 must REVISE purchase@20
+    // (10 → 15) but not purchase@30's... click@25 revises purchase@30;
+    // and a tie pair: two clicks at u2 ts=35 — max event_id wins
+    val b3 = Seq((103L, 1L, 15L, "click"), (104L, 1L, 25L, "click"),
+      (105L, 2L, 35L, "click"))
+    val all = (b1 ++ b2 ++ b3).toDF("event_id", "user_id", "ts", "typ")
+
+    val base = java.nio.file.Files.createTempDirectory("asofstream").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    def land(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("asofarr").toString
+      rows.toDF("event_id", "user_id", "ts", "typ").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    land(b1, "b1.parquet")
+    val q = AsofJoin.streamingAsofJoin(spark, src, schema,
+      s"$base/state", s"$base/out", s"$base/ckpt", Seq("user_id"),
+      leftFilter = "typ = 'purchase'", rightFilter = "typ = 'click'",
+      leftId = "event_id", leftTs = "ts", rightTs = "ts",
+      rightCols = Map("event_id" -> "click_id"), rightTieBreak = "event_id",
+      watermark = 1000L)
+    try {
+      q.processAllAvailable()
+      // after batch 1: purchase@20 matched click@10
+      val mid = spark.read.parquet(s"$base/out")
+        .filter(col("event_id") === 201L).head()
+      assert(mid.getAs[Long]("click_id") == 101L)
+      land(b2, "b2.parquet"); q.processAllAvailable()
+      land(b3, "b3.parquet"); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("event_id", "user_id", "ts", "asof_ts", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    val batch = AsofJoin.asofJoin(
+      all.filter(col("typ") === "purchase").drop("typ"),
+      all.filter(col("typ") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("cid")),
+      Seq("user_id"), "ts", "ts", Map("cid" -> "click_id"),
+      rightTieBreak = "cid")
+      .select("event_id", "user_id", "ts", "asof_ts", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // the late click revisions actually landed (batch-1 match was 101)
+    assert(streamed.exists(t => t._1 == 201L && t._5.contains(103L)))
+    // the u2 ts=35 tie resolved to max event_id (105 > 102)
+    assert(streamed.exists(t => t._1 == 202L && t._5.contains(105L)))
+  }
+
+  test("streaming as-of: right rows beyond the watermark cannot revise") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("typ",
+        org.apache.spark.sql.types.StringType)))
+    val base = java.nio.file.Files.createTempDirectory("asofwm").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    def land(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("asofarr2").toString
+      rows.toDF("event_id", "user_id", "ts", "typ").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    land(Seq((201L, 1L, 1000L, "purchase"), (101L, 1L, 900L, "click")), "b1.parquet")
+    val q = AsofJoin.streamingAsofJoin(spark, src, schema,
+      s"$base/state", s"$base/out", s"$base/ckpt", Seq("user_id"),
+      leftFilter = "typ = 'purchase'", rightFilter = "typ = 'click'",
+      leftId = "event_id", leftTs = "ts", rightTs = "ts",
+      rightCols = Map("event_id" -> "click_id"), rightTieBreak = "event_id",
+      watermark = 50L)
+    try {
+      q.processAllAvailable()
+      // click@950 is 50 behind the 1000 high-water: exactly at the
+      // watermark edge (>= cutoff) → allowed, revises 900 → 950
+      land(Seq((102L, 1L, 950L, "click")), "b2.parquet"); q.processAllAvailable()
+      // click@940 is beyond the watermark → dropped, no revision
+      land(Seq((103L, 1L, 940L, "click")), "b3.parquet"); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/out").filter(col("event_id") === 201L).head()
+    assert(out.getAs[Long]("click_id") == 102L, out)
+    assert(out.getAs[Long]("asof_ts") == 950L, out)
+  }
+
   test("plan: single Window over one shuffle, no join node") {
     val plan = AsofJoin.asofJoin(left, right, Seq("key"), "ts", "ts",
       Map("v" -> "v"), rightTieBreak = "rid")
