@@ -31,10 +31,33 @@ COLDWARM_PATH = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def load_coldwarm():
+    """Cold/warm attribution table, honored only when measured on HEAD.
+
+    The AMBIENT exemption trusts the recorded cold band; a table measured
+    on older code (or an older query registry) could mask a real warm-path
+    regression up to max(1.5x cold, cold+0.5s). The commit stamp makes
+    staleness detectable: mismatch (or a pre-stamp file) -> warn and run
+    without the exemption.
+    """
     try:
-        return json.load(open(COLDWARM_PATH))["queries"]
+        doc = json.load(open(COLDWARM_PATH))
     except Exception:
         return {}
+    recorded = doc.get("commit")
+    try:
+        import subprocess
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=os.path.dirname(COLDWARM_PATH),
+                              check=True).stdout.strip()
+    except Exception:
+        head = None
+    if not recorded or (head and recorded != head):
+        print(f"WARN: BENCH_COLDWARM.json commit {recorded or '<none>'} != HEAD "
+              f"{head or '<unknown>'} — stale cold/warm table, AMBIENT "
+              f"exemption disabled (rerun graft.tools.ColdWarmBench)")
+        return {}
+    return doc["queries"]
 
 
 def main(prev_path, fresh_path):

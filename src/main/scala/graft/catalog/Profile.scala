@@ -63,4 +63,48 @@ object Profile {
     }
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Persist a table's profile as its `_stats` side table — the catalog
+    * hook a cost-based decision needs at scale ("should I broadcast
+    * this?", "how many salts?"): per-column sketch stats plus `n_rows`,
+    * and for `freqCols` the TOP KEY FREQUENCY (max per-value group count
+    * — the number skew mitigation actually keys off; one extra
+    * aggregation per requested column, so callers name only join keys).
+    * Upserted by column name through the [[graft.sinks.MergeEngine]]
+    * seam: re-profiling after a load updates in place, and readers get
+    * snapshot isolation from the manifest backend.
+    */
+  def saveStats(df: DataFrame, cols: Seq[String], statsPath: String,
+      freqCols: Seq[String] = Seq.empty,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : Unit = {
+    require(freqCols.forall(cols.contains),
+      s"freqCols $freqCols must be a subset of the profiled cols $cols")
+    val spark = df.sparkSession
+    val nRows = df.count()
+    val topFreq: Map[String, Long] = freqCols.map { c =>
+      c -> df.groupBy(qcol(df, c)).count()
+        .agg(max("count")).head().getLong(0)
+    }.toMap
+    val freqExpr = freqCols.foldLeft(lit(null).cast("long")) { (acc, c) =>
+      when(col("column") === c, lit(topFreq(c))).otherwise(acc)
+    }
+    val stats = profileApprox(df, cols)
+      .withColumn("n_rows", lit(nRows))
+      .withColumn("top_freq", freqExpr)
+      // arrival-order columns for the keyed merge: stats versions win by
+      // wall-clock save time (a maintenance op, not a data path)
+      .withColumn("_batch", lit(System.currentTimeMillis()))
+      .withColumn("_line", lit(0L))
+    engine.upsert(spark, statsPath, stats, Seq("column"))
+  }
+
+  /** The `_stats` side table written by [[saveStats]]; None when absent.
+    * Consumers: [[graft.operators.Skew.saltedJoinAuto]] (salt count from
+    * `top_freq`), broadcast-or-shuffle decisions (`n_rows`).
+    */
+  def loadStats(spark: org.apache.spark.sql.SparkSession, statsPath: String,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : Option[DataFrame] =
+    engine.read(spark, statsPath)
 }

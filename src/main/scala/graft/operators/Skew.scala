@@ -48,4 +48,37 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** [[saltedJoin]] with the salt count chosen from PERSISTED table stats
+    * ([[graft.catalog.Profile.saveStats]] with `key` in its freqCols) —
+    * the cost-based hook: salts = ceil(hottest key's row count /
+    * `targetRowsPerSalt`), clamped to [1, `maxSalts`]. A table whose
+    * hottest key already fits one reducer's budget joins UNSALTED
+    * (salts = 1 — zero replication cost); missing stats (or stats
+    * without `top_freq` for the key) also fall back to unsalted, the
+    * honest default when nothing is known.
+    */
+  def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
+      statsPath: String, targetRowsPerSalt: Long = 1000000L,
+      maxSalts: Int = 64, joinType: String = "inner"): DataFrame = {
+    require(targetRowsPerSalt >= 1, "targetRowsPerSalt must be >= 1")
+    val salts = saltsFromStats(big.sparkSession, statsPath, key,
+      targetRowsPerSalt, maxSalts)
+    saltedJoin(big, small, key, salts, joinType)
+  }
+
+  /** The salt-count decision alone (driver-side, reads only the tiny
+    * stats table): exposed so plans can log/assert what the stats imply.
+    */
+  def saltsFromStats(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String, key: String, targetRowsPerSalt: Long,
+      maxSalts: Int): Int =
+    graft.catalog.Profile.loadStats(spark, statsPath)
+      .flatMap { st =>
+        st.filter(col("column") === key).collect().headOption
+          .flatMap(r => Option(r.getAs[java.lang.Long]("top_freq")))
+      }
+      .map(f => math.min(maxSalts.toLong,
+        math.max(1L, (f + targetRowsPerSalt - 1) / targetRowsPerSalt)).toInt)
+      .getOrElse(1)
 }

@@ -41,7 +41,17 @@ object ColdWarmBench {
     val qs = results.map { case (n, c, w) =>
       "\"" + n + "\":{\"cold\":" + c + ",\"warm\":" + w + "}"
     }.mkString("{", ",", "}")
-    val line = s"""{"sf":"$sfDir","queries":$qs}"""
+    // stamp the commit: check_bench_regression.py only honors the
+    // cold-band (AMBIENT) exemption when this table was measured on the
+    // code being benched — a stale table could mask real warm-path
+    // regressions up to the old cold ceiling
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val line = s"""{"sf":"$sfDir","commit":"$commit","queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_COLDWARM.json"),
       (line + "\n").getBytes("UTF-8"))
 

@@ -36,4 +36,46 @@ class SkewSpec extends SparkSpec {
       .select(countDistinct(col("_salt"))).collect().head.getLong(0)
     assert(saltsUsed == 8L, s"hot key only used $saltsUsed of 8 salts")
   }
+
+  test("stats round-trip: saveStats/loadStats through the manifest engine; updates upsert") {
+    val statsPath = java.nio.file.Files.createTempDirectory("skewstats").toString + "/_stats"
+    graft.catalog.Profile.saveStats(big, Seq("k", "payload"), statsPath,
+      freqCols = Seq("k"))
+    val st = graft.catalog.Profile.loadStats(spark, statsPath).get
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(st("k").getAs[Long]("n_rows") == 10000L)
+    // the hot key holds 9000 of 10000 rows
+    assert(st("k").getAs[Long]("top_freq") == 9000L)
+    // non-freq column carries null top_freq, sketch distinct ≈ exact
+    assert(st("payload").getAs[Any]("top_freq") == null)
+    assert(math.abs(st("payload").getAs[Long]("n_distinct") - 10000L) < 500L)
+    // re-profiling a GROWN table updates rows in place (upsert by column)
+    graft.catalog.Profile.saveStats(
+      big.unionByName(big), Seq("k", "payload"), statsPath, freqCols = Seq("k"))
+    val st2 = graft.catalog.Profile.loadStats(spark, statsPath).get
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(st2("k").getAs[Long]("n_rows") == 20000L)
+    assert(st2("k").getAs[Long]("top_freq") == 18000L)
+    assert(st2.size == 2, st2.keys) // updated, not appended
+  }
+
+  test("saltedJoinAuto picks salts from stored key frequency; parity with plain join") {
+    val statsPath = java.nio.file.Files.createTempDirectory("skewauto").toString + "/_stats"
+    graft.catalog.Profile.saveStats(big, Seq("k"), statsPath, freqCols = Seq("k"))
+    // hottest key = 9000 rows; at 2000 rows/salt the decision is ceil = 5
+    assert(Skew.saltsFromStats(spark, statsPath, "k", 2000L, 64) == 5)
+    // clamped by maxSalts
+    assert(Skew.saltsFromStats(spark, statsPath, "k", 100L, 16) == 16)
+    // a cool table (or missing stats) joins unsalted
+    assert(Skew.saltsFromStats(spark, statsPath, "k", 1000000L, 64) == 1)
+    assert(Skew.saltsFromStats(spark, statsPath + "_nope", "k", 2000L, 64) == 1)
+    val plain = big.join(small, Seq("k"), "inner")
+      .select("k", "payload", "v").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val auto = Skew.saltedJoinAuto(big, small, "k", statsPath,
+      targetRowsPerSalt = 2000L)
+      .select("k", "payload", "v").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(auto == plain)
+  }
 }
