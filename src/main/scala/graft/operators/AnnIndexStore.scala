@@ -20,12 +20,16 @@ import graft.sinks.{ManifestMergeEngine, MergeEngine}
   * {{{
   *   centroids/  (cid INT 1-based, vec ARRAY<DOUBLE>)        IVF quantizer
   *   codebooks/  (idx INT, vec ARRAY<DOUBLE>, m INT, k INT)  PQ model
-  *   assigned/   (<id>, <vec>, cid)                          inverted lists
-  *   encoded/    (<id>, codes, _cn)                          PQ codes + norms
+  *   assigned/   cid=<N>/ (<id>, <vec>)                      inverted lists
+  *   encoded/    cid=<N>/ (<id>, codes, _cn)                 PQ codes + norms
   * }}}
   * The model tables are driver-sized (k×dim and m·k×subDim); the data
   * tables are the corpus reorganized by list id — the index IS the
-  * storage layout, as in any IVF system.
+  * storage layout, as in any IVF system. Both data tables are
+  * PARTITIONED BY the list id, so a search's probe set becomes a literal
+  * partition filter: the scan reads ONLY the probed lists' files
+  * (nprobe/nlists of the corpus — plan-guarded in AnnIndexStoreSpec),
+  * which is the entire point of an inverted-file layout at 100 TB.
   *
   * Incremental growth: [[addVectors]] encodes new vectors with the FROZEN
   * stored models (map-only assignment + PQ encode — no retraining, no
@@ -36,7 +40,13 @@ import graft.sinks.{ManifestMergeEngine, MergeEngine}
   */
 object AnnIndexStore {
 
-  final case class PersistedAnnIndex(ivf: IvfIndex, pq: PqModel)
+  /** `ivf`/`pq` mirror the in-memory builders' shapes (encoded WITHOUT
+    * the list id, so it composes with [[Similarity.ivfPqTopKAdaptive]]
+    * unchanged); `encodedWithCid` is the stored cid-partitioned frame the
+    * pruned [[searchTopK]] path scans directly.
+    */
+  final case class PersistedAnnIndex(ivf: IvfIndex, pq: PqModel,
+      encodedWithCid: DataFrame)
 
   private def centroidsPath(p: String) = s"$p/centroids"
   private def codebooksPath(p: String) = s"$p/codebooks"
@@ -70,8 +80,13 @@ object AnnIndexStore {
     engine.append(centroidsPath(indexPath), vecRows(spark, ivf.centroids, None))
     engine.append(codebooksPath(indexPath),
       vecRows(spark, pq.codebooks, Some((pq.m, pq.k))))
-    engine.append(assignedPath(indexPath), ivf.assigned)
-    engine.append(encodedPath(indexPath), pq.encoded)
+    engine.appendPartitioned(assignedPath(indexPath), ivf.assigned, "cid")
+    // the codes table carries the list id too (one id equi-join at save
+    // time), so BOTH scans prune to the probed lists at search time;
+    // both builders emit the id as their FIRST column by construction
+    val idCol = pq.encoded.columns.head
+    engine.appendPartitioned(encodedPath(indexPath),
+      pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol), "cid")
   }
 
   private def loadMatrix(spark: SparkSession, path: String,
@@ -97,8 +112,12 @@ object AnnIndexStore {
       .getOrElse(throw new IllegalStateException(s"no assigned table at $indexPath"))
     val encoded = engine.read(spark, encodedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no encoded table at $indexPath"))
+    // PqModel.encoded drops the partition id so the loaded model composes
+    // with Similarity's generic search paths (which join cid in from the
+    // assigned table themselves)
     PersistedAnnIndex(IvfIndex(centroids, assigned),
-      PqModel(codebooks, mk.getInt(0), mk.getInt(1), encoded))
+      PqModel(codebooks, mk.getInt(0), mk.getInt(1), encoded.drop("cid")),
+      encodedWithCid = encoded)
   }
 
   /** Grow a stored index: assign + PQ-encode `vectors` with the FROZEN
@@ -115,23 +134,59 @@ object AnnIndexStore {
     val mk = cb.select("m", "k").head()
     val codebooks = loadMatrix(spark, codebooksPath(indexPath), engine)
     val proj = vectors.select(col(corpusId), col(corpusVec))
-    engine.append(assignedPath(indexPath),
-      Similarity.assignCid(proj, corpusVec, centroids))
-    engine.append(encodedPath(indexPath),
+    val newAssigned = Similarity.assignCid(proj, corpusVec, centroids)
+    engine.appendPartitioned(assignedPath(indexPath), newAssigned, "cid")
+    engine.appendPartitioned(encodedPath(indexPath),
       Similarity.pqEncode(proj, corpusId, corpusVec, codebooks,
-        mk.getInt(0), mk.getInt(1)))
+        mk.getInt(0), mk.getInt(1))
+        .join(newAssigned.select(col(corpusId), col("cid")), corpusId), "cid")
   }
 
   /** IVF-PQ adaptive search against a LOADED index — the search-many half
     * of the lifecycle: no training, no corpus re-encode; the rerank's true
     * vectors come from the index's own assigned table (point reads by id).
+    *
+    * The probed list ids are collected to the driver (queries are small
+    * by the same contract every top-k variant broadcasts them) and pushed
+    * as a LITERAL `cid IN (…)` filter, which the cid-partitioned layout
+    * turns into partition pruning: both the codes scan and the rerank's
+    * vector scan read only nprobe/nlists of the stored files
+    * (plan-asserted in AnnIndexStoreSpec). Results are identical to the
+    * unpruned [[Similarity.ivfPqTopKAdaptive]] — the per-query cid
+    * equi-join inside restricts to each query's own lists; the literal
+    * filter only removes never-probed partitions.
     */
   def searchTopK(index: PersistedAnnIndex, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, minProbe: Int = 4, maxProbe: Int = 12, margin: Double = 0.5,
-      rerank: Int = 0): DataFrame =
-    Similarity.ivfPqTopKAdaptive(index.ivf, index.pq,
-      index.ivf.assigned.select(col(corpusId), col(corpusVec)), queries,
-      corpusId, corpusVec, queryId, queryVec, k,
-      minProbe, maxProbe, margin, rerank)
+      rerank: Int = 0): DataFrame = {
+    val ivf = index.ivf
+    val pq = index.pq
+    val probeLists = graft.functions.TextVectorExpressions
+      .adaptive_nearest_centroids(col(queryVec), ivf.centroids,
+        minProbe, maxProbe, margin)
+    val q = queries
+      .withColumn("_qn", Similarity.norm(col(queryVec)))
+      .withColumn("_lut", graft.functions.TextVectorExpressions.pq_lut(
+        col(queryVec), pq.codebooks, pq.m, pq.k))
+      .withColumn("cid", explode(probeLists))
+      .drop(queryVec)
+    // deterministic routing kernel → collecting the probe union re-derives
+    // exactly the lists the join below uses
+    val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val scored = index.encodedWithCid
+      .filter(col("cid").isin(probed: _*))
+      .join(broadcast(q), Seq("cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("adc", graft.functions.TextVectorExpressions.pq_adc(
+        col("codes"), col("_lut"), pq.k))
+      .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))
+        .otherwise(col("adc") / (col("_cn") * col("_qn"))))
+    // the rerank's true-vector fetch prunes to the same lists: a
+    // shortlist candidate always comes from a probed partition
+    val corpus = ivf.assigned.filter(col("cid").isin(probed: _*))
+      .select(col(corpusId), col(corpusVec))
+    Similarity.rerankOrRank(scored, corpus, queries, corpusId, corpusVec,
+      queryId, queryVec, k, rerank)
+  }
 }

@@ -355,7 +355,7 @@ object Similarity {
     * the shortlist's true vectors — an id equi-join, point reads at scale,
     * O(queries·rerank) exact work regardless of corpus size).
     */
-  private def rerankOrRank(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+  private[operators] def rerankOrRank(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, rerank: Int): DataFrame =
     if (rerank <= k) rankTopK(scored, queryId, corpusId, k)

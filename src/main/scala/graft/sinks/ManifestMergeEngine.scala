@@ -160,6 +160,23 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
     }
   }
 
+  def appendPartitioned(path: String, batch: DataFrame, partCol: String): Unit = {
+    val spark = batch.sparkSession
+    require(batch.columns.contains(partCol),
+      s"appendPartitioned requires the batch to carry $partCol")
+    retryingCommit(spark, path) { prev =>
+      // an existing table must already be on the SAME layout — committing
+      // a second partition scheme would poison basePath discovery
+      prev.map(_.files).filter(_.nonEmpty).foreach { fs =>
+        require(manifestPartitionCol(fs).contains(partCol),
+          s"appendPartitioned($partCol) on a table whose layout is " +
+            s"${manifestPartitionCol(fs).getOrElse("flat")}")
+      }
+      val staged = stageFiles(spark, path, batch, Some(partCol))
+      prev.map(_.files).getOrElse(Seq.empty) ++ staged
+    }
+  }
+
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit = {
     val inBatch = TableSink.firstWinsInBatch(batch, key)

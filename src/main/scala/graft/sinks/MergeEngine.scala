@@ -45,6 +45,15 @@ trait MergeEngine {
   /** U4 — plain append; the high-volume path, never rewrites. */
   def append(path: String, batch: DataFrame): Unit
 
+  /** [[append]] establishing/extending a `partCol`-partitioned layout —
+    * for tables whose READ path prunes on that column (e.g. an ANN
+    * index's inverted lists keyed by list id). Engines that already
+    * derive the layout from the existing table may route the follow-up
+    * appends through the same code as [[append]]; the distinct entry
+    * point exists because a FIRST write has no layout to derive from.
+    */
+  def appendPartitioned(path: String, batch: DataFrame, partCol: String): Unit
+
   /** A9/A2 — append only keys not already present in the table. */
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit
@@ -79,6 +88,10 @@ object ParquetSwapMergeEngine extends MergeEngine {
 
   def append(path: String, batch: DataFrame): Unit =
     TableSink.append(path, batch)
+
+  def appendPartitioned(path: String, batch: DataFrame, partCol: String): Unit =
+    batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(partCol).parquet(path)
 
   def dedupAppend(spark: SparkSession, path: String, batch: DataFrame,
       key: String): Unit =

@@ -52,9 +52,19 @@ class AnnIndexStoreSpec extends SparkSpec {
 
     val inMem = searchRows(Similarity.ivfPqTopKAdaptive(ivf, pq, corpus, queries,
       "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
-    val stored = searchRows(AnnIndexStore.searchTopK(loaded, queries,
-      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    val storedDf = AnnIndexStore.searchTopK(loaded, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20)
+    val stored = searchRows(storedDf)
     assert(stored == inMem, s"stored=$stored inMem=$inMem")
+
+    // the probe set prunes the STORED scans: the cid-partitioned layout
+    // turns the literal cid IN (...) into PartitionFilters at the file
+    // scan — the nprobe/nlists read that makes an IVF index pay off
+    val plan = storedDf.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    assert(pf.nonEmpty, s"no partition filters in stored-search plan:\n$plan")
+    assert(pf.exists(l => l.contains("cid") && l.contains(" IN (")),
+      s"cid probe set not pushed as a partition filter:\n${pf.mkString("\n")}")
 
     // a second save at the same path must refuse (rebuild = new path)
     intercept[IllegalArgumentException] {

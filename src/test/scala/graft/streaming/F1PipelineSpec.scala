@@ -160,6 +160,10 @@ class F1PipelineSpec extends SparkSpec {
           p: String): Option[org.apache.spark.sql.DataFrame] = {
         bump("read"); ParquetSwapMergeEngine.read(s, p)
       }
+      def appendPartitioned(p: String, b: org.apache.spark.sql.DataFrame,
+          pc: String): Unit = {
+        bump("appendPartitioned"); ParquetSwapMergeEngine.appendPartitioned(p, b, pc)
+      }
     }
 
     val src = tmp("f1srcE")
