@@ -115,12 +115,18 @@ object AsofJoin {
     * window would mean unbounded re-emission at 100 TB).
     *
     * State growth: left/right stores accrete per trigger (appends);
-    * `compactEvery` > 0 compacts both every that many batches. The right
-    * store is NOT watermark-pruned here: an as-of match can reach
-    * arbitrarily far back (the newest right row at-or-before a left ts),
-    * so pruning needs the per-key keep-latest-below-horizon rule —
-    * [[graft.sinks.TableSink.compact]] keeps the layout sane and the
-    * horizon rule is a straightforward extension on top of it.
+    * `compactEvery` > 0 compacts both every that many batches, and the
+    * compaction also PRUNES the right store to what future work can
+    * still read: an as-of match reaches arbitrarily far back, but any
+    * left row that can still arrive or be revised has
+    * `ts >= highWater - watermark`, so per key it suffices to keep every
+    * right row at-or-after that horizon plus the single newest row
+    * before it (the one a horizon-edge left row would match). State is
+    * then O(keys + in-horizon rows) instead of O(history) — the bounded
+    * contract unbounded retention would break at 100 TB. The left store
+    * prunes harder: left rows older than the horizon can never be
+    * revised again (a reviser right row would be beyond-watermark),
+    * so they drop entirely — their results already live in `outDir`.
     */
   def streamingAsofJoin(spark: org.apache.spark.sql.SparkSession,
       sourceDir: String, schema: org.apache.spark.sql.types.StructType,
@@ -200,11 +206,46 @@ object AsofJoin {
             graft.operators.Dedup.releaseLocalCheckpoint(freshRight)
           }
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            if (highWater.nonEmpty) {
+              val horizon = highWater.max - watermark
+              // left: rows below the horizon can never be revised (their
+              // reviser would be beyond-watermark) — drop them; results
+              // already live in outDir
+              replaceState(s, leftDir,
+                s.read.parquet(leftDir).filter(col(leftTs).cast("long") >= horizon))
+              // right: keep in-horizon rows + the single newest row per
+              // key before the horizon (what a horizon-edge left row
+              // would match); tie-break mirrors the join's
+              val rs = s.read.parquet(rightDir)
+              val wOld = org.apache.spark.sql.expressions.Window
+                .partitionBy(keys.map(col): _*)
+                .orderBy(col(rightTs).desc, col(rightTieBreak).desc)
+              val keepOld = rs.filter(col(rightTs).cast("long") < horizon)
+                .withColumn("_rn", row_number().over(wOld))
+                .filter(col("_rn") === 1).drop("_rn")
+              replaceState(s, rightDir,
+                rs.filter(col(rightTs).cast("long") >= horizon)
+                  .unionByName(keepOld))
+            }
             graft.sinks.TableSink.compact(s, leftDir)
             graft.sinks.TableSink.compact(s, rightDir)
           }
         } finally b.unpersist()
       }
       .start()
+  }
+
+  /** Rewrite a state directory with a pruned frame derived FROM it:
+    * materialize first (localCheckpoint), then overwrite — a lazy
+    * read-filter-overwrite of the same path would truncate its own input.
+    */
+  private def replaceState(s: org.apache.spark.sql.SparkSession, dir: String,
+      pruned: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+    val mat = pruned.localCheckpoint(true)
+    try mat.write.mode("overwrite").parquet(dir)
+    finally Dedup.releaseLocalCheckpoint(mat)
   }
 }

@@ -200,6 +200,53 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.getAs[Long]("asof_ts") == 950L, out)
   }
 
+  test("streaming as-of: compaction prunes state to the watermark horizon, results intact") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("typ",
+        org.apache.spark.sql.types.StringType)))
+    val base = java.nio.file.Files.createTempDirectory("asofprune").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    def land(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("asofarr3").toString
+      rows.toDF("event_id", "user_id", "ts", "typ").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    val b1 = Seq((101L, 1L, 10L, "click"), (201L, 1L, 20L, "purchase"))
+    val b2 = Seq((102L, 1L, 150L, "click"), (202L, 1L, 160L, "purchase"))
+    // batchId 2 triggers the compaction: highWater=310, horizon=210 →
+    // left keeps only ts>=210 (one row), right keeps in-horizon (300)
+    // plus the newest-below-horizon row per key (150); 10 drops
+    val b3 = Seq((103L, 1L, 300L, "click"), (203L, 1L, 310L, "purchase"))
+    land(b1, "b1.parquet")
+    val q = AsofJoin.streamingAsofJoin(spark, src, schema,
+      s"$base/state", s"$base/out", s"$base/ckpt", Seq("user_id"),
+      leftFilter = "typ = 'purchase'", rightFilter = "typ = 'click'",
+      leftId = "event_id", leftTs = "ts", rightTs = "ts",
+      rightCols = Map("event_id" -> "click_id"), rightTieBreak = "event_id",
+      watermark = 100L, compactEvery = 2)
+    try {
+      q.processAllAvailable()
+      land(b2, "b2.parquet"); q.processAllAvailable()
+      land(b3, "b3.parquet"); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$base/state/right").count() == 2) // 150 + 300
+    assert(spark.read.parquet(s"$base/state/left").count() == 1)  // 310 only
+    val out = spark.read.parquet(s"$base/out")
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(201L -> 101L, 202L -> 102L, 203L -> 103L), out)
+  }
+
   test("plan: single Window over one shuffle, no join node") {
     val plan = AsofJoin.asofJoin(left, right, Seq("key"), "ts", "ts",
       Map("v" -> "v"), rightTieBreak = "rid")
