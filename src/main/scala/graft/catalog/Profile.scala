@@ -83,8 +83,10 @@ object Profile {
     val spark = df.sparkSession
     val nRows = df.count()
     val topFreq: Map[String, Long] = freqCols.map { c =>
-      c -> df.groupBy(qcol(df, c)).count()
-        .agg(max("count")).head().getLong(0)
+      // max over zero groups (empty table) is null — an empty table's
+      // hottest key holds 0 rows
+      c -> Option(df.groupBy(qcol(df, c)).count()
+        .agg(max("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     }.toMap
     val freqExpr = freqCols.foldLeft(lit(null).cast("long")) { (acc, c) =>
       when(col("column") === c, lit(topFreq(c))).otherwise(acc)

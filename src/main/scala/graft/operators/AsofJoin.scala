@@ -161,13 +161,17 @@ object AsofJoin {
           val rightStore =
             if (exists(rightDir)) s.read.schema(newRightAll.schema).parquet(rightDir)
             else newRightAll.limit(0)
-          // watermark: event time high-water across everything seen;
-          // right rows older than (highWater - watermark) can no longer
-          // revise (bounded re-emission)
+          // watermark: event time high-water across everything seen —
+          // batch, right store, AND left store (a quiet-left-side stream
+          // must not let the horizon regress below already-seen left
+          // rows); right rows older than (highWater - watermark) can no
+          // longer revise (bounded re-emission)
           val highWater = Seq(
             b.agg(greatest(max(col(leftTs).cast("long")),
               max(col(rightTs).cast("long")))).head().get(0),
             if (exists(rightDir)) rightStore.agg(max(col(rightTs).cast("long"))).head().get(0)
+            else null,
+            if (exists(leftDir)) leftStore.agg(max(col(leftTs).cast("long"))).head().get(0)
             else null)
             .collect { case l: java.lang.Long => l.longValue() }
           val newRight =

@@ -285,7 +285,13 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
       if (files != null) {
         if (tryCommit(fs, path, prev, files,
             prev.map(_.version + 1).getOrElse(0L), checkpointEvery)) {
-          gc(fs, path, retainVersions, orphanGraceMs)
+          // GC is best-effort maintenance: the COMMIT already landed, and
+          // two writers sweeping concurrently can race each other's
+          // deletions (listStatus on a just-deleted subtree) — that must
+          // not surface as a failure of a succeeded write; the next
+          // commit's GC retries the sweep
+          try gc(fs, path, retainVersions, orphanGraceMs)
+          catch { case _: java.io.IOException => () }
           return
         }
         if (n >= maxCommitAttempts)

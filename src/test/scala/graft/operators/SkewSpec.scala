@@ -59,6 +59,16 @@ class SkewSpec extends SparkSpec {
     assert(st2.size == 2, st2.keys) // updated, not appended
   }
 
+  test("saveStats on an empty table records zero frequencies instead of crashing") {
+    val statsPath = java.nio.file.Files.createTempDirectory("skewempty").toString + "/_stats"
+    graft.catalog.Profile.saveStats(big.limit(0), Seq("k"), statsPath,
+      freqCols = Seq("k"))
+    val st = graft.catalog.Profile.loadStats(spark, statsPath).get.head()
+    assert(st.getAs[Long]("n_rows") == 0L)
+    assert(st.getAs[Long]("top_freq") == 0L)
+    assert(Skew.saltsFromStats(spark, statsPath, "k", 1000L, 64) == 1)
+  }
+
   test("saltedJoinAuto picks salts from stored key frequency; parity with plain join") {
     val statsPath = java.nio.file.Files.createTempDirectory("skewauto").toString + "/_stats"
     graft.catalog.Profile.saveStats(big, Seq("k"), statsPath, freqCols = Seq("k"))
