@@ -171,6 +171,17 @@ object ScaleProbe {
       RangeJoin.pointInInterval(purchases, windows, Seq("user_id"),
         "ts", "w_start", "w_end", bucketWidth = 7200000000000L).count()
     }
+    timed("overlap_join") {
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("a_start"),
+          (col("ts") + lit(7200000000000L)).as("a_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("b_start"),
+          (col("ts") + lit(3600000000000L)).as("b_end"))
+      RangeJoin.intervalOverlap(signups, errors, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end",
+        bucketWidth = 7200000000000L).count()
+    }
     timed("hll_sketch") {
       ev.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).count()
