@@ -91,9 +91,11 @@ object AnnIndexStore {
 
   private def loadMatrix(spark: SparkSession, path: String,
       engine: MergeEngine): Array[Array[Double]] =
-    engine.read(spark, path)
-      .getOrElse(throw new IllegalStateException(s"no index table at $path"))
-      .select("idx", "vec").orderBy("idx").collect()
+    matrixOf(engine.read(spark, path)
+      .getOrElse(throw new IllegalStateException(s"no index table at $path")))
+
+  private def matrixOf(table: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+    table.select("idx", "vec").orderBy("idx").collect()
       .map(_.getSeq[Double](1).toArray)
 
   /** Load a stored index: model matrices to the driver (the position
@@ -107,7 +109,7 @@ object AnnIndexStore {
     val cb = engine.read(spark, codebooksPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
     val mk = cb.select("m", "k").head()
-    val codebooks = loadMatrix(spark, codebooksPath(indexPath), engine)
+    val codebooks = matrixOf(cb)
     val assigned = engine.read(spark, assignedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no assigned table at $indexPath"))
     val encoded = engine.read(spark, encodedPath(indexPath))
@@ -132,7 +134,7 @@ object AnnIndexStore {
     val cb = engine.read(spark, codebooksPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
     val mk = cb.select("m", "k").head()
-    val codebooks = loadMatrix(spark, codebooksPath(indexPath), engine)
+    val codebooks = matrixOf(cb)
     val proj = vectors.select(col(corpusId), col(corpusVec))
     val newAssigned = Similarity.assignCid(proj, corpusVec, centroids)
     engine.appendPartitioned(assignedPath(indexPath), newAssigned, "cid")

@@ -161,26 +161,33 @@ object AsofJoin {
           val rightStore =
             if (exists(rightDir)) s.read.schema(newRightAll.schema).parquet(rightDir)
             else newRightAll.limit(0)
-          // watermark: event time high-water across everything seen —
-          // batch, right store, AND left store (a quiet-left-side stream
-          // must not let the horizon regress below already-seen left
-          // rows); right rows older than (highWater - watermark) can no
-          // longer revise (bounded re-emission)
+          // watermark: event time high-water across everything seen.
+          // Persisted as a SCALAR (stateDir/highwater) so a trigger never
+          // rescans the stores just to learn the maximum — and a
+          // quiet-side batch can't regress the horizon below history.
+          // Right rows older than (highWater - watermark) can no longer
+          // revise (bounded re-emission).
           val highWater = Seq(
             b.agg(greatest(max(col(leftTs).cast("long")),
               max(col(rightTs).cast("long")))).head().get(0),
-            if (exists(rightDir)) rightStore.agg(max(col(rightTs).cast("long"))).head().get(0)
-            else null,
-            if (exists(leftDir)) leftStore.agg(max(col(leftTs).cast("long"))).head().get(0)
-            else null)
+            readHighWater(fs, stateDir).map(java.lang.Long.valueOf).orNull)
             .collect { case l: java.lang.Long => l.longValue() }
-          val newRight =
-            if (highWater.isEmpty) newRightAll
-            else newRightAll.filter(col(rightTs).cast("long") >= highWater.max - watermark)
+          val horizonOpt = if (highWater.isEmpty) None
+            else Some(highWater.max - watermark)
+          val newRight = horizonOpt.fold(newRightAll)(h =>
+            newRightAll.filter(col(rightTs).cast("long") >= h))
+          // late LEFT rows obey the same horizon: after compaction has
+          // pruned the right store past it, a below-horizon left row
+          // would silently join against a thinned history and emit a
+          // wrong (or null) match — dropping it is the watermark
+          // contract, and it keeps results independent of WHEN
+          // compaction ran
+          val newLeftInWindow = horizonOpt.fold(newLeft)(h =>
+            newLeft.filter(col(leftTs).cast("long") >= h))
           // replay heal: only genuinely new rows enter the stores (and the
           // affected-set math below); materialize BEFORE appending — the
           // filter reads the directory the append writes to
-          val freshLeft = newLeft
+          val freshLeft = newLeftInWindow
             .join(leftStore.select(leftId), Seq(leftId), "left_anti")
             .localCheckpoint(true)
           val freshRight = newRight
@@ -198,13 +205,26 @@ object AsofJoin {
               .join(affected.select(keys.map(col): _*).distinct(), keys, "left_semi")
             val result = asofJoin(affected, rightState, keys, leftTs, rightTs,
               rightCols, rightTieBreak)
-            // each left id appears once per batch, so the id itself serves
-            // as the in-batch line id; batch id gives revisions precedence
-            graft.sinks.TableSink.upsert(s, outDir,
-              graft.sinks.TableSink.withSeq(result, batchId, lineIdCol = leftId),
-              Seq(leftId))
+            // output is TIME-BUCKETED (bucket width = watermark) and
+            // merged with a partitioned last-wins upsert: a revision can
+            // only target left rows inside the watermark, i.e. the last
+            // couple of buckets — so each trigger rewrites O(in-horizon
+            // buckets), never the whole result history (which a flat
+            // upsert would re-read and re-write forever on a long-running
+            // stream). Each left id appears once per batch, so the id
+            // serves as the in-batch line id; batch id gives revisions
+            // precedence.
+            val bucketW = math.max(watermark, 1L)
+            graft.sinks.TableSink.partitionedUpsert(s, outDir,
+              graft.sinks.TableSink.withSeq(
+                result.withColumn("_tbucket",
+                  expr(s"CAST($leftTs AS LONG) div $bucketW")),
+                batchId, lineIdCol = leftId),
+              Seq(leftId, "_tbucket"), "_tbucket")
             freshLeft.write.mode("append").parquet(leftDir)
             freshRight.write.mode("append").parquet(rightDir)
+            highWater.reduceOption(_ max _)
+              .foreach(writeHighWater(fs, stateDir, _))
           } finally {
             graft.operators.Dedup.releaseLocalCheckpoint(freshLeft)
             graft.operators.Dedup.releaseLocalCheckpoint(freshRight)
@@ -237,6 +257,31 @@ object AsofJoin {
         } finally b.unpersist()
       }
       .start()
+  }
+
+  private def hwPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir, "highwater")
+
+  private def readHighWater(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Option[Long] = {
+    val p = hwPath(stateDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      body.toLongOption
+    }
+  }
+
+  /** Single-writer scalar (one streaming query owns a stateDir); a
+    * replayed batch rewrites the same maximum — idempotent.
+    */
+  private def writeHighWater(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, v: Long): Unit = {
+    val out = fs.create(hwPath(stateDir), true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Rewrite a state directory with a pruned frame derived FROM it:

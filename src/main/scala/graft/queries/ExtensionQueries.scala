@@ -319,7 +319,12 @@ object ExtensionQueries {
         val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
         val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
-        val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        // FIXED scratch path (bench/verify invoke each query repeatedly —
+        // fresh temp dirs would accrete an index copy per invocation);
+        // delete-then-rebuild keeps the round-trip exercised every run
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_annidx_x24b").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         AnnIndexStore.save(s, dir, ivf, pq)
         val loaded = AnnIndexStore.load(s, dir)
         AnnIndexStore.searchTopK(loaded,

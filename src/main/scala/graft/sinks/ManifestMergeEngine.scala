@@ -277,8 +277,16 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
       val files =
         try attempt(prev)
         catch {
-          case e: java.io.IOException if n < maxCommitAttempts =>
-            // staging lost a file under a competing writer's GC — rebase
+          // a competing writer's GC can invalidate this attempt's input
+          // mid-read; Spark surfaces that as AnalysisException
+          // (driver-side path resolution), SparkException (a task's
+          // FileNotFoundException), or a bare IOException (our own
+          // staging renames) — all rebase. Contract violations
+          // (IllegalArgumentException from the layout guards) propagate.
+          case e @ (_: java.io.IOException
+                    | _: org.apache.spark.SparkException
+                    | _: org.apache.spark.sql.AnalysisException)
+              if n < maxCommitAttempts =>
             Thread.sleep(10L * n)
             null
         }

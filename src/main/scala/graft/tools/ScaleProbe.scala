@@ -288,7 +288,8 @@ object ScaleProbe {
       }
     val fullListBytes = walk(new org.apache.hadoop.fs.Path(path, "data"), "")
       .map(_.length + 1L).sum
-    val sorted = sizes.sorted
+    // n=1 leaves no deltas (d0 folds into the m0 checkpoint immediately)
+    val sorted = if (sizes.nonEmpty) sizes.sorted else Seq(0L)
     println(s"""{"probe":"manifest_log","commits":$n,"rows":$rows,""" +
       s""""delta_bytes_first":${sorted.head},"delta_bytes_median":${sorted(sorted.length / 2)},""" +
       s""""delta_bytes_max":${sorted.last},"full_list_bytes_at_end":$fullListBytes,""" +

@@ -676,6 +676,23 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("x33b's approx_percentile estimates are parallelism-stable (frozen-oracle precondition)") {
+    // the frozen VALUES oracle for x33b assumes the estimate is a pure
+    // function of the data. QuantileSummaries merges are order-sensitive
+    // in general, BUT at accuracy=10000 >> group sizes (~2k at the verify
+    // SF) no compression triggers and the query returns the exact rank
+    // value — deterministic at any parallelism. This guard turns that
+    // precondition into a failing test if the data outgrows the accuracy
+    // budget or Spark's sketch changes.
+    val ev = spark.read.option("mergeSchema", "false")
+      .parquet("/root/testdata/sf0.01/events.parquet")
+    def estimates(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    assert(estimates(ev.repartition(32)) == estimates(ev.repartition(1)))
+  }
+
   test("profileApprox: sketch distinct within 5% of exact, other stats identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
