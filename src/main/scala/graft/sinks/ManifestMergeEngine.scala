@@ -593,6 +593,19 @@ object ManifestMergeEngine {
     }
     val data = dataRoot(path)
     if (!fs.exists(data)) return
+    // Data-file grace is measured from the moment a file became
+    // UNREFERENCED (a tombstone ledger), not from its modification time:
+    // a carried file can be weeks old when its last referencing version
+    // rotates out of retention, and an mtime-keyed grace would delete it
+    // instantly — under the nose of a reader/writer still holding that
+    // snapshot. First sighting as unreferenced starts the clock; deletion
+    // happens a full grace later. (Staging trees, tmp records and log
+    // segments keep mtime aging — for them mtime IS creation time.)
+    // grace=0 short-circuits to immediate deletion, no ledger.
+    val now = System.currentTimeMillis()
+    val tombstones = if (graceMs == 0) Map.empty[String, Long]
+      else readTombstones(fs, path)
+    val nextTombstones = scala.collection.mutable.Map.empty[String, Long]
     def sweep(d: Path, relPrefix: String): Unit =
       fs.listStatus(d).foreach { st =>
         val name = st.getPath.getName
@@ -601,8 +614,48 @@ object ManifestMergeEngine {
           sweep(st.getPath, rel)
           if (fs.listStatus(st.getPath).isEmpty && aged(st))
             fs.delete(st.getPath, false)
-        } else if (!live.contains(rel) && aged(st)) fs.delete(st.getPath, false)
+        } else if (!live.contains(rel)) {
+          if (graceMs == 0) fs.delete(st.getPath, false)
+          else tombstones.get(rel) match {
+            case Some(t) if now - t >= graceMs => fs.delete(st.getPath, false)
+            case Some(t)                       => nextTombstones(rel) = t
+            case None                          => nextTombstones(rel) = now
+          }
+        }
       }
     sweep(data, "")
+    if (graceMs > 0 && nextTombstones.toMap != tombstones)
+      writeTombstones(fs, path, nextTombstones.toMap)
+  }
+
+  private def tombstonePath(path: String) =
+    new Path(manifestDir(path), ".tombstones")
+
+  private def readTombstones(fs: FileSystem, path: String): Map[String, Long] = {
+    val p = tombstonePath(path)
+    if (!fs.exists(p)) Map.empty
+    else readLines(fs, p).flatMap { l =>
+      l.split('\t') match {
+        case Array(rel, t) => t.toLongOption.map(rel -> _)
+        case _             => None
+      }
+    }.toMap
+  }
+
+  /** Last-writer-wins overwrite (temp + rename): concurrent GCs racing
+    * the ledger can at worst LOSE a tombstone, which re-starts that
+    * file's clock on the next sweep — deletions are only ever delayed,
+    * never hastened.
+    */
+  private def writeTombstones(fs: FileSystem, path: String,
+      entries: Map[String, Long]): Unit = {
+    val tmp = new Path(manifestDir(path),
+      s".tombstones.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (r, t) => s"$r\t$t" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(tombstonePath(path), false)
+    if (!fs.rename(tmp, tombstonePath(path))) fs.delete(tmp, false)
   }
 }

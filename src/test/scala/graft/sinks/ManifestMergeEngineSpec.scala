@@ -302,6 +302,44 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(engine.read(spark, path).get.head().getAs[String]("name") == "v5")
   }
 
+  test("GC grace is tombstone-time, not mtime: ancient files that JUST became unreferenced survive") {
+    val path = tmp("msengTomb") + "/sessions"
+    val keys = Seq("session_key")
+    val g = new ManifestMergeEngine(retainVersions = 1, orphanGraceMs = 60000)
+    g.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "v0", 0L)).toDF("session_key", "name", "line_id"), 0), keys)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0Files = ManifestMergeEngine.currentManifest(fs, path).get.files
+    assert(v0Files.nonEmpty)
+    // backdate v0's data files: to an mtime-keyed grace they now look
+    // ancient — but they only become UNREFERENCED at the next commit's
+    // GC, so the tombstone clock must start THERE
+    v0Files.foreach { f =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/data/$f"), 1000L, -1)
+    }
+    g.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "v1", 0L)).toDF("session_key", "name", "line_id"), 1), keys)
+    // retain=1 dropped v0 from retention; grace must still protect it
+    v0Files.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/$f")),
+        s"$f deleted on first sighting as unreferenced — grace keyed to mtime, not tombstone")
+    }
+    // and the ledger recorded the sighting
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/.tombstones")))
+
+    // a short-grace engine ages them out across two sweeps
+    val fast = new ManifestMergeEngine(retainVersions = 1, orphanGraceMs = 200)
+    Thread.sleep(250)
+    fast.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "v2", 0L)).toDF("session_key", "name", "line_id"), 2), keys)
+    v0Files.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/$f")),
+        s"$f still present after its tombstone aged past the grace")
+    }
+    assert(g.read(spark, path).get.head().getAs[String]("name") == "v2")
+  }
+
   test("multi-writer CAS: concurrent appends from two writers, no lost update") {
     val path = tmp("msengMW") + "/events"
     // grace >> test duration: a competing writer's GC must not sweep the
