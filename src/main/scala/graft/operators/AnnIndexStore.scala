@@ -144,6 +144,45 @@ object AnnIndexStore {
         .join(newAssigned.select(col(corpusId), col("cid")), corpusId), "cid")
   }
 
+  /** Streaming index growth: new vectors arriving on a file stream are
+    * encoded with the FROZEN stored models and appended per micro-batch —
+    * the ingestion half of the index lifecycle (build once offline, grow
+    * continuously, search any time; searches are snapshot-isolated from
+    * the growth by the manifest backend). Re-arrived ids (checkpoint
+    * replay) are filtered against the stored assigned table, so a
+    * replayed batch heals instead of duplicating index rows — the same
+    * discipline as streamingMinhashDedup's state appends.
+    */
+  def streamingAddVectors(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, indexPath: String,
+      checkpointDir: String, corpusId: String, corpusVec: String,
+      engine: MergeEngine = new ManifestMergeEngine(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_ann_ingest")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val existing = engine.read(s, assignedPath(indexPath))
+          .getOrElse(throw new IllegalStateException(
+            s"no index at $indexPath — build and save it before streaming growth"))
+        val fresh = batch.select(col(corpusId), col(corpusVec))
+          .dropDuplicates(corpusId)
+          .join(existing.select(corpusId), Seq(corpusId), "left_anti")
+          // materialize BEFORE the appends: the anti-join reads the table
+          // the first append writes to
+          .localCheckpoint(true)
+        try {
+          if (!fresh.isEmpty)
+            addVectors(s, indexPath, fresh, corpusId, corpusVec, engine)
+        } finally Dedup.releaseLocalCheckpoint(fresh)
+      }
+      .start()
+
   /** IVF-PQ adaptive search against a LOADED index — the search-many half
     * of the lifecycle: no training, no corpus re-encode; the rerank's true
     * vectors come from the index's own assigned table (point reads by id).

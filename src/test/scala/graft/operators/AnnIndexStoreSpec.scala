@@ -72,6 +72,44 @@ class AnnIndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming growth: arrival-split ingest equals batch addVectors; replay heals") {
+    val all = corpusOf(500)
+    val base = all.filter(col("c_id") < 250)
+    val ivf = Similarity.buildIvf(base, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(base, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq)
+
+    val srcBase = java.nio.file.Files.createTempDirectory("annstream").toString
+    val src = s"$srcBase/src"
+    new java.io.File(src).mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("annarr").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    // two arrivals; the second RE-SHIPS part of the first (replay/overlap)
+    // plus base-corpus ids already in the index — both must be absorbed
+    land(all.filter(col("c_id") >= 250 && col("c_id") < 400), "a1.parquet")
+    val q = AnnIndexStore.streamingAddVectors(spark, src,
+      all.schema, dir, s"$srcBase/ckpt", "c_id", "c_vec")
+    try {
+      q.processAllAvailable()
+      land(all.filter(col("c_id") >= 350 || col("c_id") < 10), "a2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val grown = AnnIndexStore.load(spark, dir)
+    val gotAssigned = grown.ivf.assigned.select("c_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expAssigned = Similarity.assignCid(all, "c_vec", ivf.centroids)
+      .select("c_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotAssigned == expAssigned) // every id exactly once, frozen-model cids
+    assert(grown.pq.encoded.count() == 500)
+  }
+
   test("addVectors: frozen-model encode parity with full re-encode; search sees new rows") {
     val all = corpusOf(500)
     val base = all.filter(col("c_id") < 250)
