@@ -80,13 +80,20 @@ object AnnIndexStore {
     engine.append(centroidsPath(indexPath), vecRows(spark, ivf.centroids, None))
     engine.append(codebooksPath(indexPath),
       vecRows(spark, pq.codebooks, Some((pq.m, pq.k))))
-    engine.appendPartitioned(assignedPath(indexPath), ivf.assigned, "cid")
+    // cluster by list id before the partitioned write: without it every
+    // upstream task sprays a file into every cid=N/ directory
+    // (tasks × lists tiny files); clustered, each list lands contiguously
+    // — fewer, bigger files per inverted list, which is also what a
+    // search wants to scan
+    engine.appendPartitioned(assignedPath(indexPath),
+      ivf.assigned.repartition(col("cid")), "cid")
     // the codes table carries the list id too (one id equi-join at save
     // time), so BOTH scans prune to the probed lists at search time;
     // both builders emit the id as their FIRST column by construction
     val idCol = pq.encoded.columns.head
     engine.appendPartitioned(encodedPath(indexPath),
-      pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol), "cid")
+      pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol)
+        .repartition(col("cid")), "cid")
   }
 
   private def loadMatrix(spark: SparkSession, path: String,
