@@ -151,6 +151,19 @@ object AnnIndexStore {
         .join(newAssigned.select(col(corpusId), col("cid")), corpusId), "cid")
   }
 
+  /** Index maintenance: every [[addVectors]]/streaming trigger appends
+    * one file per touched inverted list, so a long-grown index accretes
+    * small files (scan cost grows with file COUNT). Delegates to the
+    * engine's compact, which preserves the cid-partitioned layout — the
+    * pruned search keeps its partition filters after compaction.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+      engine: MergeEngine = new ManifestMergeEngine(),
+      targetBytes: Long = 128L << 20): Unit = {
+    engine.compact(spark, assignedPath(indexPath), targetBytes)
+    engine.compact(spark, encodedPath(indexPath), targetBytes)
+  }
+
   /** Streaming index growth: new vectors arriving on a file stream are
     * encoded with the FROZEN stored models and appended per micro-batch —
     * the ingestion half of the index lifecycle (build once offline, grow

@@ -81,4 +81,26 @@ object Skew {
       .map(f => math.min(maxSalts.toLong,
         math.max(1L, (f + targetRowsPerSalt - 1) / targetRowsPerSalt)).toInt)
       .getOrElse(1)
+
+  /** Stats-driven broadcast-or-shuffle equi-join — the other cost-based
+    * decision persisted stats unlock: when `small`'s stored `n_rows` is
+    * under `broadcastRows`, hint `broadcast(small)` (no shuffle of the
+    * big side at all); otherwise fall through to [[saltedJoinAuto]]'s
+    * salt decision for the shuffled join. Missing stats choose the
+    * shuffled path unsalted — the safe default (a wrong broadcast OOMs
+    * executors; a wrong shuffle is merely slower).
+    */
+  def statsJoin(big: DataFrame, small: DataFrame, key: String,
+      smallStatsPath: String, bigStatsPath: String,
+      broadcastRows: Long = 10000000L, targetRowsPerSalt: Long = 1000000L,
+      maxSalts: Int = 64, joinType: String = "inner"): DataFrame = {
+    val spark = big.sparkSession
+    val smallRows = graft.catalog.Profile.loadStats(spark, smallStatsPath)
+      .flatMap(_.select("n_rows").collect().headOption
+        .flatMap(r => Option(r.getAs[java.lang.Long]("n_rows"))))
+    if (smallRows.exists(_ <= broadcastRows))
+      big.join(broadcast(small), Seq(key), joinType)
+    else saltedJoinAuto(big, small, key, bigStatsPath,
+      targetRowsPerSalt, maxSalts, joinType)
+  }
 }

@@ -110,6 +110,43 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(grown.pq.encoded.count() == 500)
   }
 
+  test("compact after growth: fewer files, cid layout preserved, search identical") {
+    val all = corpusOf(400)
+    val base = all.filter(col("c_id") < 200)
+    val ivf = Similarity.buildIvf(base, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(base, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    // retain only the current version so on-disk file counts reflect the
+    // live snapshot (default retention keeps prior versions' files)
+    val engine = new graft.sinks.ManifestMergeEngine(retainVersions = 1)
+    AnnIndexStore.save(spark, dir, ivf, pq, engine)
+    // three increments accrete files per list
+    Seq((200L, 270L), (270L, 340L), (340L, 400L)).foreach { case (lo, hi) =>
+      AnnIndexStore.addVectors(spark, dir,
+        all.filter(col("c_id") >= lo && col("c_id") < hi), "c_id", "c_vec", engine)
+    }
+    val before = searchRows(AnnIndexStore.searchTopK(
+      AnnIndexStore.load(spark, dir, engine), queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    def dataFiles(sub: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub/data")).map(_.getPath)
+        .filter(_.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("assigned").size
+    AnnIndexStore.compact(spark, dir, engine)
+    assert(dataFiles("assigned").size < filesBefore,
+      s"compact did not reduce file count ($filesBefore)")
+    // layout survived: every data file still under a cid= directory
+    assert(dataFiles("assigned").forall(_.contains("cid=")))
+    assert(dataFiles("encoded").forall(_.contains("cid=")))
+    val after = searchRows(AnnIndexStore.searchTopK(
+      AnnIndexStore.load(spark, dir, engine), queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    assert(after == before)
+  }
+
   test("addVectors: frozen-model encode parity with full re-encode; search sees new rows") {
     val all = corpusOf(500)
     val base = all.filter(col("c_id") < 250)
