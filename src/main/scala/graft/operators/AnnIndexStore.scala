@@ -141,14 +141,25 @@ object AnnIndexStore {
     val cb = engine.read(spark, codebooksPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
     val mk = cb.select("m", "k").head()
-    val codebooks = matrixOf(cb)
+    appendEncoded(indexPath, vectors, corpusId, corpusVec,
+      centroids, matrixOf(cb), mk.getInt(0), mk.getInt(1), engine)
+  }
+
+  /** Frozen-model encode + list-clustered partitioned append of new
+    * vectors — shared by [[addVectors]] and [[streamingAddVectors]].
+    */
+  private def appendEncoded(indexPath: String, vectors: DataFrame,
+      corpusId: String, corpusVec: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Double]], m: Int, k: Int,
+      engine: MergeEngine): Unit = {
     val proj = vectors.select(col(corpusId), col(corpusVec))
     val newAssigned = Similarity.assignCid(proj, corpusVec, centroids)
-    engine.appendPartitioned(assignedPath(indexPath), newAssigned, "cid")
+    engine.appendPartitioned(assignedPath(indexPath),
+      newAssigned.repartition(col("cid")), "cid")
     engine.appendPartitioned(encodedPath(indexPath),
-      Similarity.pqEncode(proj, corpusId, corpusVec, codebooks,
-        mk.getInt(0), mk.getInt(1))
-        .join(newAssigned.select(col(corpusId), col("cid")), corpusId), "cid")
+      Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
+        .join(newAssigned.select(col(corpusId), col("cid")), corpusId)
+        .repartition(col("cid")), "cid")
   }
 
   /** Index maintenance: every [[addVectors]]/streaming trigger appends
@@ -179,7 +190,16 @@ object AnnIndexStore {
       engine: MergeEngine = new ManifestMergeEngine(),
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the models are FROZEN by contract — load them once at stream start
+    // (a per-trigger reload would pay the manifest read + driver collect
+    // on every micro-batch for state that cannot change)
+    val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
+    val cb = engine.read(spark, codebooksPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no index at $indexPath — build and save it before streaming growth"))
+    val mk = cb.select("m", "k").head()
+    val codebooks = matrixOf(cb)
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .queryName("graft_ann_ingest")
@@ -198,10 +218,12 @@ object AnnIndexStore {
           .localCheckpoint(true)
         try {
           if (!fresh.isEmpty)
-            addVectors(s, indexPath, fresh, corpusId, corpusVec, engine)
+            appendEncoded(indexPath, fresh, corpusId, corpusVec,
+              centroids, codebooks, mk.getInt(0), mk.getInt(1), engine)
         } finally Dedup.releaseLocalCheckpoint(fresh)
       }
       .start()
+  }
 
   /** IVF-PQ adaptive search against a LOADED index — the search-many half
     * of the lifecycle: no training, no corpus re-encode; the rerank's true
