@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -750,6 +750,82 @@ object ExtensionQueries {
         Multimodal.syntheticAssets(Tables.documents(s, d)), everyMs = 5000)
         .select(col("asset_id"), col("frame_ts_ms"), length(col("frame")).as("n_bytes"))
         .orderBy("asset_id", "frame_ts_ms"),
-      F1OracleSql.sql.get("x16_multimodal_frame_sample"))
+      F1OracleSql.sql.get("x16_multimodal_frame_sample")),
+
+    // ---- sequence packing / sampling / resample ----
+
+    // Concat-and-chunk sequence packing: the corpus token stream (ws
+    // tokens, x09's parity-pinned count) chunked into 256-token training
+    // sequences; output is the (doc, seq) span manifest. The global token
+    // offset comes from Prefix.cumsumLong — distributed prefix sum, NOT a
+    // single-partition window (plan-guarded in QueriesPlanSpec). The
+    // oracle recomputes the offsets with a window cumsum and explodes the
+    // same spans — live SQL, sf-independent.
+    Q("x36_pack_sequences",
+      (s, d) => Pack.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 256)
+        .orderBy("doc_id", "seq_id"),
+      Some("WITH toks AS (SELECT doc_id, CAST(" +
+        "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END " +
+        "AS BIGINT) AS n_toks FROM documents), " +
+        "cum AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end_global FROM toks WHERE n_toks > 0), " +
+        "spans AS (SELECT doc_id, n_toks, tok_end_global, " +
+        "tok_end_global - n_toks AS tok_start_global, " +
+        "unnest(generate_series((tok_end_global - n_toks) // 256, (tok_end_global - 1) // 256)) AS seq_id " +
+        "FROM cum) " +
+        "SELECT doc_id, seq_id, greatest(0, seq_id * 256 - tok_start_global) AS tok_start, " +
+        "least(tok_end_global, (seq_id + 1) * 256) - tok_start_global AS tok_end, n_toks " +
+        "FROM spans ORDER BY doc_id, seq_id")),
+
+    // Stratified sample: deterministic top-5 per language by md5(doc_id)
+    // — the balanced per-stratum draw a training mixture needs, stable
+    // under corpus growth within a stratum prefix. md5-of-decimal-string
+    // is bit-identical across engines, so the oracle is live SQL. At
+    // scale the per-stratum sort is a partial top-k (TakeOrdered-style)
+    // inside each stratum's partition, never a global sort.
+    Q("x37_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 5)
+          .orderBy("lang", "rank")
+      },
+      Some("SELECT lang, doc_id, rank FROM (" +
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) t " +
+        "WHERE rank <= 5 ORDER BY lang, rank")),
+
+    // Fixed-grid LOCF resample: per-user value series aligned to a 6-hour
+    // grid, each point carrying the latest preceding event's value +
+    // provenance id (leading gap stays null). Grid bounds come from one
+    // aggregation; the fill is AsofJoin's union+window — one shuffle, no
+    // join node. The oracle re-derives the grid with generate_series and
+    // the fill with an explicit rank-1 window over the inequality join —
+    // live SQL with the same max-event_id tie-break.
+    Q("x38_resample_locf",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id") < 40)
+        Resample.resampleLocf(ev, "user_id", "ts", "value",
+          step = 21600000000000L, tieBreak = "event_id")
+          .select(col("user_id"), expr("grid_ts div 1000000").as("grid_ms"),
+            col("value"), col("src_event_id"))
+          .orderBy("user_id", "grid_ms")
+      },
+      Some("SELECT user_id, gns // 1000000 AS grid_ms, value, src_event_id FROM (" +
+        "SELECT g.user_id, g.gns, e.value, e.event_id AS src_event_id, " +
+        "row_number() OVER (PARTITION BY g.user_id, g.gns " +
+        "ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn " +
+        "FROM (SELECT user_id, unnest(generate_series(" +
+        "epoch_ns(mn) // 21600000000000 * 21600000000000, epoch_ns(mx), 21600000000000)) AS gns " +
+        "FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events " +
+        "WHERE user_id < 40 GROUP BY user_id) b) g " +
+        "LEFT JOIN (SELECT * FROM events WHERE user_id < 40) e " +
+        "ON g.user_id = e.user_id AND epoch_ns(e.ts) <= g.gns) t " +
+        "WHERE rn = 1 ORDER BY user_id, grid_ms"))
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed prefix sum + sequence packing + LOCF resample. */
+class PrefixPackSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cumsumLong matches the single-partition window formulation") {
+    val df = (1 to 997).map(i => (i.toLong, ((i * 7919) % 23).toLong))
+      .toDF("id", "v")
+    val got = Prefix.cumsumLong(df, Seq("id"), "v", "cum", numPartitions = 7)
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    val want = df
+      .withColumn("cum", sum("v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("cumsumLong keeps the data distributed (no single-partition collapse)") {
+    val df = (1 to 500).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = Prefix.cumsumLong(df, Seq("id"), "v", "cum", numPartitions = 6)
+    assert(out.rdd.getNumPartitions > 1)
+    // nulls count as 0
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "v")
+    val cums = Prefix.cumsumLong(withNull, Seq("id"), "v", "cum")
+      .orderBy("id").select("cum").as[Long].collect().toSeq
+    assert(cums == Seq(5L, 5L, 7L))
+  }
+
+  test("packSequences: spans tile the token stream exactly, docs straddle budgets") {
+    // 3 docs of 5, 7, 4 tokens; budget 6 → stream of 16 tokens, seqs 0..2
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j k l"),
+      (3L, "m n o p"),
+      (4L, "   ")). // zero tokens — dropped
+      toDF("doc_id", "text")
+    val out = Pack.packSequences(docs, "doc_id", "text", budget = 6)
+      .orderBy("doc_id", "seq_id")
+      .select("doc_id", "seq_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 5L),            // doc1 tokens 0-4 → seq0
+      (2L, 0L, 0L, 1L),            // doc2 token 0 completes seq0
+      (2L, 1L, 1L, 7L),            // doc2 tokens 1-6 fill seq1
+      (3L, 2L, 0L, 4L)))           // doc3 entirely in seq2
+    // spans tile: per-seq token mass is exactly budget (except the last)
+    val perSeq = out.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(perSeq == Map(0L -> 6L, 1L -> 6L, 2L -> 4L))
+  }
+
+  test("resampleLocf: carries latest value, max-id tie-break, leading null") {
+    val ev = Seq(
+      (1L, 100L, 10L, 1.0),   // user 10
+      (2L, 250L, 10L, 2.0),
+      (3L, 250L, 10L, 3.0),   // same ts as id 2 — tie-break picks id 3
+      (5L, 310L, 10L, 5.0),   // extends the grid through 300
+      (4L, 90L, 20L, 9.0))    // user 20, single event after its grid floor
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Resample.resampleLocf(ev, "user_id", "ts", "value",
+      step = 100L, tieBreak = "event_id")
+      .select("user_id", "grid_ts", "value", "src_event_id")
+      .as[(Long, Long, Option[Double], Option[Long])].collect().toSeq.sorted
+    assert(out == Seq(
+      (10L, 100L, Some(1.0), Some(1L)),
+      (10L, 200L, Some(1.0), Some(1L)),   // LOCF across the gap
+      (10L, 300L, Some(3.0), Some(3L)),   // tie resolved to max event_id
+      (20L, 0L, None, None)).sorted)      // grid floor precedes first event
+  }
+}

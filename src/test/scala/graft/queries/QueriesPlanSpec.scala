@@ -157,4 +157,19 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("partial_approx_percentile"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("x36 pack: global token offsets WITHOUT a single-partition collapse") {
+    // the corpus-wide cumsum is the distributed three-step scan
+    // (Prefix.cumsumLong); a naive global-window formulation would plan
+    // `Exchange SinglePartition` here and die at 100 TB
+    val p = plan("x36_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("x38 resample: gap-fill is a window pass, no join node") {
+    val p = plan("x38_resample_locf")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("NestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
 }
