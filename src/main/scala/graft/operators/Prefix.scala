@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -68,12 +67,18 @@ object Prefix {
 
     val outSchema = ordered.schema.add(outCol, LongType, nullable = false)
     val bc = spark.sparkContext.broadcast(offsets)
-    ordered.mapPartitions { it =>
-      var run = bc.value(TaskContext.getPartitionId())
+    // mapPartitionsWithIndex, NOT Dataset.mapPartitions + TaskContext
+    // .getPartitionId: the task's partition id is stage-level — under a
+    // downstream UNION of two cumsum outputs, Spark fuses both sides into
+    // one UnionRDD stage whose task indices run past each child's own
+    // partition count (caught by PrefixPackSpec's incremental-pack test)
+    val out = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
       it.map { r =>
         run += r.getLong(vIdx)
         Row.fromSeq(r.toSeq :+ run)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(out, outSchema)
   }
 }

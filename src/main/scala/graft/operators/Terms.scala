@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus term statistics: vocabulary heavy-hitters and per-document
+  * TF-IDF top terms — the relational formulations of the two passes a
+  * tokenizer-training / relevance pipeline runs over a corpus.
+  *
+  * Scale posture: token explosion is per-row (`explode` after the scan,
+  * no pre-shuffle fan-out); counts partial-aggregate map-side before
+  * their one exchange; the top-k is `TakeOrderedAndProject` (per-
+  * partition heaps, never a global sort). TF-IDF joins term→df through
+  * the term-count table, which at 100 TB is Zipf-skewed — the join key
+  * is the TERM, so AQE's skew split applies, and the per-doc rank window
+  * shuffles on doc_id (uniform). The doc-count scalar rides a 1-row
+  * broadcast, the same pattern as CoreQueries q03.
+  *
+  * No reference analogue (SURVEY §2.11 text-analysis family).
+  */
+object Terms {
+
+  /** Whitespace tokens per document: `(idCol, token)`, one row per
+    * occurrence. Empty/whitespace-only documents contribute nothing.
+    */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+
+  /** Top-`k` corpus vocabulary by occurrence count (ties broken by
+    * token — deterministic). One partial-aggregated exchange + top-k.
+    */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** Per-document top-`k` terms by smoothed TF-IDF
+    * (`tf * ln((N + 1) / (df + 1))`, N = docs with at least one token),
+    * score rounded to 4 decimals, ties broken by term. Output:
+    * `(idCol, term, tf, df, score, rank)`.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token").as("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+}

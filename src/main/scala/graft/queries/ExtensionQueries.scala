@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Terms, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -82,6 +82,24 @@ object ExtensionQueries {
           x * (lit(1.0f) + lit(0.1f) *
             when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
           .as("embedding")))
+
+  /** Full-pack oracle (x36), reused verbatim by x36b's incremental
+    * parity: 256-token concat-and-chunk spans over the ws-token stream
+    * in doc_id order.
+    */
+  private val packOracleSql: String =
+    "WITH toks AS (SELECT doc_id, CAST(" +
+      "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END " +
+      "AS BIGINT) AS n_toks FROM documents), " +
+      "cum AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end_global FROM toks WHERE n_toks > 0), " +
+      "spans AS (SELECT doc_id, n_toks, tok_end_global, " +
+      "tok_end_global - n_toks AS tok_start_global, " +
+      "unnest(generate_series((tok_end_global - n_toks) // 256, (tok_end_global - 1) // 256)) AS seq_id " +
+      "FROM cum) " +
+      "SELECT doc_id, seq_id, greatest(0, seq_id * 256 - tok_start_global) AS tok_start, " +
+      "least(tok_end_global, (seq_id + 1) * 256) - tok_start_global AS tok_end, n_toks " +
+      "FROM spans ORDER BY doc_id, seq_id"
 
   val all: Seq[Q] = Seq(
 
@@ -765,18 +783,26 @@ object ExtensionQueries {
       (s, d) => Pack.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 256)
         .orderBy("doc_id", "seq_id"),
-      Some("WITH toks AS (SELECT doc_id, CAST(" +
-        "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END " +
-        "AS BIGINT) AS n_toks FROM documents), " +
-        "cum AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end_global FROM toks WHERE n_toks > 0), " +
-        "spans AS (SELECT doc_id, n_toks, tok_end_global, " +
-        "tok_end_global - n_toks AS tok_start_global, " +
-        "unnest(generate_series((tok_end_global - n_toks) // 256, (tok_end_global - 1) // 256)) AS seq_id " +
-        "FROM cum) " +
-        "SELECT doc_id, seq_id, greatest(0, seq_id * 256 - tok_start_global) AS tok_start, " +
-        "least(tok_end_global, (seq_id + 1) * 256) - tok_start_global AS tok_end, n_toks " +
-        "FROM spans ORDER BY doc_id, seq_id")),
+      Some(packOracleSql)),
+
+    // Incremental pack: the same manifest produced as TWO increments
+    // through the persisted token-high-water state (build the pack once,
+    // extend it as the corpus grows — never repack O(corpus) per
+    // increment). The oracle is x36's full-pack SQL VERBATIM: the parity
+    // claim — increments continue exactly where the previous pack ended —
+    // is the correctness contract, checked end-to-end by the driver.
+    Q("x36b_pack_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_pack_state").toString
+        val first = Pack.packIncremental(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", budget = 256, stateDir)
+        val second = Pack.packIncremental(docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", budget = 256, stateDir)
+        first.unionByName(second).orderBy("doc_id", "seq_id")
+      },
+      Some(packOracleSql)),
 
     // Stratified sample: deterministic top-5 per language by md5(doc_id)
     // — the balanced per-stratum draw a training mixture needs, stable
@@ -826,6 +852,47 @@ object ExtensionQueries {
         "WHERE user_id < 40 GROUP BY user_id) b) g " +
         "LEFT JOIN (SELECT * FROM events WHERE user_id < 40) e " +
         "ON g.user_id = e.user_id AND epoch_ns(e.ts) <= g.gns) t " +
-        "WHERE rn = 1 ORDER BY user_id, grid_ms"))
+        "WHERE rn = 1 ORDER BY user_id, grid_ms")),
+
+    // Vocabulary heavy-hitters: top-50 corpus tokens by occurrence —
+    // the tokenizer-training / vocab-build pass. Partial-aggregated
+    // count + TakeOrderedAndProject (plan-guarded); ties broken by token
+    // so the cut is total. Tokenization parity with DuckDB is pinned by
+    // x09/x22; the oracle recomputes the count + top-k in live SQL.
+    Q("x39_vocab_topk",
+      (s, d) => Terms.vocabTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 50)
+        .orderBy(col("n").desc, col("token")),
+      Some("SELECT token, n FROM (" +
+        "SELECT token, count(*) AS n FROM (" +
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> '') t GROUP BY token) c " +
+        "ORDER BY n DESC, token LIMIT 50")),
+
+    // Per-document TF-IDF top terms (smoothed idf, 4-decimal rounding,
+    // term tie-break). Both engines evaluate tf * ln((N+1)/(df+1)) on
+    // identical (tf, df, N) integers; ln is within 1 ulp on both libms
+    // and the 4-decimal round makes a cross-engine flip vanishingly
+    // unlikely (would need the true value within ~1e-12 of a .00005
+    // boundary) — if a future dataset ever trips it, freeze this oracle
+    // via gen_values_oracles instead.
+    Q("x40_tfidf_topterms",
+      (s, d) => Terms.tfidfTopTerms(Tables.documents(s, d)
+          .filter(col("doc_id") < 200), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> '' AND doc_id < 200), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf) " +
+        "SELECT doc_id, term, tf, df, score, rank FROM (" +
+        "SELECT tf.doc_id, tf.token AS term, tf.tf, df.df, " +
+        "round(tf.tf * ln((nd.n_docs + 1.0) / (df.df + 1.0)), 4) AS score, " +
+        "CAST(row_number() OVER (PARTITION BY tf.doc_id " +
+        "ORDER BY round(tf.tf * ln((nd.n_docs + 1.0) / (df.df + 1.0)), 4) DESC, tf.token) " +
+        "AS BIGINT) AS rank " +
+        "FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd) r " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"))
   )
 }

@@ -56,6 +56,52 @@ class PrefixPackSpec extends SparkSpec {
     assert(perSeq == Map(0L -> 6L, 1L -> 6L, 2L -> 4L))
   }
 
+  test("packIncremental: increments reproduce the full pack; out-of-order rejected") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j k l"),
+      (3L, "m n o p"),
+      (4L, "q r s")).toDF("doc_id", "text")
+    val full = Pack.packSequences(docs, "doc_id", "text", budget = 6)
+      .orderBy("doc_id", "seq_id").collect().toSeq
+    val state = java.nio.file.Files.createTempDirectory("packstate").toString
+    val inc1 = Pack.packIncremental(docs.filter($"doc_id" <= 2),
+      "doc_id", "text", budget = 6, state)
+    val inc2 = Pack.packIncremental(docs.filter($"doc_id" > 2),
+      "doc_id", "text", budget = 6, state)
+    val got = inc1.unionByName(inc2).orderBy("doc_id", "seq_id").collect().toSeq
+    assert(got == full)
+    // a lower id than the stored maximum must be refused, not mispacked
+    val ex = intercept[IllegalArgumentException] {
+      Pack.packIncremental(docs.filter($"doc_id" === 1L),
+        "doc_id", "text", budget = 6, state)
+    }
+    assert(ex.getMessage.contains("out of order"))
+    // empty increment: no spans, state untouched (next real increment fine)
+    assert(Pack.packIncremental(docs.filter($"doc_id" > 99),
+      "doc_id", "text", budget = 6, state).isEmpty)
+  }
+
+  test("vocabTopK + tfidfTopTerms: counts, tie-breaks, smoothed idf") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date")).toDF("doc_id", "text")
+    val vocab = Terms.vocabTopK(docs, "doc_id", "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // apple 3, cherry 3 (tie → alphabetical), banana 2
+    assert(vocab == Seq(("apple", 3L), ("cherry", 3L), ("banana", 2L)))
+    val tfidf = Terms.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // doc1: apple tf=2·ln(4/3) beats banana; doc2: tf=1 df=2 twice →
+    // tie → banana (alphabetical); doc3: date 1·ln(2)=0.693 beats
+    // cherry 2·ln(4/3)=0.575 — rarity outweighs the extra occurrence
+    assert(tfidf == Seq((1L, "apple", 2L, 2L, 1L),
+      (2L, "banana", 1L, 2L, 1L), (3L, "date", 1L, 1L, 1L)))
+  }
+
   test("resampleLocf: carries latest value, max-id tie-break, leading null") {
     val ev = Seq(
       (1L, 100L, 10L, 1.0),   // user 10

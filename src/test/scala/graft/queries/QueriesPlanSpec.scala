@@ -166,6 +166,12 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x39 vocab: partial-aggregated count + top-k, never a global sort") {
+    val p = plan("x39_vocab_topk")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x38 resample: gap-fill is a window pass, no join node") {
     val p = plan("x38_resample_locf")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
