@@ -30,25 +30,29 @@ object Pack {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    spansOf(cumToks(docs, idCol, textCol, baseOffset = 0L), idCol, budget)
+    spansOf(cumToks(docs, idCol, textCol), idCol, budget)
   }
 
   /** Incremental pack: manifest spans for `docs` CONTINUING an existing
     * pack — the corpus-growth path (repacking 100 TB because 1 TB
     * arrived is the O(corpus)-per-increment shape this avoids). The
-    * stored state at `stateDir` is two scalars: the token high-water
-    * (where the next sequence continues) and the highest packed doc id.
-    * Increments must arrive in id order (every new id above the stored
-    * maximum) — enforced here, because a lower id would retroactively
-    * shift every later document's global offset and invalidate already-
-    * written sequences.
+    * stored state at `stateDir` is four scalars: the previous base, the
+    * token high-water (where the next sequence continues), the highest
+    * packed id, and the last increment's lowest id.
     *
-    * The increment's spans are fully determined once [[Prefix.cumsumLong]]
-    * pins its checkpoint, so the state advance AFTER planning is safe;
-    * single writer per stateDir (the [[AsofJoin]] scalar-state posture).
-    * If the caller's downstream write of the returned manifest fails,
-    * re-run the increment after restoring the previous state file —
-    * the output is a pure function of (state, increment).
+    * Ordering contract: increments arrive in id order (every new id
+    * above the stored maximum) — a lower id would retroactively shift
+    * every later document's global offset and invalidate already-written
+    * sequences. Two outcomes for an increment that violates it:
+    *
+    *  - an EXACT REPLAY of the last increment (same id range — a retried
+    *    micro-batch after a crash between output write and checkpoint
+    *    commit) re-derives the same spans from the stored previous base
+    *    and leaves the state untouched: replay-idempotent, the property
+    *    [[streamingPack]]'s exactly-once story rests on;
+    *  - anything else throws.
+    *
+    * Single writer per stateDir (the [[AsofJoin]] scalar-state posture).
     */
   def packIncremental(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, stateDir: String): DataFrame = {
@@ -56,30 +60,68 @@ object Pack {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val (base, maxSeen) = readState(fs, stateDir).getOrElse((0L, Long.MinValue))
-    val cum = cumToks(docs, idCol, textCol, baseOffset = base)
-    // bounded driver scalars: increment's id range + token total
-    val b = cum.agg(min(col(idCol)), max(col(idCol)),
+    val st = readState(fs, stateDir)
+    val cum0 = cumToks(docs, idCol, textCol)
+    // bounded driver scalars: increment's id range + token total (the
+    // inclusive cumsum's maximum IS the total — cum0 is checkpointed, so
+    // this costs one cheap pass over the pinned partitions)
+    val b = cum0.agg(min(col(idCol)), max(col(idCol)),
       max(col("tok_end_global"))).head()
-    if (b.isNullAt(0)) return spansOf(cum, idCol, budget) // empty increment
-    require(b.getLong(0) > maxSeen,
-      s"packIncremental out of order: new id ${b.getLong(0)} <= already-" +
-        s"packed maximum $maxSeen (an earlier id would shift every later " +
-        "document's global offset and invalidate written sequences)")
-    writeState(fs, stateDir, b.getLong(2), b.getLong(1))
-    spansOf(cum, idCol, budget)
+    if (b.isNullAt(0)) return spansOf(cum0, idCol, budget) // empty: no-op
+    val (minId, maxId, total) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val base = st match {
+      case None => 0L
+      case Some(s) if minId > s.maxId => s.highWater
+      case Some(s) if minId == s.lastMinId && maxId == s.maxId =>
+        s.prevBase // exact replay of the last increment — re-derive, no advance
+      case Some(s) => throw new IllegalArgumentException(
+        s"packIncremental out of order: increment ids [$minId, $maxId] vs " +
+          s"already-packed maximum ${s.maxId} (an earlier id would shift " +
+          "every later document's global offset and invalidate written " +
+          "sequences; only an exact replay of the last increment is accepted)")
+    }
+    if (!st.exists(s => base == s.prevBase && maxId == s.maxId))
+      writeState(fs, stateDir, PackState(base, base + total, maxId, minId))
+    spansOf(cum0.withColumn("tok_end_global", col("tok_end_global") + base),
+      idCol, budget)
   }
 
-  /** Token counts + inclusive global cumsum (shifted by `baseOffset`),
-    * zero-token docs dropped. */
-  private def cumToks(docs: DataFrame, idCol: String, textCol: String,
-      baseOffset: Long): DataFrame = {
+  /** Streaming pack: documents landing on a file stream are packed per
+    * micro-batch through [[packIncremental]]'s persisted offset state,
+    * each batch's manifest written to `outDir/batch=<id>` with overwrite
+    * — so a replayed batch (same batchId, same increment) rewrites the
+    * same directory with the same rows: exactly-once end to end. Batches
+    * must land in id order (the [[packIncremental]] contract; a file
+    * stream processes files in arrival order).
+    */
+  def streamingPack(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String, budget: Int,
+      stateDir: String, outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_pack")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty)
+          packIncremental(b, idCol, textCol, budget, stateDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Token counts + inclusive global cumsum (base 0), zero-token docs
+    * dropped; checkpointed inside [[Prefix.cumsumLong]]. */
+  private def cumToks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol),
         TextOps.wsTokenCount(col(textCol)).cast("long").as("n_toks"))
       .filter(col("n_toks") > 0)
     Prefix.cumsumLong(toks, Seq(idCol), "n_toks", "tok_end_global")
-      .withColumn("tok_end_global", col("tok_end_global") + baseOffset)
   }
 
   private def spansOf(cum: DataFrame, idCol: String, budget: Int): DataFrame =
@@ -96,29 +138,42 @@ object Pack {
           - col("tok_start_global")).as("tok_end"),
         col("n_toks"))
 
+  private final case class PackState(prevBase: Long, highWater: Long,
+      maxId: Long, lastMinId: Long)
+
   private def statePath(stateDir: String) =
     new org.apache.hadoop.fs.Path(stateDir, "_pack_state")
 
   private def readState(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String): Option[(Long, Long)] = {
+      stateDir: String): Option[PackState] = {
     val p = statePath(stateDir)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      body.split(' ') match {
-        case Array(hw, mx) =>
-          for (h <- hw.toLongOption; m <- mx.toLongOption) yield (h, m)
+      val parsed = body.split(' ') match {
+        case Array(pb, hw, mx, lm) =>
+          for (a <- pb.toLongOption; b <- hw.toLongOption;
+               c <- mx.toLongOption; d <- lm.toLongOption)
+            yield PackState(a, b, c, d)
         case _ => None
       }
+      // a PRESENT but unreadable state file must fail loudly — treating
+      // it as fresh would silently restart the pack at offset 0 and
+      // collide every new sequence id with already-written ones
+      Some(parsed.getOrElse(throw new IllegalStateException(
+        s"corrupt pack state at $p: '$body'")))
     }
   }
 
+  /** Idempotent single-writer scalar (a replayed increment rewrites the
+    * same values). */
   private def writeState(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String, tokHighWater: Long, maxId: Long): Unit = {
+      stateDir: String, s: PackState): Unit = {
     val out = fs.create(statePath(stateDir), true)
-    try out.write(s"$tokHighWater $maxId".getBytes("UTF-8"))
+    try out.write(
+      s"${s.prevBase} ${s.highWater} ${s.maxId} ${s.lastMinId}".getBytes("UTF-8"))
     finally out.close()
   }
 }

@@ -82,6 +82,67 @@ class PrefixPackSpec extends SparkSpec {
       "doc_id", "text", budget = 6, state).isEmpty)
   }
 
+  test("packIncremental: exact replay re-derives identical spans without advancing") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j k l"),
+      (3L, "m n o p"), (4L, "q r s")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("packstate").toString
+    val inc1 = Pack.packIncremental(docs.filter($"doc_id" <= 2),
+      "doc_id", "text", budget = 6, state).collect().toSeq
+    // crash-retry: the SAME increment replays before anything newer lands
+    val replay = Pack.packIncremental(docs.filter($"doc_id" <= 2),
+      "doc_id", "text", budget = 6, state).collect().toSeq
+    assert(replay == inc1)
+    // and the state did not advance: the next real increment still
+    // continues from the first increment's high-water
+    val inc2 = Pack.packIncremental(docs.filter($"doc_id" > 2),
+      "doc_id", "text", budget = 6, state).collect().toSeq
+    val full = Pack.packSequences(docs, "doc_id", "text", budget = 6)
+      .collect().toSeq
+    def tup(rs: Seq[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted
+    assert(tup(inc1 ++ inc2) == tup(full))
+    // a PARTIAL overlap is neither fresh nor a replay — refused
+    val ex = intercept[IllegalArgumentException] {
+      Pack.packIncremental(docs.filter($"doc_id" >= 2),
+        "doc_id", "text", budget = 6, state)
+    }
+    assert(ex.getMessage.contains("out of order"))
+  }
+
+  test("streamingPack: micro-batch arrivals equal the one-shot pack") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(1 + i % 9)("w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("packstream").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("packarr").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$src/$name"))
+    }
+    land(docs.filter($"doc_id" <= 80), "a1.parquet")
+    val q = Pack.streamingPack(spark, src, docs.schema, "doc_id", "text",
+      budget = 32, s"$base/state", s"$base/out", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      land(docs.filter($"doc_id" > 80 && $"doc_id" <= 150), "a2.parquet")
+      q.processAllAvailable()
+      land(docs.filter($"doc_id" > 150), "a3.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "seq_id", "tok_start", "tok_end", "n_toks")
+      .orderBy("doc_id", "seq_id").collect().toSeq
+    val want = Pack.packSequences(docs, "doc_id", "text", budget = 32)
+      .orderBy("doc_id", "seq_id").collect().toSeq
+    assert(got == want)
+  }
+
   test("vocabTopK + tfidfTopTerms: counts, tie-breaks, smoothed idf") {
     val docs = Seq(
       (1L, "apple banana apple"),
