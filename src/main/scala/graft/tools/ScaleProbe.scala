@@ -297,6 +297,82 @@ object ScaleProbe {
     require(rows == n, s"expected $n rows, read $rows")
   }
 
+  /** Pack/terms-family probe: sf0.1 documents replicated `factor`× with
+    * disjoint doc-id ranges (single-plan crossJoin replication — a
+    * 1000-way union would bloat the logical plan). Times the distributed
+    * pack (cumsum + span explode), the incremental continuation (must be
+    * O(increment), not O(packed corpus)), vocab top-k and TF-IDF over
+    * the exploded token stream, and contrasts [[graft.operators.Prefix]]'s
+    * distributed prefix sum against the naive single-partition global
+    * window at the same row count — the committed evidence for the
+    * x36/x39/x40 scale posture.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 pack"
+    */
+  private def packProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Pack, Prefix, Terms}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs = docs0
+      .crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        col("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"pack_docs","n":${docs.count()}}""")
+    timed("pack_sequences") {
+      Pack.packSequences(docs, "doc_id", "text", budget = 2048).count()
+    }
+    // incremental continuation: bootstrap the state with the full corpus,
+    // then pack ONE replica more — the increment must not re-pay the corpus
+    val state = Files.createTempDirectory("packprobe").toString
+    timed("pack_incremental_bootstrap") {
+      Pack.packIncremental(docs, "doc_id", "text", 2048, state).count()
+    }
+    val inc = docs0.select(
+      (col("doc_id") + lit(factor.toLong * 10000000L)).as("doc_id"),
+      col("text"))
+    timed("pack_incremental_one_replica") {
+      Pack.packIncremental(inc, "doc_id", "text", 2048, state).count()
+    }
+    timed("vocab_topk") {
+      Terms.vocabTopK(docs, "doc_id", "text", k = 100).collect()
+    }
+    timed("tfidf_topterms") {
+      Terms.tfidfTopTerms(docs, "doc_id", "text", k = 3).count()
+    }
+    // prefix-sum contrast at 50M rows (independent of factor — at 1M the
+    // single-partition window actually WINS, one task sorting 1M longs is
+    // trivial; the naive formulation's failure is the one-partition
+    // memory/parallelism ceiling, which needs row counts that saturate a
+    // task to show up in wall time)
+    val nums = spark.range(50000000L).select(col("id"),
+      (pmod(col("id"), lit(97)) + 1).cast("long").as("v"))
+      .repartition(par).cache()
+    println(s"""{"probe":"cumsum_rows","n":${nums.count()}}""")
+    // agg(max(c)), NOT count(): count lets Catalyst prune the unused
+    // cumsum column and skip the window entirely — the naive side would
+    // report the cost of counting the cache
+    timed("cumsum_distributed") {
+      Prefix.cumsumLong(nums, Seq("id"), "v", "c")
+        .agg(max(col("c"))).collect()
+    }
+    timed("cumsum_naive_single_partition") {
+      nums.withColumn("c", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")
+          .rowsBetween(Long.MinValue, 0)))
+        .agg(max(col("c"))).collect()
+    }
+    docs.unpersist(); nums.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -318,6 +394,10 @@ object ScaleProbe {
     }
     if (mode == "manifestlog") {
       try manifestLogProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "pack") {
+      try packProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {
