@@ -36,6 +36,11 @@ object Prefix {
 
   /** Adds `outCol` = inclusive running sum of `valueCol` (cast to long)
     * in the total order of `orderCols`. Nulls count as 0.
+    *
+    * `orderCols` must be a TOTAL order (unique keys, like a document
+    * id): tied keys sort in nondeterministic relative order, so their
+    * individual running values would differ run to run (only the sum at
+    * the end of a tie group is stable).
     */
   def cumsumLong(df: DataFrame, orderCols: Seq[String], valueCol: String,
       outCol: String, numPartitions: Int = 0): DataFrame = {

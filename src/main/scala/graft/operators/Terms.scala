@@ -41,17 +41,24 @@ object Terms {
     * (`tf * ln((N + 1) / (df + 1))`, N = docs with at least one token),
     * score rounded to 4 decimals, ties broken by term. Output:
     * `(idCol, term, tf, df, score, rank)`.
+    *
+    * One explode scan: `df` is a count window over the tf table
+    * partitioned by term (NOT a self-join, which would duplicate the
+    * explode subtree and re-scan the corpus), and N counts non-empty
+    * docs straight off the column-pruned source (a doc has ≥ 1 token
+    * exactly when its trimmed text is non-empty). At 100 TB a pipeline
+    * would persist the tf table and derive both downstream passes from
+    * the stored copy.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = tokens(docs, idCol, textCol)
-    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nDocs = tf.select(col(idCol)).distinct()
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.filter(trim(col(textCol)) =!= "")
       .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))

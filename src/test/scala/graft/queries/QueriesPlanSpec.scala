@@ -172,6 +172,15 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x40 tfidf: df via window not self-join — the explode subtree scans once") {
+    val p = plan("x40_tfidf_topterms")
+    // 2 scans: the token explode + the column-pruned doc count. A df
+    // self-join formulation duplicates the explode subtree (3 scans, two
+    // of them explode-heavy) — the regression this guards against
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x38 resample: gap-fill is a window pass, no join node") {
     val p = plan("x38_resample_locf")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
