@@ -37,6 +37,41 @@ object Terms {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Per-document mean unigram negative log-probability under the
+    * corpus's own unigram model — the perplexity-style quality signal
+    * (CCNet/DSIR family): documents whose tokens are globally rare
+    * score high, formulaic/boilerplate documents score low. Laplace
+    * smoothing: `p(t) = (count(t)) / total`, score =
+    * `avg(-ln p(token))` over the doc's token stream (each occurrence
+    * counted), rounded to 4 decimals. Output: `(idCol, n_toks,
+    * avg_neg_logprob)`.
+    *
+    * Scale posture: one explode scan; the unigram model (distinct-token
+    * counts + the 1-row total) joins back by term — the Zipf-skewed
+    * equi-join AQE splits — then a single per-doc aggregation. The
+    * model table is vocabulary-sized, not corpus-sized.
+    */
+  def unigramLogprob(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val model = toks.groupBy("token").agg(count(lit(1)).as("tok_n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    // determinism convention (CoreQueries scaladoc): each token's score
+    // is a pure double function of (tok_n, total) — identical on both
+    // engines — rounded to 6 decimals and summed EXACTLY as DECIMAL
+    // (double accumulation order is partition-dependent); back to double
+    // only for the final division
+    toks.join(model, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(round(-log(col("tok_n") / col("total")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
+      .select(col(idCol), col("n_toks"),
+        round(col("_s").cast("double") / col("n_toks"), 4)
+          .as("avg_neg_logprob"))
+  }
+
   /** Per-document top-`k` terms by smoothed TF-IDF
     * (`tf * ln((N + 1) / (df + 1))`, N = docs with at least one token),
     * score rounded to 4 decimals, ties broken by term. Output:

@@ -893,6 +893,28 @@ object ExtensionQueries {
         "ORDER BY round(tf.tf * ln((nd.n_docs + 1.0) / (df.df + 1.0)), 4) DESC, tf.token) " +
         "AS BIGINT) AS rank " +
         "FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd) r " +
-        "WHERE rank <= 3 ORDER BY doc_id, rank"))
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
+
+    // Per-doc mean unigram -ln p under the corpus's own unigram model —
+    // the perplexity-style quality signal (CCNet/DSIR family): rare-token
+    // documents score high, formulaic ones low. Per-token scores are
+    // pure double functions of (tok_n, total) rounded to 6 decimals and
+    // summed exactly as DECIMAL (the determinism convention); the oracle
+    // recomputes the model and the same decimal-sum arithmetic live.
+    // DuckDB gotcha: tok_n / total on BIGINTs is INTEGER division —
+    // the oracle casts to DOUBLE first.
+    Q("x41_unigram_logprob",
+      (s, d) => Terms.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "model AS (SELECT token, count(*) AS tok_n FROM toks GROUP BY token), " +
+        "tot AS (SELECT count(*) AS total FROM toks) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "round(CAST(sum(CAST(round(-ln(CAST(tok_n AS DOUBLE) / total), 6) " +
+        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_neg_logprob " +
+        "FROM toks JOIN model USING (token) CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"))
   )
 }

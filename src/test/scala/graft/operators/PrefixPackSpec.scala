@@ -163,6 +163,17 @@ class PrefixPackSpec extends SparkSpec {
       (2L, "banana", 1L, 2L, 1L), (3L, "date", 1L, 1L, 1L)))
   }
 
+  test("unigramLogprob: corpus-model -ln p averaged per doc, rare tokens score high") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Terms.unigramLogprob(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // total=5; p(a)=p(b)=2/5 → -ln=0.916291; p(c)=1/5 → 1.609438
+    // doc1 = avg(.916291, .916291, .916291) = 0.9163
+    // doc2 = avg(.916291, 1.609438) = 1.262865 → 1.2629
+    assert(got == Seq((1L, 3L, 0.9163), (2L, 2L, 1.2629)))
+  }
+
   test("resampleLocf: carries latest value, max-id tie-break, leading null") {
     val ev = Seq(
       (1L, 100L, 10L, 1.0),   // user 10
