@@ -52,11 +52,33 @@ def load_coldwarm():
                               check=True).stdout.strip()
     except Exception:
         head = None
-    if not recorded or (head and recorded != head):
-        print(f"WARN: BENCH_COLDWARM.json commit {recorded or '<none>'} != HEAD "
-              f"{head or '<unknown>'} — stale cold/warm table, AMBIENT "
-              f"exemption disabled (rerun graft.tools.ColdWarmBench)")
+    if not recorded:
+        print("WARN: BENCH_COLDWARM.json carries no commit stamp — stale "
+              "cold/warm table, AMBIENT exemption disabled (rerun "
+              "graft.tools.ColdWarmBench)")
         return {}
+    if head and recorded != head:
+        # the stamp can never equal HEAD once the regenerated table is
+        # itself committed — HEAD advances past the measuring commit. The
+        # table is stale only if SOURCE changed since the stamp: check
+        # whether any src/main file differs between the two commits.
+        try:
+            import subprocess
+            changed = subprocess.run(
+                ["git", "diff", "--name-only", f"{recorded}..HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(COLDWARM_PATH),
+                check=True).stdout.splitlines()
+        except Exception:
+            changed = None
+        if changed is None or any(p.startswith("src/main/") for p in changed):
+            src = [p for p in (changed or []) if p.startswith("src/main/")]
+            print(f"WARN: BENCH_COLDWARM.json commit {recorded} != HEAD "
+                  f"{head} with source changes since "
+                  f"({', '.join(src[:3]) or 'diff unavailable'}"
+                  f"{'…' if src[3:] else ''}) — stale cold/warm table, "
+                  f"AMBIENT exemption disabled (rerun graft.tools.ColdWarmBench)")
+            return {}
     return doc["queries"]
 
 
