@@ -69,6 +69,12 @@ def load_coldwarm():
                 capture_output=True, text=True,
                 cwd=os.path.dirname(COLDWARM_PATH),
                 check=True).stdout.splitlines()
+            # uncommitted source edits are drift too — HEAD alone misses them
+            changed += [l[3:] for l in subprocess.run(
+                ["git", "status", "--porcelain", "--", "src/main"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(COLDWARM_PATH),
+                check=True).stdout.splitlines()]
         except Exception:
             changed = None
         if changed is None or any(p.startswith("src/main/") for p in changed):

@@ -113,8 +113,36 @@ object Pack {
       }
       .start()
 
-  /** Token counts + inclusive global cumsum (base 0), zero-token docs
-    * dropped; checkpointed inside [[Prefix.cumsumLong]]. */
+  /** Render packed sequences: join a span manifest (from
+    * [[packSequences]]/[[packIncremental]]) back to the documents and
+    * reconstruct each training sequence's token text — the consumer
+    * half of the pack, and the proof the manifest alone suffices to
+    * rebuild the exact token stream. Output: `(seq_id, n_toks,
+    * seq_text)`, every sequence exactly the budget long except the
+    * last.
+    *
+    * Scale posture: the manifest↔documents join is a doc-id equi-join
+    * (uniform key); per-sequence assembly aggregates the few spans a
+    * sequence touches (≤ budget tokens of text), ordered by the
+    * in-sequence position carried as `tok_start_global` — no window, one
+    * shuffle on seq_id.
+    */
+  def renderSequences(manifest: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    manifest
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col("seq_id"),
+        (col("tok_end") - col("tok_start")).as("n_span_toks"),
+        // slice is 1-based, [tok_start, tok_end) is 0-based half-open
+        struct(col(idCol),
+          array_join(slice(split(trim(col(textCol)), "\\s+"),
+            (col("tok_start") + 1).cast("int"),
+            (col("tok_end") - col("tok_start")).cast("int")), " ")
+            .as("part")).as("piece"))
+      .groupBy("seq_id")
+      .agg(sum(col("n_span_toks")).as("n_toks"),
+        array_join(transform(array_sort(collect_list(col("piece"))),
+          p => p.getField("part")), " ").as("seq_text"))
   private def cumToks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = docs

@@ -83,22 +83,30 @@ object ExtensionQueries {
             when(pmod(i, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
           .as("embedding")))
 
-  /** Full-pack oracle (x36), reused verbatim by x36b's incremental
-    * parity: 256-token concat-and-chunk spans over the ws-token stream
-    * in doc_id order.
+  /** Shared span CTEs for the pack oracles: 256-token concat-and-chunk
+    * spans over the ws-token stream in doc_id order, with doc-local
+    * `[tok_start, tok_end)` slices.
     */
-  private val packOracleSql: String =
+  private val packSpansCte: String =
     "WITH toks AS (SELECT doc_id, CAST(" +
       "CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END " +
       "AS BIGINT) AS n_toks FROM documents), " +
       "cum AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id " +
       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end_global FROM toks WHERE n_toks > 0), " +
-      "spans AS (SELECT doc_id, n_toks, tok_end_global, " +
+      "raw AS (SELECT doc_id, n_toks, tok_end_global, " +
       "tok_end_global - n_toks AS tok_start_global, " +
       "unnest(generate_series((tok_end_global - n_toks) // 256, (tok_end_global - 1) // 256)) AS seq_id " +
-      "FROM cum) " +
-      "SELECT doc_id, seq_id, greatest(0, seq_id * 256 - tok_start_global) AS tok_start, " +
+      "FROM cum), " +
+      "spans AS (SELECT doc_id, seq_id, " +
+      "greatest(0, seq_id * 256 - tok_start_global) AS tok_start, " +
       "least(tok_end_global, (seq_id + 1) * 256) - tok_start_global AS tok_end, n_toks " +
+      "FROM raw) "
+
+  /** Full-pack oracle (x36), reused verbatim by x36b's incremental
+    * parity. */
+  private val packOracleSql: String =
+    packSpansCte +
+      "SELECT doc_id, seq_id, tok_start, tok_end, n_toks " +
       "FROM spans ORDER BY doc_id, seq_id"
 
   val all: Seq[Q] = Seq(
@@ -915,6 +923,30 @@ object ExtensionQueries {
         "round(CAST(sum(CAST(round(-ln(CAST(tok_n AS DOUBLE) / total), 6) " +
         "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_neg_logprob " +
         "FROM toks JOIN model USING (token) CROSS JOIN tot " +
-        "GROUP BY doc_id ORDER BY doc_id"))
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    // Pack render: the span manifest joined back to the documents and
+    // re-assembled into each training sequence's actual token text —
+    // the consumer half of x36, and the end-to-end proof the manifest
+    // alone reconstructs the exact token stream (every sequence exactly
+    // 256 tokens except the last; the oracle re-derives the same spans
+    // and string_aggs the same slices in doc order).
+    Q("x42_pack_render",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Pack.renderSequences(
+          Pack.packSequences(docs, "doc_id", "text", budget = 256),
+          docs, "doc_id", "text")
+          .orderBy("seq_id")
+      },
+      Some(packSpansCte +
+        "SELECT seq_id, CAST(sum(tok_end - tok_start) AS BIGINT) AS n_toks, " +
+        "string_agg(part, ' ' ORDER BY doc_id) AS seq_text FROM (" +
+        "SELECT sp.seq_id, sp.doc_id, " +
+        "array_to_string((regexp_split_to_array(trim(d.text), '\\s+'))" +
+        "[sp.tok_start + 1 : sp.tok_end], ' ') AS part, " +
+        "sp.tok_start, sp.tok_end " +
+        "FROM spans sp JOIN documents d USING (doc_id)) t " +
+        "GROUP BY seq_id ORDER BY seq_id"))
   )
 }

@@ -56,6 +56,23 @@ class PrefixPackSpec extends SparkSpec {
     assert(perSeq == Map(0L -> 6L, 1L -> 6L, 2L -> 4L))
   }
 
+  test("renderSequences: manifest reconstructs the exact token stream") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j k l"),
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val got = Pack.renderSequences(
+      Pack.packSequences(docs, "doc_id", "text", budget = 6),
+      docs, "doc_id", "text")
+      .orderBy("seq_id")
+      .select("seq_id", "n_toks", "seq_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 6L, "a b c d e f"),     // doc1 whole + doc2's first token
+      (1L, 6L, "g h i j k l"),     // doc2's tail fills seq1 exactly
+      (2L, 4L, "m n o p")))        // trailing partial sequence
+  }
+
   test("packIncremental: increments reproduce the full pack; out-of-order rejected") {
     val docs = Seq(
       (1L, "a b c d e"),
