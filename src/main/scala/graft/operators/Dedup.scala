@@ -248,7 +248,7 @@ object Dedup {
     * them; iterative algorithms that supersede a checkpoint per round must
     * unpersist that RDD directly or pin O(iterations) executor storage.
     */
-  private[operators] def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -947,6 +947,49 @@ object ExtensionQueries {
         "[sp.tok_start + 1 : sp.tok_end], ' ') AS part, " +
         "sp.tok_start, sp.tok_end " +
         "FROM spans sp JOIN documents d USING (doc_id)) t " +
-        "GROUP BY seq_id ORDER BY seq_id"))
+        "GROUP BY seq_id ORDER BY seq_id")),
+
+    // The flagship end-to-end: the full training-data release path as
+    // ONE composition — planted corpus → near-dup keepers → PII scrub →
+    // language/quality/repetition gates (all reading the REDACTED text,
+    // x23's order) → deterministic split → each split packed
+    // independently into 256-token sequences. Per-split span/sequence/
+    // token counts pin every stage: a dead dedup, PII, gate, split, or
+    // pack regression each moves the frozen numbers. The cleaned frame
+    // is localCheckpointed once so the three per-split packs don't
+    // re-run the LSH pipeline.
+    Q("x43_training_export",
+      (s, d) => {
+        val corpus = plantBoilerplate(plantPii(plantTextDups(Tables.documents(s, d))))
+        val verdicts = Dedup.keepDecisions(corpus, "doc_id",
+          Dedup.minhashLsh(corpus, "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5))
+        val kept = corpus
+          .join(verdicts.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
+        val clean = TextOps.piiScrub(kept, "doc_id", "text")
+          .withColumn("lang_pred", TextOps.langId(col("redacted")))
+          .filter(col("lang_pred").isin("en", "es", "fr", "de"))
+          .filter(TextOps.qualityScore(col("redacted")) >= 0.5)
+          .withColumn("_rep", explode(array(TextOps.repetitionStats(col("redacted")))))
+          .filter(!TextOps.repetitive(col("_rep")))
+          .withColumn("split", TextOps.splitAssign(col("doc_id")))
+          .select(col("doc_id"), col("redacted"), col("split"))
+          .localCheckpoint(true)
+        try {
+          Seq("train", "val", "test").map { sp =>
+            Pack.packSequences(clean.filter(col("split") === sp),
+              "doc_id", "redacted", budget = 256)
+              .agg(count(lit(1)).as("n_spans"),
+                countDistinct(col("seq_id")).as("n_seqs"),
+                coalesce(sum(col("tok_end") - col("tok_start")), lit(0L))
+                  .as("n_tokens"))
+              .withColumn("split", lit(sp))
+          }.reduce(_ unionByName _)
+            .select("split", "n_spans", "n_seqs", "n_tokens")
+            .orderBy("split")
+            .localCheckpoint(true) // materialize before releasing `clean`
+        } finally Dedup.releaseLocalCheckpoint(clean)
+      },
+      F1OracleSql.sql.get("x43_training_export"))
   )
 }
