@@ -57,7 +57,16 @@ def load_coldwarm():
               "cold/warm table, AMBIENT exemption disabled (rerun "
               "graft.tools.ColdWarmBench)")
         return {}
-    if head and recorded != head:
+    if head is None:
+        # can't tell whether the stamp matches — failing open would keep
+        # the AMBIENT exemption live on a possibly-stale table, the exact
+        # masking the stamp exists to prevent. Mirror the diff-unavailable
+        # branch: disable the exemption.
+        print(f"WARN: cannot resolve git HEAD to check BENCH_COLDWARM.json "
+              f"stamp {recorded} — stale cold/warm table assumed, AMBIENT "
+              f"exemption disabled (rerun graft.tools.ColdWarmBench)")
+        return {}
+    if recorded != head:
         # the stamp can never equal HEAD once the regenerated table is
         # itself committed — HEAD advances past the measuring commit. The
         # table is stale only if SOURCE changed since the stamp: check

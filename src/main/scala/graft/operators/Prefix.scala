@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.LongType
   * that.
   *
   * No analogue in the reference (its running totals are per-batch Python
-  * dict counters — `/root/reference/database.py` stats accumulators);
+  * dict counters — `/root/reference/main_supabase.py:17-56` /
+  * `main.py:30-60` stats accumulators);
   * this is the scale-out formulation a training-data pipeline needs for
   * corpus-wide token offsets (sequence packing, x36).
   */

@@ -345,11 +345,13 @@ object ExtensionQueries {
         val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
         val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
-        // FIXED scratch path (bench/verify invoke each query repeatedly —
-        // fresh temp dirs would accrete an index copy per invocation);
+        // Per-run scratch path: stable across the repeated bench/verify
+        // invocations of one run (no index copy accreting per call) but
+        // keyed by application id so two concurrent harness runs on one
+        // machine can't race each other's delete/save/load sequence;
         // delete-then-rebuild keeps the round-trip exercised every run
         val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_annidx_x24b").toString
+          s"graft_annidx_x24b_${s.sparkContext.applicationId}").toString
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         AnnIndexStore.save(s, dir, ivf, pq)
         val loaded = AnnIndexStore.load(s, dir)

@@ -72,9 +72,20 @@ import org.apache.spark.sql.functions.col
   * (reconstruction prefers the newer checkpoint), a silent lost update.
   * With the grace ≥ the longest attempt's read-to-publish window, only
   * genuine orphans and long-dead slots age into deletion. The default 0
-  * keeps single-writer GC prompt (delete-on-next-commit); multi-writer
-  * deployments MUST set it (minutes — the Delta tombstone/log-retention
-  * posture).
+  * keeps single-writer GC prompt (delete-on-next-commit) — but prompt
+  * mode is NOT trusted blindly under concurrency: the first time any
+  * writer observes contention at a table (a lost CAS or a rebase fault)
+  * it stamps a durable `.contention` marker in the manifest dir, and
+  * every subsequent GC at that table — from ANY engine instance,
+  * whatever its `orphanGraceMs` — applies a grace floor of
+  * `ContentionGraceFloorMs` (15 min). So multi-writer safety does not
+  * depend on every caller remembering the constructor arg; the exposure
+  * is one prompt sweep racing the FIRST-ever contended commit, and
+  * `tryCommit`'s pre-publish log re-check shrinks the stale-slot half of
+  * that window from attempt-duration to milliseconds. Deployments that
+  * KNOW they are multi-writer should still set `orphanGraceMs` ≥ their
+  * longest attempt (the Delta tombstone/log-retention posture) rather
+  * than lean on the detector.
   */
 final class ManifestMergeEngine(retainVersions: Int = 3,
     orphanGraceMs: Long = 0L, maxCommitAttempts: Int = 20,
@@ -279,14 +290,20 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
         catch {
           // a competing writer's GC can invalidate this attempt's input
           // mid-read; Spark surfaces that as AnalysisException
-          // (driver-side path resolution), SparkException (a task's
-          // FileNotFoundException), or a bare IOException (our own
-          // staging renames) — all rebase. Contract violations
+          // (driver-side path resolution) or SparkException (a task's
+          // FileNotFoundException), and our own staging renames as a
+          // bare IOException — but ONLY vanished-file faults rebase.
+          // A persistent failure (schema mismatch in unionByName,
+          // corrupt parquet, a bad column) would recur identically on
+          // every retry, re-staging a full merge's files as orphans
+          // each time before surfacing — propagate it on first
+          // occurrence instead. Contract violations
           // (IllegalArgumentException from the layout guards) propagate.
           case e @ (_: java.io.IOException
                     | _: org.apache.spark.SparkException
                     | _: org.apache.spark.sql.AnalysisException)
-              if n < maxCommitAttempts =>
+              if n < maxCommitAttempts && isVanishedInputFault(e) =>
+            stampContention(fs, path)
             Thread.sleep(10L * n)
             null
         }
@@ -302,6 +319,10 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
           catch { case _: java.io.IOException => () }
           return
         }
+        // a lost CAS is the unambiguous concurrency signal — record it
+        // durably so every future GC at this table applies the
+        // contention grace floor (see class doc)
+        stampContention(fs, path)
         if (n >= maxCommitAttempts)
           throw new java.io.IOException(
             s"manifest commit lost the CAS $maxCommitAttempts times at $path")
@@ -486,6 +507,18 @@ object ManifestMergeEngine {
       files: Seq[String], v: Long, checkpointEvery: Int): Boolean = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
+    // Stale-slot guard: `prev` was read at attempt start, and a long
+    // merge can leave minutes between that read and this publish. If the
+    // log has meanwhile advanced to ≥ v, creating d{v} would either fail
+    // (normal CAS loss) or — if d{v} was truncated and its slot REOPENED
+    // by GC — "succeed" invisibly (reconstruction prefers the newer
+    // checkpoint): a silent lost update. Re-listing here shrinks that
+    // window from attempt-duration to the milliseconds between this
+    // check and the link/rename. Treat either case as a lost CAS.
+    locally {
+      val (ms0, ds0) = listLog(fs, path)
+      if ((ms0.iterator ++ ds0.iterator).exists(_ >= v)) return false
+    }
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val prevSet = prevFiles.toSet
     val fileSet = files.toSet
@@ -537,7 +570,14 @@ object ManifestMergeEngine {
     * the retention horizon by < `checkpointEvery` commits, which bounds
     * the live log at retain + checkpointEvery segments.
     */
-  private def gc(fs: FileSystem, path: String, retain: Int, graceMs: Long): Unit = {
+  private def gc(fs: FileSystem, path: String, retain: Int, configuredGraceMs: Long): Unit = {
+    // contention floor: once any writer has stamped the marker, prompt
+    // (grace-0) sweeps are unsafe at this table no matter which engine
+    // instance runs them — apply the floor (see class doc)
+    val graceMs =
+      if (fs.exists(contentionMarkerPath(path)))
+        math.max(configuredGraceMs, ContentionGraceFloorMs)
+      else configuredGraceMs
     val cutoff = System.currentTimeMillis() - graceMs
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       st.getModificationTime <= cutoff
@@ -657,5 +697,59 @@ object ManifestMergeEngine {
     finally out.close()
     fs.delete(tombstonePath(path), false)
     if (!fs.rename(tmp, tombstonePath(path))) fs.delete(tmp, false)
+  }
+
+  /** GC grace floor applied at any table whose `.contention` marker is
+    * stamped — generous enough to cover a long merge attempt's
+    * read-to-publish window, so a grace-0 engine can't sweep a live
+    * competing writer's staged work or reopen its delta slot.
+    */
+  val ContentionGraceFloorMs: Long = 15L * 60 * 1000
+
+  private def contentionMarkerPath(path: String) =
+    new Path(manifestDir(path), ".contention")
+
+  /** Durably records that this table has seen concurrent writers (a lost
+    * CAS or a vanished-input rebase). Idempotent, best-effort: the
+    * marker only tightens GC, so a failed stamp merely leaves the
+    * pre-existing exposure for the next contention event to close.
+    */
+  private def stampContention(fs: FileSystem, path: String): Unit =
+    try {
+      val p = contentionMarkerPath(path)
+      if (!fs.exists(p)) {
+        fs.mkdirs(manifestDir(path))
+        val out = fs.create(p, true)
+        try out.write("contended\n".getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** True only for the fault family a competing writer's GC produces —
+    * a file that existed at read time vanishing mid-attempt. Spark
+    * surfaces it as a FileNotFoundException somewhere in the cause
+    * chain, or (driver-side path resolution) an AnalysisException whose
+    * message names a missing path; task-side causes can arrive
+    * serialization-flattened into message text. Anything else (schema
+    * mismatch, corrupt footer, bad column) is persistent: retrying
+    * re-stages a full merge's files as orphans per attempt and cannot
+    * succeed, so the caller propagates it on first occurrence.
+    */
+  private def isVanishedInputFault(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var t: Throwable = e
+    while (t != null && seen.add(t)) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = Option(t.getMessage).getOrElse("")
+          if (m.contains("FileNotFoundException") ||
+              m.contains("PATH_NOT_FOUND") ||
+              m.contains("Path does not exist") ||
+              m.contains("does not exist") && m.contains("file:"))
+            return true
+      }
+      t = t.getCause
+    }
+    false
   }
 }

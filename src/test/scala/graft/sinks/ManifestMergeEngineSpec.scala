@@ -396,6 +396,80 @@ class ManifestMergeEngineSpec extends SparkSpec {
       keys.mkString(","))
   }
 
+  test("persistent failure propagates on the FIRST attempt, not after 20 rebases") {
+    val path = tmp("msengFail") + "/sessions"
+    engine.upsert(spark, path, TableSink.withSeq(
+      Seq((1, "v0", 0L)).toDF("session_key", "name", "line_id"), 0), Seq("session_key"))
+    // a nonexistent merge key is a PERSISTENT analysis failure — under
+    // the old catch-everything rebase it re-staged a full merge 20 times
+    // (orphaning each attempt's files) before surfacing; the narrowed
+    // catch (vanished-input faults only) must surface it immediately
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      engine.upsert(spark, path, TableSink.withSeq(
+        Seq((2, "v1", 0L)).toDF("session_key", "name", "line_id"), 1),
+        Seq("no_such_column"))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getMessage.contains("no_such_column"), e.toString)
+    // 20 rebases would pay ≥ sum(10ms*n) ≈ 1.9 s of backoff alone plus
+    // 20 merge recomputations; first-attempt propagation is sub-second
+    assert(elapsedMs < 3000, s"took ${elapsedMs}ms — did it rebase-retry a persistent failure?")
+    // and the table is untouched
+    assert(engine.read(spark, path).get.head().getAs[String]("name") == "v0")
+  }
+
+  test("contention marker imposes a GC grace floor on grace-0 engines") {
+    val path = tmp("msengCont") + "/events"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    engine.append(path, Seq((1L, "a")).toDF("id", "tag"))
+    // plant an unreferenced (orphan) data file — a stand-in for a
+    // competing writer's staged-but-not-yet-committed work
+    def plantOrphan(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/data/$name")
+      val out = fs.create(p, true); out.write("x".getBytes); out.close(); p
+    }
+    // no marker: a grace-0 engine sweeps the orphan on the next commit
+    val o1 = plantOrphan("orphan1.parquet")
+    engine.append(path, Seq((2L, "b")).toDF("id", "tag"))
+    assert(!fs.exists(o1), "grace-0 GC should sweep orphans promptly when uncontended")
+    // stamped marker (what any lost CAS writes): the SAME engine's GC
+    // must now apply the floor and spare a fresh orphan
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_manifests/.contention")
+    val mo = fs.create(marker, true); mo.write("contended\n".getBytes); mo.close()
+    val o2 = plantOrphan("orphan2.parquet")
+    engine.append(path, Seq((3L, "c")).toDF("id", "tag"))
+    assert(fs.exists(o2),
+      "marker present but grace-0 GC still swept a young orphan — floor not applied")
+    assert(engine.read(spark, path).get.count() == 3)
+  }
+
+  test("lost CAS durably stamps the contention marker") {
+    val path = tmp("msengStamp") + "/events"
+    val mw = new ManifestMergeEngine(retainVersions = 3, orphanGraceMs = 600000)
+    val perWriter = 8
+    val dfs = (0 until 2 * perWriter).map(i => Seq((s"k$i", i)).toDF("id", "n"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writerThread(ds: Seq[org.apache.spark.sql.DataFrame]) = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      try ds.foreach(df => mw.append(path, df))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writerThread(dfs.take(perWriter)), writerThread(dfs.drop(perWriter)))
+    ta.start(); tb.start(); ta.join(180000); tb.join(180000)
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two threads each running 8 back-to-back commits: their
+    // read→compute→CAS windows overlap continuously, so at least one CAS
+    // loss occurs and the loser must have stamped the marker durably
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/.contention")),
+      "16 interleaved commits from 2 writers produced no stamped contention marker")
+    assert(mw.read(spark, path).get.count() == 2L * perWriter)
+  }
+
   test("flat ops on a partitioned manifest stage under the layout (no mixed manifest)") {
     val path = tmp("msengFlatP") + "/lap_data"
     val keys = Seq("driver_number", "lap_number")
