@@ -77,23 +77,34 @@ object Terms {
     * score rounded to 4 decimals, ties broken by term. Output:
     * `(idCol, term, tf, df, score, rank)`.
     *
-    * One explode scan: `df` is a count window over the tf table
-    * partitioned by term (NOT a self-join, which would duplicate the
-    * explode subtree and re-scan the corpus), and N counts non-empty
-    * docs straight off the column-pruned source (a doc has ≥ 1 token
-    * exactly when its trimmed text is non-empty). At 100 TB a pipeline
-    * would persist the tf table and derive both downstream passes from
-    * the stored copy.
+    * One explode scan: the tf table is pinned once (eager
+    * `localCheckpoint`, the Prefix.cumsumLong pattern) and BOTH
+    * downstream passes read the pinned copy — `df` as a partial-
+    * aggregated `groupBy(token).count()` joined back on term, and the
+    * per-doc rank window over doc_id. `df` must NOT be a count window
+    * partitioned by the term: under a Zipf corpus the head token
+    * appears in nearly every document, so that window's hottest
+    * partition is O(n_docs) rows on ONE task — and AQE's skew split
+    * applies to joins and aggregations, never to window exchanges. The
+    * groupBy formulation partial-aggregates map-side (skew-immune), and
+    * the join back on term is the Zipf-skewed equi-join AQE DOES split.
+    * N counts non-empty docs straight off the column-pruned source (a
+    * doc has ≥ 1 token exactly when its trimmed text is non-empty). At
+    * 100 TB a pipeline would persist tf to a table instead of the
+    * executor-local checkpoint and derive both passes from the stored
+    * copy.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.filter(trim(col(textCol)) =!= "")
       .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    tf.join(df, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))

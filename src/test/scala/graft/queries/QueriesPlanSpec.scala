@@ -172,13 +172,46 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("x40 tfidf: df via window not self-join — the explode subtree scans once") {
-    val p = plan("x40_tfidf_topterms")
-    // 2 scans: the token explode + the column-pruned doc count. A df
-    // self-join formulation duplicates the explode subtree (3 scans, two
-    // of them explode-heavy) — the regression this guards against
+  test("x40 tfidf: df by groupBy+join off the pinned tf table, never a term-partitioned window") {
+    val exec = SparkEntry.queries("x40_tfidf_topterms")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // ≤ 2 parquet scans: the token explode feeding the pinned tf table +
+    // the column-pruned doc count; both df and the rank window read the
+    // checkpointed tf, so the explode subtree is never duplicated (the
+    // df self-join regression this originally guarded against)
     assert("Scan parquet".r.findAllIn(p).length <= 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // df must arrive via partial-aggregated groupBy (skew-immune) joined
+    // back on term — NOT a count window partitioned by the term, whose
+    // hottest Zipf partition is O(n_docs) rows on one task that AQE
+    // cannot split (skew split covers joins/aggs, not window exchanges)
+    val termWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.length == 1 &&
+            w.partitionSpec.head.references.toSeq.map(_.name.toLowerCase) == Seq("token") => w
+    }
+    assert(termWindows.isEmpty, s"df computed by a token-partitioned window:\n$p")
+    // the rank window (per-doc, uniform) is still there
+    assert(p.contains("Window"), p)
+  }
+
+  test("registry sweep: no Window partitioned solely by an unbounded-skew term-like key") {
+    // the defect class x40 had: a window whose ONLY partition key is a
+    // token/term-shaped column puts the Zipf head key's entire partition
+    // on one task, and AQE cannot split window exchanges. Catch it
+    // mechanically across every registry entry.
+    val skewish = Set("token", "term", "word", "ngram", "shingle", "gram")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.length == 1 &&
+              w.partitionSpec.head.references.size == 1 &&
+              skewish.contains(w.partitionSpec.head.references.head.name.toLowerCase) =>
+          s"$name: Window partitioned by ${w.partitionSpec.head.references.head.name}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("x38 resample: gap-fill is a window pass, no join node") {
