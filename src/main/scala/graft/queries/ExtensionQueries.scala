@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Terms, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -992,6 +992,71 @@ object ExtensionQueries {
             .localCheckpoint(true) // materialize before releasing `clean`
         } finally Dedup.releaseLocalCheckpoint(clean)
       },
-      F1OracleSql.sql.get("x43_training_export"))
+      F1OracleSql.sql.get("x43_training_export")),
+
+    // Cost-based join decisions EXERCISED under the oracle: profile the
+    // tables into persisted `_stats` side tables (manifest-backed), then
+    // let Skew.statsJoin choose each join's physical shape FROM the
+    // stats — part A reads customer's n_rows (small → broadcast hint, no
+    // shuffle of orders), part B is forced shuffled (broadcastRows = 0)
+    // and reads lineitem's stored top_freq for l_orderkey to pick the
+    // salt count (ceil(top_freq / 4), so the hottest order's lines
+    // spread over >1 reducer). The result multiset must equal the PLAIN
+    // joins — salting/broadcast are pure physical choices — which is
+    // exactly what the oracle compares. Plan shapes (broadcast hint
+    // honored, salted join keys, stats-implied salt count) are asserted
+    // in QueriesPlanSpec.
+    Q("x45_stats_join",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val customer = Tables.customer(s, d)
+        val lineitem = Tables.lineitem(s, d)
+        // per-run scratch (the x24b convention): decisions must be READ
+        // BACK from persisted stats, and concurrent runs must not race
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stats_x45_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val custStats = s"$root/customer"
+        val ordStats = s"$root/orders"
+        val liStats = s"$root/lineitem"
+        graft.catalog.Profile.saveStats(customer, Seq("c_custkey"), custStats)
+        graft.catalog.Profile.saveStats(orders, Seq("o_orderkey"), ordStats)
+        graft.catalog.Profile.saveStats(lineitem, Seq("l_orderkey"), liStats,
+          freqCols = Seq("l_orderkey"))
+        val broadcastChosen = Skew.statsJoin(orders,
+            customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+            "o_custkey", custStats, ordStats)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .cast("double").as("sum_val"))
+          .select(lit("broadcast").as("part"), col("c_mktsegment").as("grp"),
+            col("n"), col("sum_val"))
+        val saltChosen = Skew.statsJoin(lineitem,
+            orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+            "l_orderkey", ordStats, liStats,
+            broadcastRows = 0L, targetRowsPerSalt = 4L, maxSalts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .cast("double").as("sum_val"))
+          .select(lit("salted").as("part"), col("o_orderstatus").as("grp"),
+            col("n"), col("sum_val"))
+        broadcastChosen.unionByName(saltChosen).orderBy("part", "grp")
+      },
+      Some("""
+        SELECT 'broadcast' AS part, c_mktsegment AS grp, count(*) AS n,
+               (sum(CAST(o_totalprice AS DECIMAL(28,6))))::DOUBLE AS sum_val
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 2
+        UNION ALL
+        SELECT 'salted' AS part, o_orderstatus AS grp, count(*) AS n,
+               (sum(CAST(l_quantity AS DECIMAL(28,6))))::DOUBLE AS sum_val
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 2
+        ORDER BY part, grp
+      """.stripMargin.trim))
   )
 }

@@ -214,6 +214,28 @@ class QueriesPlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("x45 stats join: broadcast chosen from stored n_rows, salt count from stored top_freq") {
+    val p = plan("x45_stats_join")
+    // part A: customer's persisted n_rows is under the broadcast
+    // threshold, so statsJoin must have hinted broadcast — no shuffle of
+    // the orders side
+    assert(p.contains("BroadcastHashJoin"), p)
+    // part B: forced shuffled; the join must run on (key, _salt)
+    assert(p.contains("_salt"), p)
+    // the salt COUNT is the stats-implied one: sf0.001 lineitem's
+    // stored top_freq(l_orderkey) = 12, targetRowsPerSalt = 4 →
+    // ceil(12/4) = 3 salts. The salt array constant-folds in the plan
+    // (opaque UnsafeArrayData), so pin the decision through the same
+    // stats table the query just persisted.
+    val liStats = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stats_x45_${spark.sparkContext.applicationId}/lineitem").toString
+    assert(graft.operators.Skew.saltsFromStats(spark, liStats, "l_orderkey",
+      targetRowsPerSalt = 4, maxSalts = 8) == 3)
+    // and missing stats fall back to the honest unsalted default
+    assert(graft.operators.Skew.saltsFromStats(spark, liStats + "_nope",
+      "l_orderkey", targetRowsPerSalt = 4, maxSalts = 8) == 1)
+  }
+
   test("x38 resample: gap-fill is a window pass, no join node") {
     val p = plan("x38_resample_locf")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
