@@ -22,6 +22,7 @@ import graft.sinks.{ManifestMergeEngine, MergeEngine}
   *   codebooks/  (idx INT, vec ARRAY<DOUBLE>, m INT, k INT)  PQ model
   *   assigned/   cid=<N>/ (<id>, <vec>)                      inverted lists
   *   encoded/    cid=<N>/ (<id>, codes, _cn)                 PQ codes + norms
+  *   deleted/    (<id>, cid)                                 tombstones
   * }}}
   * The model tables are driver-sized (k×dim and m·k×subDim); the data
   * tables are the corpus reorganized by list id — the index IS the
@@ -52,6 +53,7 @@ object AnnIndexStore {
   private def codebooksPath(p: String) = s"$p/codebooks"
   private def assignedPath(p: String) = s"$p/assigned"
   private def encodedPath(p: String) = s"$p/encoded"
+  private def deletedPath(p: String) = s"$p/deleted"
 
   private def vecRows(spark: SparkSession, mats: Array[Array[Double]],
       withMk: Option[(Int, Int)]): DataFrame = {
@@ -117,10 +119,23 @@ object AnnIndexStore {
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
     val mk = cb.select("m", "k").head()
     val codebooks = matrixOf(cb)
-    val assigned = engine.read(spark, assignedPath(indexPath))
+    val assignedAll = engine.read(spark, assignedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no assigned table at $indexPath"))
-    val encoded = engine.read(spark, encodedPath(indexPath))
+    val encodedAll = engine.read(spark, encodedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no encoded table at $indexPath"))
+    // tombstones ([[deleteVectors]]): anti-join deleted ids out of BOTH
+    // data frames HERE, so every downstream search path — pruned
+    // searchTopK, the generic Similarity variants, the rerank's
+    // true-vector fetch — sees only live rows. The tombstone table is
+    // O(deletes since last purge); the anti-join broadcasts it and sits
+    // above the scans, so partition pruning on cid is untouched.
+    val (assigned, encoded) = engine.read(spark, deletedPath(indexPath)) match {
+      case Some(del) =>
+        val idc = del.columns.filterNot(_ == "cid").head
+        (assignedAll.join(broadcast(del.select(idc)), Seq(idc), "left_anti"),
+          encodedAll.join(broadcast(del.select(idc)), Seq(idc), "left_anti"))
+      case None => (assignedAll, encodedAll)
+    }
     // PqModel.encoded drops the partition id so the loaded model composes
     // with Similarity's generic search paths (which join cid in from the
     // assigned table themselves)
@@ -160,6 +175,62 @@ object AnnIndexStore {
       Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
         .join(newAssigned.select(col(corpusId), col("cid")), corpusId)
         .repartition(col("cid")), "cid")
+  }
+
+  /** Delete vectors from a stored index: TOMBSTONES, not rewrites — the
+    * ids land in a `deleted/` side table (replay-idempotent dedupAppend
+    * through the engine seam, each id carrying its inverted-list id so
+    * the purge pass knows which partitions to touch) and [[load]]
+    * anti-joins them out of both data frames, so a deleted id can never
+    * surface from any search path over a loaded index. O(deletes) work:
+    * one point equi-join against the assigned table to attach list ids;
+    * the index's own rows are untouched until [[purgeDeleted]].
+    *
+    * Ids absent from the index are ignored (the attach join drops them).
+    * Deleting an id is terminal until a purge: a re-arrival of the same
+    * id on the streaming ingest path is filtered as a duplicate while
+    * the tombstoned row is still stored, and only re-indexes after
+    * [[purgeDeleted]] has physically dropped it.
+    */
+  def deleteVectors(spark: SparkSession, indexPath: String, ids: DataFrame,
+      corpusId: String,
+      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    val assigned = engine.read(spark, assignedPath(indexPath))
+      .getOrElse(throw new IllegalStateException(s"no index at $indexPath"))
+    val tomb = assigned.select(col(corpusId), col("cid"))
+      .join(ids.select(col(corpusId)).distinct(), Seq(corpusId))
+    engine.dedupAppend(spark, deletedPath(indexPath), tomb, corpusId)
+  }
+
+  /** Physically drop tombstoned rows and reclaim their inverted lists:
+    * for each TOUCHED list (the tombstones carry their cid — O(touched)
+    * partitions, never the whole index), rewrite the partition minus the
+    * deleted ids through the engine's [[MergeEngine.replacePartitions]],
+    * then clear the tombstone table. A fully-deleted list's partition
+    * disappears entirely. Maintenance pass, single-maintainer contract
+    * (same as [[compact]]); searches against an already-LOADED index are
+    * snapshot-isolated by the manifest backend.
+    */
+  def purgeDeleted(spark: SparkSession, indexPath: String,
+      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    engine.read(spark, deletedPath(indexPath)).foreach { del =>
+      val idc = del.columns.filterNot(_ == "cid").head
+      val touched = del.select("cid").distinct().collect().map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        Seq(assignedPath(indexPath), encodedPath(indexPath)).foreach { p =>
+          val table = engine.read(spark, p).getOrElse(
+            throw new IllegalStateException(s"no index table at $p"))
+          // pin the survivors BEFORE the replace rewrites the partitions
+          // they're read from
+          val kept = table.filter(col("cid").isin(touched: _*))
+            .join(del.select(idc), Seq(idc), "left_anti")
+            .localCheckpoint(true)
+          try engine.replacePartitions(spark, p, kept, "cid", touched)
+          finally Dedup.releaseLocalCheckpoint(kept)
+        }
+      }
+      engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
+    }
   }
 
   /** Index maintenance: every [[addVectors]]/streaming trigger appends

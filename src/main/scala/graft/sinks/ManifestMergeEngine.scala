@@ -232,6 +232,39 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
     }
   }
 
+  def replacePartitions(spark: SparkSession, path: String, batch: DataFrame,
+      partCol: String, partitions: Seq[Any]): Unit = {
+    require(batch.columns.contains(partCol),
+      s"replacePartitions requires the batch to carry $partCol")
+    val touchedDirs = partitions
+      .map(v => partDirName(partCol, Option(v).map(_.toString))).toSet
+    retryingCommit(spark, path) { prev =>
+      prev.map(_.files).filter(_.nonEmpty).foreach { fs =>
+        require(manifestPartitionCol(fs).contains(partCol),
+          s"replacePartitions($partCol) on a table whose layout is " +
+            s"${manifestPartitionCol(fs).getOrElse("flat")}")
+      }
+      val untouched = prev.map(_.files).getOrElse(Seq.empty).filterNot { f =>
+        // root-level files (no partition dir) can't belong to a listed
+        // partition — the layout guard above already rejects flat tables
+        val slash = f.indexOf('/')
+        slash >= 0 && touchedDirs.contains(f.substring(0, slash))
+      }
+      // cluster by the partition column so each replaced list lands in
+      // few contiguous files (same reason as the index save path)
+      untouched ++ stageFiles(spark, path,
+        batch.repartition(col(partCol)), Some(partCol))
+    }
+  }
+
+  def overwrite(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    retryingCommit(spark, path) { prev =>
+      // the new contents REPLACE the table: commit only the staged files;
+      // the old version's files stay readable for in-flight snapshots
+      // until GC retires them
+      stageFiles(spark, path, batch, appendPartitioning(prev, batch, "overwrite"))
+    }
+
   /** Current snapshot of a manifest table (readers' entry point). */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fileSystem(spark, path)

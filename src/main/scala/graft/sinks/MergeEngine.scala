@@ -63,6 +63,25 @@ trait MergeEngine {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit
 
+  /** Maintenance: REPLACE the listed `partCol` partitions' contents with
+    * `batch`'s rows (all of which must belong to those partitions),
+    * leaving every other partition untouched — the physical row-delete
+    * primitive tombstone purging needs (a replaced partition's absent
+    * rows are gone; an empty replacement drops the partition entirely).
+    * Single-maintainer contract: `batch` is computed by the CALLER from a
+    * snapshot, so a concurrent write into the same partitions between
+    * that read and this commit can be lost — run it as a maintenance
+    * pass, like [[compact]].
+    */
+  def replacePartitions(spark: SparkSession, path: String, batch: DataFrame,
+      partCol: String, partitions: Seq[Any]): Unit
+
+  /** Replace the WHOLE table's contents atomically (blue/green swap /
+    * truncate-and-load). Same single-maintainer caveat as
+    * [[replacePartitions]].
+    */
+  def overwrite(spark: SparkSession, path: String, batch: DataFrame): Unit
+
   /** Current snapshot of a table this engine maintains; None if the table
     * doesn't exist yet. The read side of the seam — consumers (e.g.
     * [[graft.operators.AnnIndexStore]]) stay backend-agnostic.
@@ -99,6 +118,13 @@ object ParquetSwapMergeEngine extends MergeEngine {
 
   def compact(spark: SparkSession, path: String, targetBytes: Long): Unit =
     TableSink.compact(spark, path, targetBytes)
+
+  def replacePartitions(spark: SparkSession, path: String, batch: DataFrame,
+      partCol: String, partitions: Seq[Any]): Unit =
+    TableSink.replacePartitions(spark, path, batch, partCol, partitions)
+
+  def overwrite(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    TableSink.overwrite(spark, path, batch)
 
   def read(spark: SparkSession, path: String): Option[DataFrame] =
     TableSink.readIfExists(spark, path)

@@ -251,6 +251,25 @@ object ScaleProbe {
       (Similarity.buildIvf(all, "c_id", "c_vec", k = 16, iters = 2),
         Similarity.buildPq(all, "c_id", "c_vec", m = 16, k = 16, iters = 2))
     }
+    // deletion lifecycle: tombstone 1/factor of the index (one
+    // original-corpus-worth of ids), search through the tombstone
+    // anti-join, then purge. Delete must cost O(deletes); purge must
+    // cost O(touched lists), and the post-purge search pays NO
+    // tombstone join at all.
+    val delIds = corpus.filter(col("c_id") < 1000000L).select(col("c_id"))
+    timed("annindex_delete_vectors")(
+      AnnIndexStore.deleteVectors(spark, dir, delIds, "c_id"))
+    val tombstoned = timed("annindex_reload_tombstoned")(AnnIndexStore.load(spark, dir))
+    timed("annindex_search_tombstoned") {
+      AnnIndexStore.searchTopK(tombstoned, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 50).collect()
+    }
+    timed("annindex_purge_deleted")(AnnIndexStore.purgeDeleted(spark, dir))
+    val purged = timed("annindex_reload_purged")(AnnIndexStore.load(spark, dir))
+    timed("annindex_search_purged") {
+      AnnIndexStore.searchTopK(purged, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 50).collect()
+    }
     corpus.unpersist()
   }
 

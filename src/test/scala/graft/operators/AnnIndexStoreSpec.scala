@@ -187,4 +187,57 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(stored.exists(_._2 >= 250), // at least one neighbor from the increment
       s"no increment row in top-k — planted growth not searchable: $stored")
   }
+
+  test("deleteVectors: tombstoned ids never surface; purge physically drops them") {
+    import spark.implicits._
+    val corpus = corpusOf(300)
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    val engine = new graft.sinks.ManifestMergeEngine(retainVersions = 1)
+    AnnIndexStore.save(spark, dir, ivf, pq, engine)
+    def search() = searchRows(AnnIndexStore.searchTopK(
+      AnnIndexStore.load(spark, dir, engine), queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20))
+    // victims: actual current neighbors, so the delete MUST change results
+    val before = search()
+    val victims = before.map(_._2).distinct.take(4)
+    val vdf = victims.toDF("c_id")
+    AnnIndexStore.deleteVectors(spark, dir, vdf, "c_id", engine)
+    // replayed delete (same ids + one unknown id) is idempotent
+    AnnIndexStore.deleteVectors(spark, dir,
+      (victims :+ 999999L).toDF("c_id"), "c_id", engine)
+    val tombs = engine.read(spark, s"$dir/deleted").get.collect()
+    assert(tombs.length == victims.size,
+      s"tombstones not replay-idempotent: ${tombs.length} rows for ${victims.size} ids")
+    val loaded = AnnIndexStore.load(spark, dir, engine)
+    val after = search()
+    assert(after.nonEmpty)
+    assert(!after.exists(r => victims.contains(r._2)),
+      s"deleted id surfaced in search: $after (deleted $victims)")
+    assert(loaded.ivf.assigned.filter(col("c_id").isin(victims: _*)).count() == 0)
+    // purge: rows physically gone, tombstones cleared, search unchanged
+    AnnIndexStore.purgeDeleted(spark, dir, engine)
+    val rawAssigned = engine.read(spark, s"$dir/assigned").get
+    val rawEncoded = engine.read(spark, s"$dir/encoded").get
+    assert(rawAssigned.filter(col("c_id").isin(victims: _*)).count() == 0,
+      "purge left tombstoned rows in assigned/")
+    assert(rawEncoded.filter(col("c_id").isin(victims: _*)).count() == 0,
+      "purge left tombstoned rows in encoded/")
+    assert(rawAssigned.count() == 300L - victims.size)
+    assert(rawEncoded.count() == 300L - victims.size)
+    assert(engine.read(spark, s"$dir/deleted").forall(_.isEmpty),
+      "purge did not clear the tombstone table")
+    assert(search() == after,
+      "post-purge search differs from tombstone-filtered search")
+    // layout survived the partition replace: pruning stays intact
+    def files(sub: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub/data")).map(_.getPath)
+        .filter(_.endsWith(".parquet"))
+    }
+    assert(files("assigned").forall(_.contains("cid=")))
+    assert(files("encoded").forall(_.contains("cid=")))
+  }
 }

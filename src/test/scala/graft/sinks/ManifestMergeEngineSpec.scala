@@ -470,6 +470,47 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(mw.read(spark, path).get.count() == 2L * perWriter)
   }
 
+  test("replacePartitions: listed partitions replaced (or dropped when empty), others carried") {
+    val path = tmp("msengRP") + "/lists"
+    engine.appendPartitioned(path, Seq(
+      (1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3))
+      .toDF("id", "v", "cid"), "cid")
+    val cid2FilesBefore = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ManifestMergeEngine.currentManifest(fs, path).get.files.filter(_.startsWith("cid=2/"))
+    }
+    // replace cid=1 with a 1-row remainder; cid=3 with NOTHING (dropped)
+    engine.replacePartitions(spark, path,
+      Seq((2L, "b", 1)).toDF("id", "v", "cid"), "cid", Seq(1, 3))
+    val rows = engine.read(spark, path).get.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((2L, "b", 1), (3L, "c", 2)), rows.mkString(","))
+    // the untouched partition's file entries were CARRIED, not rewritten
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cid2FilesAfter = ManifestMergeEngine.currentManifest(fs, path)
+      .get.files.filter(_.startsWith("cid=2/"))
+    assert(cid2FilesAfter == cid2FilesBefore,
+      s"untouched partition rewritten: $cid2FilesBefore -> $cid2FilesAfter")
+    // a flat table refuses the partitioned replace
+    val flat = tmp("msengRPflat") + "/t"
+    engine.append(flat, Seq((1L, "x")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      engine.replacePartitions(spark, flat,
+        Seq((1L, "x", 1)).toDF("id", "v", "cid"), "cid", Seq(1))
+    }
+  }
+
+  test("overwrite: whole-table swap; old snapshot retires, new contents atomic") {
+    val path = tmp("msengOW") + "/t"
+    engine.append(path, Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+    engine.overwrite(spark, path, Seq((9L, "new")).toDF("id", "v"))
+    val rows = engine.read(spark, path).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((9L, "new")), rows.mkString(","))
+  }
+
   test("flat ops on a partitioned manifest stage under the layout (no mixed manifest)") {
     val path = tmp("msengFlatP") + "/lap_data"
     val keys = Seq("driver_number", "lap_number")

@@ -156,6 +156,16 @@ class F1PipelineSpec extends SparkSpec {
       }
       def compact(s: org.apache.spark.sql.SparkSession, p: String,
           t: Long): Unit = ParquetSwapMergeEngine.compact(s, p, t)
+      def replacePartitions(s: org.apache.spark.sql.SparkSession, p: String,
+          b: org.apache.spark.sql.DataFrame, pc: String,
+          parts: Seq[Any]): Unit = {
+        bump("replacePartitions")
+        ParquetSwapMergeEngine.replacePartitions(s, p, b, pc, parts)
+      }
+      def overwrite(s: org.apache.spark.sql.SparkSession, p: String,
+          b: org.apache.spark.sql.DataFrame): Unit = {
+        bump("overwrite"); ParquetSwapMergeEngine.overwrite(s, p, b)
+      }
       def read(s: org.apache.spark.sql.SparkSession,
           p: String): Option[org.apache.spark.sql.DataFrame] = {
         bump("read"); ParquetSwapMergeEngine.read(s, p)
