@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -993,6 +993,45 @@ object ExtensionQueries {
         } finally Dedup.releaseLocalCheckpoint(clean)
       },
       F1OracleSql.sql.get("x43_training_export")),
+
+    // Distributed BPE vocab training (the missing stage between x23's
+    // cleaning and x36's packing): iterative adjacent-pair heavy-hitters
+    // over the WORD-FREQUENCY table (corpus-sized work only in the one
+    // pre-tokenize pass), batched symbol-disjoint merges broadcast into a
+    // codegen'd fold kernel per round. Output = the learned merge table
+    // in rank order — deterministic by (count desc, left, right) ranking,
+    // frozen-oracle pinned. Sequential-BPE parity and round invariants
+    // are spec-pinned in BpeSpec.
+    Q("x44_bpe_vocab",
+      (s, d) => Bpe.train(Tables.documents(s, d), "text",
+        numMerges = 48, mergesPerRound = 8, minPairCount = 2L)
+        .merges.orderBy("rank"),
+      F1OracleSql.sql.get("x44_bpe_vocab")),
+
+    // The re-segmentation round-trip: encode the SAME corpus through the
+    // trained vocab (pre-tokenize → join word→segmentation, the
+    // vocabulary-sized Zipf join AQE splits) and pin the invariants a
+    // broken tokenizer would move: zero OOV (same corpus), zero
+    // concat-mismatches (merges only ever concatenate adjacent symbols),
+    // total/word/subword/distinct counts, and the compression ratio the
+    // vocab buys (subwords per word < chars per word).
+    Q("x44b_bpe_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = Bpe.train(docs, "text",
+          numMerges = 48, mergesPerRound = 8, minPairCount = 2L)
+        Bpe.segment(docs, "doc_id", "text", model)
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).as("n_subwords"),
+            sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+            sum(when(concat_ws("", col("syms")) =!= col("word"), 1L)
+              .otherwise(0L)).as("n_mismatch"),
+            sum(length(col("word"))).cast("long").as("n_chars"),
+            round(sum(size(col("syms"))).cast("double") /
+              count(lit(1)).cast("double"), 4).as("subwords_per_word"))
+      },
+      F1OracleSql.sql.get("x44b_bpe_roundtrip")),
 
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then

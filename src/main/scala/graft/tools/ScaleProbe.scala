@@ -392,6 +392,57 @@ object ScaleProbe {
     docs.unpersist(); nums.unpersist()
   }
 
+  /** BPE training probe (round-8 directive #1 evidence): the corpus-sized
+    * work is ONE pre-tokenize pass into the word-frequency table; every
+    * merge round after that is a map + one partial-agg exchange over the
+    * VOCABULARY-sized table. Synthesizes a ~50k-distinct-word corpus (the
+    * testdata's documents carry only 31 distinct pre-tokens — too small to
+    * expose per-round cost), then shows (a) rounds are cheap and flat:
+    * train(24 merges) − train(8 merges) ≈ 2 extra rounds of small delta;
+    * (b) doubling the CORPUS moves only the first-pass cost, not the
+    * per-round cost (same vocabulary).
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 1000000 bpe"
+    */
+  private def bpeProbe(spark: SparkSession, nDocs: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bpe
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    def corpus(rows: Long) = spark.range(rows).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 16).map(k =>
+        conv(pmod(xxhash64(col("id") * lit(k + 1) + lit(k)), lit(50000L)) + lit(1),
+          10, 36)): _*).as("text"))
+      .repartition(par)
+    val c1 = corpus(nDocs.toLong).cache()
+    println(s"""{"probe":"bpe_docs","n":${c1.count()}}""")
+    val words = timed("bpe_wordcounts_pass") {
+      Bpe.wordCounts(c1, "text").count()
+    }
+    println(s"""{"probe":"bpe_distinct_words","n":$words}""")
+    timed("bpe_train_8merges_1round") {
+      Bpe.train(c1, "text", numMerges = 8, mergesPerRound = 8).merges.count()
+    }
+    timed("bpe_train_24merges_3rounds") {
+      Bpe.train(c1, "text", numMerges = 24, mergesPerRound = 8).merges.count()
+    }
+    timed("bpe_train_24merges_sequential") {
+      Bpe.train(c1, "text", numMerges = 24, mergesPerRound = 1).merges.count()
+    }
+    val c2 = corpus(2L * nDocs).cache()
+    println(s"""{"probe":"bpe_docs_2x","n":${c2.count()}}""")
+    timed("bpe_train_24merges_3rounds_2xcorpus") {
+      Bpe.train(c2, "text", numMerges = 24, mergesPerRound = 8).merges.count()
+    }
+    c1.unpersist(); c2.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -417,6 +468,10 @@ object ScaleProbe {
     }
     if (mode == "pack") {
       try packProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "bpe") {
+      try bpeProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {
