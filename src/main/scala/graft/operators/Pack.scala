@@ -36,44 +36,66 @@ object Pack {
   /** Incremental pack: manifest spans for `docs` CONTINUING an existing
     * pack — the corpus-growth path (repacking 100 TB because 1 TB
     * arrived is the O(corpus)-per-increment shape this avoids). The
-    * stored state at `stateDir` is four scalars: the previous base, the
+    * stored state at `stateDir` is five scalars — the previous base, the
     * token high-water (where the next sequence continues), the highest
-    * packed id, and the last increment's lowest id.
+    * packed id, and the last increment's lowest id and token total —
+    * committed as a one-row MANIFEST table (CAS'd, checkpointed delta
+    * log: the same machinery every other mutable table in the repo
+    * rides), not a raw overwrite file.
     *
     * Ordering contract: increments arrive in id order (every new id
     * above the stored maximum) — a lower id would retroactively shift
     * every later document's global offset and invalidate already-written
     * sequences. Two outcomes for an increment that violates it:
     *
-    *  - an EXACT REPLAY of the last increment (same id range — a retried
-    *    micro-batch after a crash between output write and checkpoint
-    *    commit) re-derives the same spans from the stored previous base
-    *    and leaves the state untouched: replay-idempotent, the property
-    *    [[streamingPack]]'s exactly-once story rests on;
+    *  - an EXACT REPLAY of the last increment (same id range AND same
+    *    token total — a retried micro-batch after a crash between output
+    *    write and checkpoint commit) re-derives the same spans from the
+    *    stored previous base and leaves the state untouched:
+    *    replay-idempotent, the property [[streamingPack]]'s exactly-once
+    *    story rests on. A batch that merely SHARES the id range but
+    *    carries different content (its token total differs) is NOT a
+    *    replay and throws rather than silently mis-offsetting;
     *  - anything else throws.
     *
-    * Single writer per stateDir (the [[AsofJoin]] scalar-state posture).
+    * Single writer per stateDir is the contract — and now ENFORCED, not
+    * assumed: the state write is a version-guarded CAS
+    * ([[graft.sinks.ManifestMergeEngine.conditionalOverwrite]]), so a
+    * second concurrent writer fails loudly with
+    * ConcurrentModificationException instead of last-write-wins
+    * corrupting the offset chain. A pre-manifest raw `_pack_state` file
+    * is still honored on read and upgraded on the next write.
     */
   def packIncremental(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, stateDir: String): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    val idType = docs.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"packIncremental orders increments by an integral id; column " +
+        s"'$idCol' is $idType — cast it to a long id upstream")
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val st = readState(fs, stateDir)
+    val (st, stateVersion) = readState(spark, stateDir)
     val cum0 = cumToks(docs, idCol, textCol)
     // bounded driver scalars: increment's id range + token total (the
     // inclusive cumsum's maximum IS the total — cum0 is checkpointed, so
     // this costs one cheap pass over the pinned partitions)
-    val b = cum0.agg(min(col(idCol)), max(col(idCol)),
+    val b = cum0.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"),
       max(col("tok_end_global"))).head()
     if (b.isNullAt(0)) return spansOf(cum0, idCol, budget) // empty: no-op
     val (minId, maxId, total) = (b.getLong(0), b.getLong(1), b.getLong(2))
     val base = st match {
       case None => 0L
       case Some(s) if minId > s.maxId => s.highWater
-      case Some(s) if minId == s.lastMinId && maxId == s.maxId =>
+      case Some(s) if minId == s.lastMinId && maxId == s.maxId &&
+          (s.lastTotal < 0 || total == s.lastTotal) =>
         s.prevBase // exact replay of the last increment — re-derive, no advance
+      case Some(s) if minId == s.lastMinId && maxId == s.maxId =>
+        throw new IllegalArgumentException(
+          s"packIncremental: increment shares the last increment's id range " +
+            s"[$minId, $maxId] but its token total ($total) differs from the " +
+            s"recorded one (${s.lastTotal}) — not a replay; packing it against " +
+            "the previous base would silently mis-offset every span")
       case Some(s) => throw new IllegalArgumentException(
         s"packIncremental out of order: increment ids [$minId, $maxId] vs " +
           s"already-packed maximum ${s.maxId} (an earlier id would shift " +
@@ -81,7 +103,8 @@ object Pack {
           "sequences; only an exact replay of the last increment is accepted)")
     }
     if (!st.exists(s => base == s.prevBase && maxId == s.maxId))
-      writeState(fs, stateDir, PackState(base, base + total, maxId, minId))
+      writeState(spark, stateDir,
+        PackState(base, base + total, maxId, minId, total), stateVersion)
     spansOf(cum0.withColumn("tok_end_global", col("tok_end_global") + base),
       idCol, budget)
   }
@@ -167,14 +190,49 @@ object Pack {
         col("n_toks"))
 
   private final case class PackState(prevBase: Long, highWater: Long,
-      maxId: Long, lastMinId: Long)
+      maxId: Long, lastMinId: Long, lastTotal: Long)
 
-  private def statePath(stateDir: String) =
+  /** Pre-manifest raw state file — read-compat only (no recorded total:
+    * `lastTotal = -1` skips the replay total check once), retired on the
+    * next state write.
+    */
+  private def legacyStatePath(stateDir: String) =
     new org.apache.hadoop.fs.Path(stateDir, "_pack_state")
 
-  private def readState(fs: org.apache.hadoop.fs.FileSystem,
+  private def stateLogPath(stateDir: String) = s"$stateDir/_pack_state_log"
+
+  private def stateEngine = new graft.sinks.ManifestMergeEngine()
+
+  /** Reads `(state, manifest version)` — the version read BEFORE the row,
+    * so a concurrent commit between the two surfaces as a loud CAS
+    * failure at write time, never as a silently stale expected version.
+    */
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (Option[PackState], Option[Long]) = {
+    val eng = stateEngine
+    val path = stateLogPath(stateDir)
+    val version = eng.currentVersion(spark, path)
+    eng.read(spark, path) match {
+      case Some(df) =>
+        val rows = df.select("prev_base", "high_water", "max_id",
+          "last_min_id", "last_total").head(2)
+        // a PRESENT but unreadable state must fail loudly — treating it
+        // as fresh would silently restart the pack at offset 0 and
+        // collide every new sequence id with already-written ones
+        if (rows.length != 1) throw new IllegalStateException(
+          s"corrupt pack state at $path: ${rows.length} rows (expected 1)")
+        val r = rows.head
+        (Some(PackState(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))), version)
+      case None =>
+        (readLegacyState(spark, stateDir), version)
+    }
+  }
+
+  private def readLegacyState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[PackState] = {
-    val p = statePath(stateDir)
+    val p = legacyStatePath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -184,24 +242,32 @@ object Pack {
         case Array(pb, hw, mx, lm) =>
           for (a <- pb.toLongOption; b <- hw.toLongOption;
                c <- mx.toLongOption; d <- lm.toLongOption)
-            yield PackState(a, b, c, d)
+            yield PackState(a, b, c, d, -1L)
         case _ => None
       }
-      // a PRESENT but unreadable state file must fail loudly — treating
-      // it as fresh would silently restart the pack at offset 0 and
-      // collide every new sequence id with already-written ones
       Some(parsed.getOrElse(throw new IllegalStateException(
         s"corrupt pack state at $p: '$body'")))
     }
   }
 
-  /** Idempotent single-writer scalar (a replayed increment rewrites the
-    * same values). */
-  private def writeState(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String, s: PackState): Unit = {
-    val out = fs.create(statePath(stateDir), true)
-    try out.write(
-      s"${s.prevBase} ${s.highWater} ${s.maxId} ${s.lastMinId}".getBytes("UTF-8"))
-    finally out.close()
+  /** Version-guarded state commit: rides the manifest engine's CAS
+    * (checkpointed delta log, snapshot-isolated readers), so a SECOND
+    * concurrent writer — whose read version is stale by the time it
+    * writes — fails with ConcurrentModificationException instead of
+    * last-write-wins corrupting the offset chain. Replays never reach
+    * here (the caller skips the write), so a committed version advance
+    * per real increment is the expected cadence.
+    */
+  private def writeState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, s: PackState, expectedVersion: Option[Long]): Unit = {
+    import spark.implicits._
+    val row = Seq((s.prevBase, s.highWater, s.maxId, s.lastMinId, s.lastTotal))
+      .toDF("prev_base", "high_water", "max_id", "last_min_id", "last_total")
+    stateEngine.conditionalOverwrite(spark, stateLogPath(stateDir), row,
+      expectedVersion)
+    // retire the legacy raw file so the two representations can't diverge
+    val legacy = legacyStatePath(stateDir)
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 }

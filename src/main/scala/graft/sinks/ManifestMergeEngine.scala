@@ -265,6 +265,36 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
       stageFiles(spark, path, batch, appendPartitioning(prev, batch, "overwrite"))
     }
 
+  /** The current committed manifest version of a table; None before the
+    * first commit. Pairs with [[conditionalOverwrite]] for read-modify-
+    * write state slots.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fileSystem(spark, path)
+    currentManifest(fs, path).map(_.version)
+  }
+
+  /** [[overwrite]] guarded by the version the caller read: commits only
+    * while the table is STILL at `expectedVersion` (None = table must
+    * not exist yet), otherwise throws ConcurrentModificationException.
+    * A plain overwrite under two read-modify-write writers is silent
+    * last-write-wins — both compute from the same snapshot and the
+    * second commit erases the first's update; this makes the stale
+    * writer FAIL LOUDLY instead (the scalar-state CAS
+    * [[graft.operators.Pack]] rides).
+    */
+  def conditionalOverwrite(spark: SparkSession, path: String,
+      batch: DataFrame, expectedVersion: Option[Long]): Unit =
+    retryingCommit(spark, path) { prev =>
+      if (prev.map(_.version) != expectedVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"state at $path advanced from version $expectedVersion to " +
+            s"${prev.map(_.version)} since it was read — concurrent writer; " +
+            "re-read before retrying")
+      stageFiles(spark, path, batch,
+        appendPartitioning(prev, batch, "conditionalOverwrite"))
+    }
+
   /** Current snapshot of a manifest table (readers' entry point). */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fileSystem(spark, path)

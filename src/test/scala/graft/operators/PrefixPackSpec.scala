@@ -128,6 +128,64 @@ class PrefixPackSpec extends SparkSpec {
     assert(ex.getMessage.contains("out of order"))
   }
 
+  test("packIncremental: same id range with different content is NOT a replay — refused") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j k l"))
+      .toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("packstate").toString
+    Pack.packIncremental(docs, "doc_id", "text", budget = 6, state)
+    // a batch that happens to share the last increment's [min,max] id
+    // range but carries different text: accepting it as an "exact
+    // replay" would pack different token counts against the previous
+    // base and silently mis-offset every later span
+    val poisoned = Seq((1L, "a b"), (2L, "c d e"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Pack.packIncremental(poisoned, "doc_id", "text", budget = 6, state)
+    }
+    assert(ex.getMessage.contains("not a replay"), ex.getMessage)
+    // and the true replay still passes after the refused attempt
+    val replay = Pack.packIncremental(docs, "doc_id", "text", budget = 6, state)
+    assert(replay.count() > 0)
+  }
+
+  test("packIncremental: non-integral id column refused with a clear message") {
+    val docs = Seq(("d1", "a b c")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("packstate").toString
+    val ex = intercept[IllegalArgumentException] {
+      Pack.packIncremental(docs, "doc_id", "text", budget = 6, state)
+    }
+    assert(ex.getMessage.contains("integral id"), ex.getMessage)
+  }
+
+  test("packIncremental: legacy raw state file honored once, upgraded to the manifest log") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j k l"),
+      (3L, "m n o p"), (4L, "q r s")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("packstate").toString
+    // seed the modern state with increment 1, then rewrite it as the
+    // PRE-MANIFEST raw file (prevBase=0 highWater=12 maxId=2 lastMinId=1)
+    val inc1 = Pack.packIncremental(docs.filter($"doc_id" <= 2),
+      "doc_id", "text", budget = 6, state).collect().toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$state/_pack_state_log"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$state/_pack_state"),
+      "0 12 2 1".getBytes("UTF-8"))
+    // the next increment continues from the legacy high-water…
+    val inc2 = Pack.packIncremental(docs.filter($"doc_id" > 2),
+      "doc_id", "text", budget = 6, state).collect().toSeq
+    def tup(rs: Seq[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted
+    val full = Pack.packSequences(docs, "doc_id", "text", budget = 6)
+      .collect().toSeq
+    assert(tup(inc1 ++ inc2) == tup(full))
+    // …and the write retired the raw file in favor of the manifest log
+    assert(!new java.io.File(s"$state/_pack_state").exists(),
+      "legacy raw state file not retired after the manifest-log write")
+    assert(new java.io.File(s"$state/_pack_state_log/_manifests").isDirectory,
+      "manifest state log not created")
+  }
+
   test("streamingPack: micro-batch arrivals equal the one-shot pack") {
     val docs = (1 to 200).map(i =>
       (i.toLong, Seq.fill(1 + i % 9)("w" + i).mkString(" ")))

@@ -511,6 +511,27 @@ class ManifestMergeEngineSpec extends SparkSpec {
     assert(rows == Seq((9L, "new")), rows.mkString(","))
   }
 
+  test("conditionalOverwrite: stale expected version fails loudly, fresh one commits") {
+    val path = tmp("msengCAS") + "/state"
+    // creation requires expecting absence
+    engine.conditionalOverwrite(spark, path,
+      Seq((0L, "v0")).toDF("n", "v"), None)
+    val v0 = engine.currentVersion(spark, path)
+    assert(v0.contains(0L))
+    // read-modify-write at the read version commits
+    engine.conditionalOverwrite(spark, path,
+      Seq((1L, "v1")).toDF("n", "v"), v0)
+    // a SECOND writer that also read v0 must fail loudly, not
+    // last-write-wins over v1
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      engine.conditionalOverwrite(spark, path,
+        Seq((99L, "stale")).toDF("n", "v"), v0)
+    }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    val row = engine.read(spark, path).get.head()
+    assert(row.getLong(0) == 1L && row.getString(1) == "v1")
+  }
+
   test("flat ops on a partitioned manifest stage under the layout (no mixed manifest)") {
     val path = tmp("msengFlatP") + "/lap_data"
     val keys = Seq("driver_number", "lap_number")
