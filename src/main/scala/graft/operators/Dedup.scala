@@ -57,7 +57,7 @@ object Dedup {
     * the batch and incremental LSH variants compute from, so their
     * candidate spaces can never drift apart.
     */
-  private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+  private[operators] def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("bh"))
@@ -66,7 +66,7 @@ object Dedup {
   /** (id, band, band_hash) LSH band buckets of a signature frame (band
     * hash = salted xxhash64 of the band's signature slice).
     */
-  private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

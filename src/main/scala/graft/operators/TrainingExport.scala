@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming training-export: the x43 release composition — near-dup
+  * dedup → PII scrub → language/quality/repetition gates → deterministic
+  * split → per-split sequence packing — over a DOCUMENT FILE STREAM,
+  * exactly-once, converging to the one-shot batch export (parity-pinned
+  * in TrainingExportSpec over ≥ 3 arrival batches).
+  *
+  * Per micro-batch:
+  *  1. MinHash signatures of the arriving docs probe the persisted
+  *     signature/band-bucket store ([[Dedup.streamingMinhashDedup]]'s
+  *     state shape — O(batch) work, the store is never re-derived); an
+  *     arriving doc that pairs with ANY stored doc, or with a smaller id
+  *     inside its own batch, is dropped. Under the id-ordered arrival
+  *     contract this reproduces the batch run's min-id-keeps verdicts
+  *     for pair- and chain-shaped clusters; the one irreducible
+  *     divergence is a late BRIDGE doc joining two already-kept docs
+  *     (batch CC would retro-drop one of them, but its sequences are
+  *     already packed) — the standard prefix-greedy streaming-dedup
+  *     semantics. ALL seen docs' signatures enter the store (kept and
+  *     dropped), so chains spanning batches keep collapsing.
+  *  2. The stateless gates run on the REDACTED text in x23's order:
+  *     [[TextOps.piiScrub]], language-ID allowlist, quality floor,
+  *     repetition gate, then [[TextOps.splitAssign]].
+  *  3. Each split packs independently through
+  *     [[Pack.packIncremental]]'s CAS-committed offset state, manifest
+  *     spans landing at `outDir/split=<s>/batch=<id>` with overwrite —
+  *     a replayed batch rewrites identical rows (dedup state appends
+  *     heal by anti-join, the pack state recognizes the exact replay),
+  *     so the pipeline is exactly-once end to end.
+  *
+  * Contracts inherited from the pieces: batches arrive in id order
+  * (packIncremental refuses violations loudly) and one writer per
+  * `stateDir` (enforced by the pack state's CAS; a second writer fails
+  * with ConcurrentModificationException).
+  */
+object TrainingExport {
+
+  def start(spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String, budget: Int,
+      stateDir: String, outDir: String, checkpointDir: String,
+      langs: Seq[String] = Seq("en", "es", "fr", "de"),
+      minQuality: Double = 0.5,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sigsDir = s"$stateDir/dedup/sigs"
+    val bucketsDir = s"$stateDir/dedup/buckets"
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_training_export")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
+        if (!docs.isEmpty) {
+          val incSigs = Dedup.minhashSigs(docs, idCol, textCol,
+            shingleN, numHashes).dropDuplicates("id").persist()
+          try {
+            val fs = new org.apache.hadoop.fs.Path(stateDir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+            val incBuckets = Dedup.bandBuckets(incSigs, numHashes, bands)
+            val sigStore =
+              if (exists(sigsDir)) s.read.schema(incSigs.schema).parquet(sigsDir)
+              else incSigs.limit(0)
+            val bucketStore =
+              if (exists(bucketsDir))
+                s.read.schema(incBuckets.schema).parquet(bucketsDir)
+              else incBuckets.limit(0)
+            // a re-arrived id scores with its incoming signature only
+            val seenSigs = sigStore.join(incSigs.select("id"), Seq("id"), "left_anti")
+            val seenBuckets = bucketStore.join(incSigs.select("id"), Seq("id"), "left_anti")
+            val pairs = Dedup.incrementalFromBuckets(seenSigs, seenBuckets,
+              incSigs, incBuckets, numHashes, minJaccard)
+            // pairs are (a_id < b_id) with an incoming id in every pair;
+            // id-ordered arrivals put every stored id below every new id,
+            // so the b side is always the incoming doc to drop — the
+            // min-id-keeps rule batch keepDecisions applies
+            val dropIds = pairs.select(col("b_id").as(idCol)).distinct()
+            val kept = docs.join(dropIds, Seq(idCol), "left_anti")
+            // state append (kept AND dropped — chains must keep collapsing
+            // across batches); each table re-filters against its own store
+            // so a crash between the appends heals on replay
+            val newSigs = incSigs.join(sigStore.select("id"), Seq("id"), "left_anti")
+              .localCheckpoint(true)
+            val newBuckets = incBuckets
+              .join(bucketStore.select("id"), Seq("id"), "left_anti")
+              .localCheckpoint(true)
+            try {
+              newSigs.write.mode("append").parquet(sigsDir)
+              newBuckets.write.mode("append").parquet(bucketsDir)
+            } finally {
+              Dedup.releaseLocalCheckpoint(newSigs)
+              Dedup.releaseLocalCheckpoint(newBuckets)
+            }
+            // gates on the redacted text, x23's order, then the split
+            val clean = TextOps.piiScrub(kept, idCol, textCol)
+              .withColumn("lang_pred", TextOps.langId(col("redacted")))
+              .filter(col("lang_pred").isin(langs: _*))
+              .filter(TextOps.qualityScore(col("redacted")) >= minQuality)
+              .withColumn("_rep",
+                explode(array(TextOps.repetitionStats(col("redacted")))))
+              .filter(!TextOps.repetitive(col("_rep")))
+              .withColumn("split", TextOps.splitAssign(col(idCol)))
+              .select(col(idCol), col("redacted"), col("split"))
+              .localCheckpoint(true) // three per-split packs share the gates
+            try {
+              Seq("train", "val", "test").foreach { sp =>
+                Pack.packIncremental(clean.filter(col("split") === sp),
+                  idCol, "redacted", budget, s"$stateDir/pack/$sp")
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/split=$sp/batch=$batchId")
+              }
+            } finally Dedup.releaseLocalCheckpoint(clean)
+          } finally incSigs.unpersist()
+        }
+      }
+      .start()
+  }
+}

@@ -23,7 +23,7 @@ object ExtensionQueries {
   /** Planted near-duplicates: docs with id < 20 copied at id+1000000 with
     * the last ~15 characters dropped.
     */
-  private def plantTextDups(docs: DataFrame): DataFrame =
+  private[graft] def plantTextDups(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionByName(
       docs.filter(col("doc_id") < 20).select(
         (col("doc_id") + 1000000L).as("doc_id"),
@@ -38,7 +38,7 @@ object ExtensionQueries {
     * is also selected and gets the same IP octet — near-dup pairs survive
     * planting, keeping BOTH the dedup and PII arms of x23 load-bearing.
     */
-  private def plantPii(docs: DataFrame): DataFrame =
+  private[graft] def plantPii(docs: DataFrame): DataFrame =
     docs.withColumn("text",
       when(pmod(col("doc_id"), lit(50)) === 3,
         concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -53,7 +53,7 @@ object ExtensionQueries {
     * duplicate-LINE arm of the profile would be all-zero and a dead
     * kernel would freeze green.
     */
-  private def plantBoilerplate(docs: DataFrame): DataFrame =
+  private[graft] def plantBoilerplate(docs: DataFrame): DataFrame =
     docs.withColumn("text",
       when(pmod(col("doc_id"), lit(100)) === 7,
         concat(
