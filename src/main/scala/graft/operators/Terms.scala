@@ -113,4 +113,74 @@ object Terms {
       .select(col(idCol), col("token").as("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** BM25 top-`k` retrieval: each query in `queries` (id + whitespace
+    * query text) scores every document containing at least one of its
+    * terms with Robertson/Okapi BM25 —
+    * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))` (the always-positive
+    * Lucene form) times `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))` —
+    * and keeps its `k` best documents. Terms absent from the corpus
+    * contribute nothing. Output: `(query_id, idCol, n_hit_terms,
+    * score, rank)`, score = per-term contributions rounded to 6
+    * decimals and DECIMAL-summed (the determinism convention), rounded
+    * to 4.
+    *
+    * Scale posture: ONE explode scan — the tf table is pinned and dl /
+    * df / the candidate match all read the pinned copy. The query set
+    * is a bounded user batch, so it broadcasts onto tf (the
+    * corpus-sized side never shuffles for the match) and df comes off
+    * the query-filtered tf as a partial-aggregated groupBy — a term's
+    * df is identical before and after the term filter, and the filtered
+    * frame is query-vocabulary-bounded, so df broadcasts back. Doc
+    * length attaches by a uniform doc-keyed equi-join; corpus stats
+    * ride a 1-row broadcast. The per-query top-k LOOKS like the x40
+    * defect class (a window partitioned by one bounded-cardinality
+    * key, each partition O(matched corpus)) but is NOT: Spark's
+    * rank-limit pushdown (InferWindowGroupLimit) turns the
+    * `row_number ≤ k` filter into a map-side `WindowGroupLimit
+    * Partial` per input partition BEFORE the exchange, so the final
+    * per-query partition receives ≤ k·numPartitions pre-pruned rows —
+    * plan-guarded in QueriesPlanSpec, so a formulation drift that
+    * defeats the pushdown (e.g. rank exposed without the filter, or a
+    * non-rank window function) fails the suite instead of dying at
+    * 100 TB.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // avg as exact long sum / count, the same arithmetic the oracle runs
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = queries.select(col(qidCol).as("query_id"),
+        explode(split(trim(col(qtextCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val tfq = tf.join(broadcast(qt.select("token").distinct()), "token")
+    val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df") + 0.5)) *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tfq
+      .join(broadcast(dfq), "token")
+      .join(broadcast(qt), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(round(contrib, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
+      .select(col("query_id"), col(idCol), col("n_hit_terms"),
+        round(col("_s").cast("double"), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_hit_terms"),
+        col("score"), col("rank"))
+  }
 }

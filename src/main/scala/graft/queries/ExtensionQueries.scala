@@ -1096,6 +1096,53 @@ object ExtensionQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 2
         ORDER BY part, grp
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // BM25 top-k retrieval over the documents corpus for a 4-query
+    // batch (one query carries a corpus-absent term — unmatched terms
+    // must contribute nothing, not NULL the score). Per-term
+    // contributions are pure double functions of (tf, df, dl, n_docs,
+    // avgdl) integers/exact-ratios on both engines, rounded to 6
+    // decimals and DECIMAL-summed per the determinism convention; the
+    // per-query top-k is the two-level local-then-global rank so no
+    // window partition is ever corpus-sized (plan-guarded).
+    Q("x46_bm25_topk",
+      (s, d) => {
+        val queries = s.createDataFrame(Seq(
+          (1L, "hash join"), (2L, "window merge sort"),
+          (3L, "spark stream vector"), (4L, "customer zzzunseen")))
+          .toDF("query_id", "qtext")
+        Terms.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          queries, "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q(query_id, qtext) AS (VALUES " +
+        "(1::BIGINT, 'hash join'), (2::BIGINT, 'window merge sort'), " +
+        "(3::BIGINT, 'spark stream vector'), (4::BIGINT, 'customer zzzunseen')), " +
+        "qt AS (SELECT DISTINCT query_id, " +
+        "unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS token FROM q), " +
+        "toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf " +
+        "WHERE token IN (SELECT token FROM qt) GROUP BY 1), " +
+        "scored AS (SELECT qt.query_id, tf.doc_id, " +
+        "count(*) AS n_hit_terms, " +
+        "round(CAST(sum(CAST(round(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+        "(CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) " +
+        "AS DECIMAL(28,6))) AS DOUBLE), 4) AS score " +
+        "FROM tf JOIN dfq USING (token) JOIN qt USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, n_hit_terms, score, rank FROM (" +
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored) r " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"))
   )
 }

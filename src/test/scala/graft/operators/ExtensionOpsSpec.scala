@@ -864,4 +864,22 @@ class ExtensionOpsSpec extends SparkSpec {
     val f = Multimodal.videoFeatures(Multimodal.makeVideo(5L, 1000))
     assert(f.length == 16 && f.sum > 0.0)
   }
+
+  test("bm25: OOV-only query yields no rows; matched scores positive; k caps ranks") {
+    val docs = Seq(
+      (1L, "spark shuffle join"), (2L, "spark spark spark"),
+      (3L, "window sort"), (4L, "")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "spark"), (20L, "nosuchtoken alsonothere")).toDF("query_id", "qtext")
+    val out = Terms.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 2).collect()
+    // the OOV-only query matches nothing — zero rows, not null scores
+    assert(!out.exists(_.getLong(0) == 20L))
+    val hits = out.filter(_.getLong(0) == 10L)
+    // three docs contain 'spark' but k=2 caps the result
+    assert(hits.length == 2 && hits.forall(_.getDouble(3) > 0.0))
+    assert(hits.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L))
+    // tf dominance with equal dl terms: doc 2 (tf=3) outranks doc 1 (tf=1)
+    assert(hits.find(_.getLong(4) == 1L).get.getLong(1) == 2L)
+  }
 }

@@ -195,6 +195,22 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("x46 bm25: broadcast query-term match + map-side rank-limit prune before the exchange") {
+    val p = plan("x46_bm25_topk")
+    // the query batch broadcasts onto tf — the corpus side never
+    // shuffles for the term match
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-query top-k window is partitioned by query_id, a
+    // bounded-cardinality key whose partitions are O(matched corpus) —
+    // survivable ONLY because InferWindowGroupLimit pushes the
+    // `row_number ≤ k` filter to a map-side partial top-k per input
+    // partition BEFORE the exchange, capping the final partition at
+    // k·numPartitions rows. Assert the Partial prune is in the plan so
+    // a formulation drift that defeats the pushdown fails here instead
+    // of at 100 TB.
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p)
+  }
+
   test("registry sweep: no Window partitioned solely by an unbounded-skew term-like key") {
     // the defect class x40 had: a window whose ONLY partition key is a
     // token/term-shaped column puts the Zipf head key's entire partition
