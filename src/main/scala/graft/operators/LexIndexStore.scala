@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks.{ManifestMergeEngine, MergeEngine}
+
+/** Persisted inverted index for lexical (BM25) retrieval — the
+  * build-once/search-many lifecycle for text, mirroring what
+  * [[AnnIndexStore]] does for vectors. [[Terms.bm25TopK]] re-tokenizes
+  * and re-aggregates the whole corpus per query batch; at 100 TB the
+  * index build is its own pipeline stage and every search must plan
+  * against STORED postings instead of re-touching the corpus.
+  *
+  * Layout under `indexPath` — four tables, all managed through the
+  * [[MergeEngine]] seam (ACID manifest backend by default, so growth and
+  * maintenance are snapshot-isolated from concurrent searches):
+  * {{{
+  *   postings/  tb=<N>/ (<id>, token, tf)   inverted lists, bucketed by token hash
+  *   doclens/   (<id>, dl)                  per-document token counts
+  *   meta/      (n_docs, total_dl, n_buckets)  1-row corpus scalars
+  *   deleted/   (<id>, dl)                  tombstones
+  * }}}
+  * `postings` is PARTITIONED BY `tb = pmod(xxhash64(token), n_buckets)`,
+  * so a search's query vocabulary becomes a literal partition filter: the
+  * scan reads ONLY the buckets holding the query's terms — ≤ |query vocab|
+  * of `n_buckets` partitions regardless of corpus size (plan-guarded in
+  * LexIndexStoreSpec), with the `token IN (…)` filter pushed further down
+  * to parquet row groups inside each bucket. The corpus scalars a scorer
+  * needs (`n_docs`, `avgdl`) ride the 1-row `meta` table instead of a
+  * corpus-wide re-aggregation per search.
+  *
+  * Incremental growth: [[addDocuments]] tokenizes ONLY the increment and
+  * appends — O(increment) work; re-arrived ids (checkpoint replay) are
+  * filtered against the stored doclens, so a replayed batch heals instead
+  * of double-counting (the [[AnnIndexStore.streamingAddVectors]]
+  * discipline). The meta scalars update through the engine's
+  * CAS-committed overwrite; growth is single-maintainer by contract
+  * (like the pack state), and a concurrent writer loses the CAS instead
+  * of silently clobbering.
+  *
+  * Deletes are TOMBSTONES ([[deleteDocuments]]): searches anti-join them
+  * out and correct `n_docs`/`avgdl` from the tombstoned rows' own stored
+  * lengths (O(deletes), broadcast), so a deleted document neither
+  * surfaces nor skews anyone else's score. [[purgeDeleted]] physically
+  * drops tombstoned postings, rewriting only the TOUCHED token buckets.
+  *
+  * No reference analogue (SURVEY §2.11 retrieval family).
+  */
+object LexIndexStore {
+
+  private def postingsPath(p: String) = s"$p/postings"
+  private def doclensPath(p: String) = s"$p/doclens"
+  private def metaPath(p: String) = s"$p/meta"
+  private def deletedPath(p: String) = s"$p/deleted"
+
+  /** Token → bucket id. Spark-side xxhash64 is the single source of
+    * truth; driver code that needs a token's bucket evaluates THIS
+    * expression through a local frame rather than re-implementing the
+    * hash (see [[searchTopK]]).
+    */
+  private def tokenBucket(token: Column, nBuckets: Int): Column =
+    pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
+
+  private def metaRow(spark: SparkSession, nDocs: Long, totalDl: Long,
+      nBuckets: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("n_docs", LongType, nullable = false),
+      StructField("total_dl", LongType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(nDocs, totalDl, nBuckets)),
+      schema).coalesce(1)
+  }
+
+  private final case class Meta(nDocs: Long, totalDl: Long, nBuckets: Int)
+
+  private def readMeta(spark: SparkSession, indexPath: String,
+      engine: MergeEngine): Meta = {
+    val r = engine.read(spark, metaPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no lexical index at $indexPath"))
+      .select("n_docs", "total_dl", "n_buckets").head()
+    Meta(r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** Tokenize `docs` and append their postings + lengths; returns the
+    * increment's (doc count, token total) for the meta update. The tf
+    * frame is pinned once (two consumers) and released after.
+    */
+  private def appendCorpus(indexPath: String, docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int, engine: MergeEngine): (Long, Long) = {
+    val tf = Terms.tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    try {
+      // cluster by bucket before the partitioned write (the AnnIndexStore
+      // save rationale: unclustered, every task sprays a file into every
+      // tb=N/ directory)
+      engine.appendPartitioned(postingsPath(indexPath),
+        tf.withColumn("tb", tokenBucket(col("token"), nBuckets))
+          .repartition(col("tb")), "tb")
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      engine.append(doclensPath(indexPath), dl)
+      val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (m.getLong(0), m.getLong(1))
+    } finally Dedup.releaseLocalCheckpoint(tf)
+  }
+
+  /** Build a fresh index at `indexPath` (must not already hold one — a
+    * rebuild is a NEW path + reader swap, never an in-place mutation).
+    * `nBuckets` bounds the partition count of the postings layout; it is
+    * frozen into `meta` because every later add/search must bucket with
+    * the same modulus.
+    */
+  def build(spark: SparkSession, indexPath: String, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64,
+      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(engine.read(spark, metaPath(indexPath)).isEmpty,
+      s"index already exists at $indexPath — rebuilds go to a new path")
+    val (nDocs, totalDl) =
+      appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine)
+    engine.append(metaPath(indexPath), metaRow(spark, nDocs, totalDl, nBuckets))
+  }
+
+  /** Grow a stored index: tokenize ONLY the increment and append —
+    * O(increment) work, existing rows untouched. Ids already indexed
+    * (checkpoint replay / upstream dup) are dropped against the stored
+    * doclens so re-delivery heals instead of double-counting. A
+    * tombstoned id still physically present also counts as existing —
+    * it re-enters only after [[purgeDeleted]] (the
+    * [[AnnIndexStore.deleteVectors]] re-arrival contract).
+    */
+  def addDocuments(spark: SparkSession, indexPath: String, docs: DataFrame,
+      idCol: String, textCol: String,
+      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    val meta = readMeta(spark, indexPath, engine)
+    val existing = engine.read(spark, doclensPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no lexical index at $indexPath"))
+    val fresh = docs.select(col(idCol), col(textCol))
+      .dropDuplicates(idCol)
+      .join(existing.select(idCol), Seq(idCol), "left_anti")
+      // materialize BEFORE the appends: the anti-join reads the table the
+      // doclens append writes to
+      .localCheckpoint(true)
+    try {
+      if (!fresh.isEmpty) {
+        val (nNew, dlNew) = appendCorpus(indexPath, fresh, idCol, textCol,
+          meta.nBuckets, engine)
+        engine.overwrite(spark, metaPath(indexPath),
+          metaRow(spark, meta.nDocs + nNew, meta.totalDl + dlNew, meta.nBuckets))
+      }
+    } finally Dedup.releaseLocalCheckpoint(fresh)
+  }
+
+  /** Delete documents: tombstones, not rewrites. Each tombstone carries
+    * the doc's stored length so searches can correct the corpus scalars
+    * without re-aggregating doclens — O(deletes) work: one point join
+    * against doclens, replay-idempotent dedupAppend through the engine
+    * seam. Ids absent from the index are ignored (the attach join drops
+    * them).
+    */
+  def deleteDocuments(spark: SparkSession, indexPath: String, ids: DataFrame,
+      idCol: String, engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    val doclens = engine.read(spark, doclensPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no lexical index at $indexPath"))
+    val tomb = doclens.join(ids.select(col(idCol)).distinct(), Seq(idCol))
+    engine.dedupAppend(spark, deletedPath(indexPath), tomb, idCol)
+  }
+
+  /** Physically drop tombstoned postings and lengths, then fold the
+    * tombstones into `meta` and clear them. The postings rewrite touches
+    * ONLY the buckets that actually hold a deleted doc's terms (found by
+    * one maintenance scan — this is the batch pass that pays the full
+    * postings read so every search doesn't have to); doclens (1 row/doc,
+    * ~1% of postings mass) rewrites whole. Single-maintainer contract,
+    * same as [[AnnIndexStore.purgeDeleted]]; searches against already-
+    * planned frames are snapshot-isolated by the manifest backend.
+    */
+  def purgeDeleted(spark: SparkSession, indexPath: String,
+      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    engine.read(spark, deletedPath(indexPath)).foreach { del =>
+      if (!del.isEmpty) {
+        val meta = readMeta(spark, indexPath, engine)
+        val idc = del.columns.filterNot(_ == "dl").head
+        val delIds = del.select(idc).localCheckpoint(true)
+        try {
+          val postings = engine.read(spark, postingsPath(indexPath))
+            .getOrElse(throw new IllegalStateException(
+              s"no postings at $indexPath"))
+          val touched = postings.join(delIds, Seq(idc))
+            .select("tb").distinct().collect().map(_.get(0)).toSeq
+          if (touched.nonEmpty) {
+            // pin the survivors BEFORE the replace rewrites the partitions
+            // they're read from
+            val kept = postings.filter(col("tb").isin(touched: _*))
+              .join(delIds, Seq(idc), "left_anti")
+              .localCheckpoint(true)
+            try engine.replacePartitions(spark, postingsPath(indexPath),
+              kept, "tb", touched)
+            finally Dedup.releaseLocalCheckpoint(kept)
+          }
+          val doclens = engine.read(spark, doclensPath(indexPath))
+            .getOrElse(throw new IllegalStateException(
+              s"no doclens at $indexPath"))
+          val keptLens = doclens.join(delIds, Seq(idc), "left_anti")
+            .localCheckpoint(true)
+          try engine.overwrite(spark, doclensPath(indexPath), keptLens)
+          finally Dedup.releaseLocalCheckpoint(keptLens)
+          val g = del.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+          engine.overwrite(spark, metaPath(indexPath),
+            metaRow(spark, meta.nDocs - g.getLong(0),
+              meta.totalDl - g.getLong(1), meta.nBuckets))
+          engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
+        } finally Dedup.releaseLocalCheckpoint(delIds)
+      }
+    }
+  }
+
+  /** Index maintenance: every [[addDocuments]] trigger appends one file
+    * per touched bucket, so a long-grown index accretes small files.
+    * Delegates to the engine's compact, which preserves the bucketed
+    * layout — the pruned search keeps its partition filters after
+    * compaction.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+      engine: MergeEngine = new ManifestMergeEngine(),
+      targetBytes: Long = 128L << 20): Unit = {
+    engine.compact(spark, postingsPath(indexPath), targetBytes)
+    engine.compact(spark, doclensPath(indexPath), targetBytes)
+  }
+
+  /** BM25 top-`k` against the STORED index — identical output to
+    * [[Terms.bm25TopK]] over the same live corpus (parity is structural:
+    * both paths run [[Terms.bm25ScoreTopK]]), but the corpus work is
+    * already done: the scan reads only the query vocabulary's buckets
+    * (literal `tb IN (…)` partition filter + `token IN (…)` pushed to
+    * row groups), df comes off that pruned frame, and `n_docs`/`avgdl`
+    * come from the 1-row meta corrected by the tombstones' own stored
+    * lengths. Per-search cost is O(matched postings), not O(corpus).
+    *
+    * The query batch is bounded by contract (it broadcasts), so its
+    * distinct tokens collect to the driver for the literal filters — the
+    * same contract under which [[AnnIndexStore.searchTopK]] collects its
+    * probed list ids. Bucket ids are computed by evaluating the SAME
+    * Spark expression the writers used, through a local frame — never a
+    * driver-side reimplementation of the hash.
+    */
+  def searchTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      engine: MergeEngine = new ManifestMergeEngine()): DataFrame = {
+    val meta = readMeta(spark, indexPath, engine)
+    val postings = engine.read(spark, postingsPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no postings at $indexPath"))
+    val doclens = engine.read(spark, doclensPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no doclens at $indexPath"))
+    val idCol = doclens.columns.filterNot(_ == "dl").head
+    val qt = Terms.queryTerms(queries, qidCol, qtextCol)
+    val qTokens = qt.select("token").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val buckets = if (qTokens.isEmpty) Seq.empty[Int]
+    else spark.createDataFrame(
+      java.util.Arrays.asList(qTokens.map(Row(_)): _*),
+      StructType(Seq(StructField("token", StringType, nullable = false))))
+      .select(tokenBucket(col("token"), meta.nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = postings
+      .filter(col("tb").isin(buckets: _*) && col("token").isin(qTokens: _*))
+      .drop("tb")
+    // tombstone correction: exclusion by anti-join (broadcast — the
+    // tombstone table is O(deletes since last purge)) and the corpus
+    // scalars shrunk by the tombstoned rows' own stored (count, dl sum)
+    val (tfq, dl, liveDocs, liveDl) =
+      engine.read(spark, deletedPath(indexPath)).filter(!_.isEmpty) match {
+        case Some(del) =>
+          val g = del.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+          val delIds = del.select(idCol)
+          (pruned.join(broadcast(delIds), Seq(idCol), "left_anti"),
+            doclens.join(broadcast(delIds), Seq(idCol), "left_anti"),
+            meta.nDocs - g.getLong(0), meta.totalDl - g.getLong(1))
+        case None => (pruned, doclens, meta.nDocs, meta.totalDl)
+      }
+    require(liveDocs > 0, s"index at $indexPath holds no live documents")
+    // exact long sum / count as double — the arithmetic bm25TopK's
+    // corpus-side stats aggregate runs
+    val stats = spark.range(1)
+      .select(lit(liveDocs).as("n_docs"),
+        lit(liveDl.toDouble / liveDocs).as("avgdl"))
+    Terms.bm25ScoreTopK(tfq, qt, dl, stats, idCol, k, k1, b)
+  }
+}

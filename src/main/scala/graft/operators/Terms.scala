@@ -155,10 +155,33 @@ object Terms {
     // avg as exact long sum / count, the same arithmetic the oracle runs
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qt = queries.select(col(qidCol).as("query_id"),
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val tfq = tf.join(broadcast(qt.select("token").distinct()), "token")
+    bm25ScoreTopK(tfq, qt, dl, stats, idCol, k, k1, b)
+  }
+
+  /** Distinct `(query_id, token)` pairs of a whitespace-tokenized query
+    * batch — the query-side frame both [[bm25TopK]] and
+    * [[LexIndexStore.searchTopK]] score against.
+    */
+  private[operators] def queryTerms(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol).as("query_id"),
         explode(split(trim(col(qtextCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "").distinct()
-    val tfq = tf.join(broadcast(qt.select("token").distinct()), "token")
+
+  /** Shared BM25 scorer+ranker: `tfq` = candidate postings already
+    * restricted to the query vocabulary (`idCol`, token, tf), `qt` =
+    * distinct (query_id, token), `dl` = (`idCol`, dl), `stats` = the
+    * 1-row (n_docs, avgdl) frame. df comes off `tfq` itself (identical
+    * before/after the query-term restriction and bounded by the query
+    * vocabulary, so it broadcasts back). Extracted so the persisted-index
+    * search ([[LexIndexStore]]) runs the EXACT arithmetic of the
+    * on-the-fly path — parity is structural, not coincidental.
+    */
+  private[operators] def bm25ScoreTopK(tfq: DataFrame, qt: DataFrame,
+      dl: DataFrame, stats: DataFrame, idCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
     val contrib =
       log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -1108,15 +1108,43 @@ object ExtensionQueries {
     // window partition is ever corpus-sized (plan-guarded).
     Q("x46_bm25_topk",
       (s, d) => {
-        val queries = s.createDataFrame(Seq(
-          (1L, "hash join"), (2L, "window merge sort"),
-          (3L, "spark stream vector"), (4L, "customer zzzunseen")))
-          .toDF("query_id", "qtext")
         Terms.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-          queries, "query_id", "qtext", k = 5)
+          bm25QueryBatch(s), "query_id", "qtext", k = 5)
           .orderBy("query_id", "rank")
       },
-      Some("WITH q(query_id, qtext) AS (VALUES " +
+      Some(bm25OracleSql)),
+
+    // The SAME retrieval against a PERSISTED inverted index
+    // ([[LexIndexStore]]): tokenize/aggregate once into token-bucketed
+    // postings + doclens + 1-row corpus scalars, then search with a
+    // partition-pruned scan of only the query vocabulary's buckets —
+    // the build-once/search-many lexical lifecycle (x24b's shape for
+    // text). The oracle is x46's LIVE SQL verbatim: index-backed
+    // retrieval must equal on-the-fly scoring, and parity is structural
+    // (both paths run Terms.bm25ScoreTopK). Per-run scratch path keyed
+    // by application id (the x24b rationale).
+    Q("x46b_bm25_persisted",
+      (s, d) => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lexidx_x46b_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        LexIndexStore.build(s, dir, Tables.documents(s, d), "doc_id", "text",
+          nBuckets = 64)
+        LexIndexStore.searchTopK(s, dir, bm25QueryBatch(s),
+          "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25OracleSql)),
+  )
+
+  private def bm25QueryBatch(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(
+      (1L, "hash join"), (2L, "window merge sort"),
+      (3L, "spark stream vector"), (4L, "customer zzzunseen")))
+      .toDF("query_id", "qtext")
+
+  private val bm25OracleSql: String =
+    ("WITH q(query_id, qtext) AS (VALUES " +
         "(1::BIGINT, 'hash join'), (2::BIGINT, 'window merge sort'), " +
         "(3::BIGINT, 'spark stream vector'), (4::BIGINT, 'customer zzzunseen')), " +
         "qt AS (SELECT DISTINCT query_id, " +
@@ -1143,6 +1171,5 @@ object ExtensionQueries {
         "SELECT query_id, doc_id, n_hit_terms, score, rank FROM (" +
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored) r " +
-        "WHERE rank <= 5 ORDER BY query_id, rank"))
-  )
+        "WHERE rank <= 5 ORDER BY query_id, rank")
 }

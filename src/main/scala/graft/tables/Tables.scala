@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.TimestampType
 
 /** Loaders for the driver-generated star-schema testdata
   * (see TESTDATA.md / FIXTURES.md §B).
@@ -19,11 +21,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent
-      // natively ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos-since-epoch
-      // LongType instead. All query outputs convert with `ts div 1000000`
-      // (epoch millis) to stay comparable with the DuckDB oracle.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark can
+      // only read as raw nanos-since-epoch LongType via the legacy flag)
+      // and as TIMESTAMP(MICROS) (which it reads natively as TIMESTAMP_NTZ,
+      // where the flag is a no-op). Normalize BOTH shapes to the engine's
+      // events contract — `ts` = epoch-nanos LongType — so every operator
+      // and oracle conversion (`ts div 1000000` → epoch millis, matching
+      // DuckDB's `epoch_ns(ts)//1000000`) is physical-type-independent.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      return raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ =>
+          // TIMESTAMP_NTZ (or TZ): session tz is pinned UTC at every entry
+          // point, so the cast reads the naive value as the UTC instant —
+          // the same convention DuckDB's epoch_ns applies to a naive ts
+          raw.withColumn("ts",
+            unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      }
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -141,9 +141,9 @@ object ScaleProbe {
       r
     }
     val par = spark.sparkContext.defaultParallelism
-    val ev0 = spark.read
-      .option("mergeSchema", "false")
-      .parquet("/root/testdata/sf0.1/events.parquet")
+    // through Tables.events: normalizes ts to the epoch-nanos-long
+    // contract whatever the parquet physical type (ns or µs)
+    val ev0 = graft.tables.Tables.events(spark, "/root/testdata/sf0.1")
       .select("event_id", "user_id", "event_type", "ts")
     val ev = (0 until factor).map(i => ev0.select(
       (col("event_id") + lit(i * 10000000L)).as("event_id"),
