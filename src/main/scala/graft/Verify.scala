@@ -10,16 +10,6 @@ object Verify {
     // the bench runners use (it had drifted to AQE-off before extraction)
     val spark = graft.tools.Harness.buildSession()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // queries may persist intermediates (e.g. LSH signature frames);
-      // release them between queries so a 40+-query run stays bounded
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -32,9 +22,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json FIRST: a crash in any single query must cost that
+    // query, never the whole artifact (round 8 lost all 94 results to an
+    // exception thrown after the dumps but before this write)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // queries may persist intermediates (e.g. LSH signature frames);
+      // release them between queries so a 40+-query run stays bounded
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -85,27 +85,48 @@ object LexIndexStore {
     Meta(r.getLong(0), r.getLong(1), r.getInt(2))
   }
 
-  /** Tokenize `docs` and append their postings + lengths; returns the
-    * increment's (doc count, token total) for the meta update. The tf
-    * frame is pinned once (two consumers) and released after.
+  /** Tokenize `docs` and append their lengths + postings. The tf frame is
+    * pinned once (two consumers) and released after.
+    *
+    * Commit ORDER is the crash contract: doclens FIRST, postings second.
+    * [[addDocuments]] dedups replayed batches against doclens, so a crash
+    * between the two appends makes the replay skip the batch — the ids
+    * degrade to missing-postings (searchable-but-unscorable, the
+    * [[AnnIndexStore]] failure shape) instead of the reverse order's
+    * duplicated (id, token, tf) rows, which would inflate df and
+    * double-sum those docs' BM25 contributions forever.
     */
   private def appendCorpus(indexPath: String, docs: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, engine: MergeEngine): (Long, Long) = {
+      textCol: String, nBuckets: Int, engine: MergeEngine): Unit = {
     val tf = Terms.tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     try {
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      engine.append(doclensPath(indexPath), dl)
       // cluster by bucket before the partitioned write (the AnnIndexStore
       // save rationale: unclustered, every task sprays a file into every
       // tb=N/ directory)
       engine.appendPartitioned(postingsPath(indexPath),
         tf.withColumn("tb", tokenBucket(col("token"), nBuckets))
           .repartition(col("tb")), "tb")
-      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      engine.append(doclensPath(indexPath), dl)
-      val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-      (m.getLong(0), m.getLong(1))
     } finally Dedup.releaseLocalCheckpoint(tf)
+  }
+
+  /** Recompute the corpus scalars FROM doclens (1 row/doc) and overwrite
+    * `meta` — never an incremental ±delta. A recompute is idempotent
+    * under replay: a crash before the meta commit just leaves meta stale
+    * until the next maintenance call re-derives the same truth, whereas
+    * a re-applied delta skews `avgdl`/idf for every future search.
+    */
+  private def refreshMeta(spark: SparkSession, indexPath: String,
+      nBuckets: Int, engine: MergeEngine): Unit = {
+    val dl = engine.read(spark, doclensPath(indexPath))
+      .getOrElse(throw new IllegalStateException(
+        s"no doclens at $indexPath"))
+    val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    engine.overwrite(spark, metaPath(indexPath),
+      metaRow(spark, m.getLong(0), m.getLong(1), nBuckets))
   }
 
   /** Build a fresh index at `indexPath` (must not already hold one — a
@@ -120,9 +141,8 @@ object LexIndexStore {
     require(nBuckets > 0, "nBuckets must be positive")
     require(engine.read(spark, metaPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
-    val (nDocs, totalDl) =
-      appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine)
-    engine.append(metaPath(indexPath), metaRow(spark, nDocs, totalDl, nBuckets))
+    appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine)
+    refreshMeta(spark, indexPath, nBuckets, engine)
   }
 
   /** Grow a stored index: tokenize ONLY the increment and append —
@@ -148,10 +168,9 @@ object LexIndexStore {
       .localCheckpoint(true)
     try {
       if (!fresh.isEmpty) {
-        val (nNew, dlNew) = appendCorpus(indexPath, fresh, idCol, textCol,
-          meta.nBuckets, engine)
-        engine.overwrite(spark, metaPath(indexPath),
-          metaRow(spark, meta.nDocs + nNew, meta.totalDl + dlNew, meta.nBuckets))
+        appendCorpus(indexPath, fresh, idCol, textCol, meta.nBuckets, engine)
+        // recompute, don't ±delta: heals a prior crash-before-meta too
+        refreshMeta(spark, indexPath, meta.nBuckets, engine)
       }
     } finally Dedup.releaseLocalCheckpoint(fresh)
   }
@@ -187,6 +206,12 @@ object LexIndexStore {
       if (!del.isEmpty) {
         val meta = readMeta(spark, indexPath, engine)
         val idc = del.columns.filterNot(_ == "dl").head
+        // Commit sequence is crash-idempotent end to end: every step is a
+        // left_anti/no-op on rows already purged, meta is RECOMPUTED from
+        // the purged doclens (never shrunk by tombstone deltas — a crash
+        // between a delta-shrink and the tombstone clear would re-subtract
+        // on the re-run and permanently skew avgdl/idf), and the tombstone
+        // clear comes last so an interrupted purge simply re-runs.
         val delIds = del.select(idc).localCheckpoint(true)
         try {
           val postings = engine.read(spark, postingsPath(indexPath))
@@ -211,10 +236,7 @@ object LexIndexStore {
             .localCheckpoint(true)
           try engine.overwrite(spark, doclensPath(indexPath), keptLens)
           finally Dedup.releaseLocalCheckpoint(keptLens)
-          val g = del.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-          engine.overwrite(spark, metaPath(indexPath),
-            metaRow(spark, meta.nDocs - g.getLong(0),
-              meta.totalDl - g.getLong(1), meta.nBuckets))
+          refreshMeta(spark, indexPath, meta.nBuckets, engine)
           engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
         } finally Dedup.releaseLocalCheckpoint(delIds)
       }

@@ -13,7 +13,14 @@ import graft.tables.Tables
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String]) {
+  // Some(null) is representable and has shipped (an object-init-order bug
+  // captured a not-yet-initialized val and emptied a whole round's
+  // correctness artifact) — fail at construction, not in the verifier.
+  require(oracle.forall(s => s != null && s.nonEmpty),
+    s"query $name declares a null/empty oracle — declare the SQL before " +
+      "`val all`, or make it lazy")
+}
 
 /** SURVEY.md §2.10 declared query inventory (Q1–Q18) — the t2 correctness
   * contract. Each query exercises one reference operator family (citations

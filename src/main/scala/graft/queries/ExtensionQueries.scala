@@ -1143,7 +1143,11 @@ object ExtensionQueries {
       (3L, "spark stream vector"), (4L, "customer zzzunseen")))
       .toDF("query_id", "qtext")
 
-  private val bm25OracleSql: String =
+  // lazy: declared after `val all`, which captures it inside Some(...) —
+  // an eager val here would still be null at that point (object vals
+  // initialize in declaration order; this exact bug shipped a null
+  // oracle and zeroed round 8's correctness artifact)
+  private lazy val bm25OracleSql: String =
     ("WITH q(query_id, qtext) AS (VALUES " +
         "(1::BIGINT, 'hash join'), (2::BIGINT, 'window merge sort'), " +
         "(3::BIGINT, 'spark stream vector'), (4::BIGINT, 'customer zzzunseen')), " +

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.ManifestMergeEngine
+
+/** Persisted inverted-index lifecycle: build/add/delete/purge/search
+  * parity with the on-the-fly [[Terms.bm25TopK]], the bucket-pruned scan
+  * plan guard, replay healing, and the crash-ordering contracts the
+  * maintenance ops document (doclens-before-postings; meta recomputed,
+  * never ±delta'd).
+  */
+class LexIndexStoreSpec extends SparkSpec {
+
+  private val engine = new ManifestMergeEngine()
+
+  private def docs(maxId: Long): DataFrame = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .filter(col("doc_id") < maxId)
+    .select("doc_id", "text")
+
+  private def queryBatch: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "hash join"), (2L, "window merge sort"),
+      (3L, "spark stream vector"), (4L, "customer zzzunseen"))
+      .toDF("query_id", "qtext")
+  }
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("lexidx_spec").toString
+
+  private def rows(out: DataFrame) =
+    out.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+
+  private def meta(dir: String) =
+    engine.read(spark, s"$dir/meta").get
+      .select("n_docs", "total_dl").head()
+
+  test("build + searchTopK equals bm25TopK; scan is bucket-pruned") {
+    val corpus = docs(400)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, corpus, "doc_id", "text", nBuckets = 16,
+      engine = engine)
+    val live = rows(Terms.bm25TopK(corpus, "doc_id", "text",
+      queryBatch, "query_id", "qtext", k = 5))
+    val storedDf = LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)
+    assert(rows(storedDf) == live)
+
+    // the query vocabulary's bucket set must reach the postings scan as a
+    // literal partition filter — the read that keeps a search O(matched
+    // postings) instead of O(corpus)
+    val plan = storedDf.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    assert(pf.exists(l => l.contains("tb") && l.contains(" IN (")),
+      s"tb bucket set not pushed as a partition filter:\n$plan")
+
+    // a second build at the same path must refuse (rebuild = new path)
+    intercept[IllegalArgumentException] {
+      LexIndexStore.build(spark, dir, corpus, "doc_id", "text",
+        engine = engine)
+    }
+  }
+
+  test("addDocuments: growth parity, replay heals, stale meta self-repairs") {
+    val all = docs(400)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
+      "doc_id", "text", nBuckets = 16, engine = engine)
+
+    // second add RE-SHIPS part of the first (checkpoint replay) plus
+    // already-indexed base ids — absorbed, never double-counted
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+      "doc_id", "text", engine = engine)
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 250 || col("doc_id") < 10),
+      "doc_id", "text", engine = engine)
+
+    val dl = engine.read(spark, s"$dir/doclens").get
+    assert(dl.count() == dl.select("doc_id").distinct().count())
+    val post = engine.read(spark, s"$dir/postings").get
+    assert(post.groupBy("doc_id", "token").count()
+      .filter(col("count") > 1).isEmpty, "duplicate postings after replay")
+
+    assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)) ==
+      rows(Terms.bm25TopK(all, "doc_id", "text",
+        queryBatch, "query_id", "qtext", k = 5)))
+
+    // crash-sim: meta lost/stale after an interrupted add — the next add
+    // recomputes from doclens instead of stacking a delta on a lie
+    val good = meta(dir)
+    engine.overwrite(spark, s"$dir/meta",
+      engine.read(spark, s"$dir/meta").get
+        .withColumn("n_docs", lit(1L)).withColumn("total_dl", lit(1L)))
+    LexIndexStore.addDocuments(spark, dir,
+      docs(410).filter(col("doc_id") >= 400), "doc_id", "text",
+      engine = engine)
+    val healed = meta(dir)
+    assert(healed.getLong(0) > good.getLong(0) &&
+      healed.getLong(1) > good.getLong(1),
+      s"meta not recomputed from doclens: $healed vs pre-corruption $good")
+  }
+
+  test("delete tombstones correct scores; purge is physically + meta idempotent") {
+    import spark.implicits._
+    val all = docs(400)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, all, "doc_id", "text", nBuckets = 16,
+      engine = engine)
+
+    // tombstone the live top-1 of query 1 — it must vanish from results
+    // and the corpus stats must shrink as if it were never indexed
+    val live = rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine))
+    val victim = live.find(_._1 == 1L).get._2
+    LexIndexStore.deleteDocuments(spark, dir,
+      Seq(victim).toDF("doc_id"), "doc_id", engine = engine)
+
+    val expected = rows(Terms.bm25TopK(all.filter(col("doc_id") =!= victim),
+      "doc_id", "text", queryBatch, "query_id", "qtext", k = 5))
+    assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)) == expected)
+
+    // capture tombstones, purge, re-search: same results off the
+    // physically-rewritten tables
+    val tombstones = engine.read(spark, s"$dir/deleted").get
+      .localCheckpoint(true)
+    LexIndexStore.purgeDeleted(spark, dir, engine = engine)
+    assert(engine.read(spark, s"$dir/deleted").get.isEmpty)
+    assert(engine.read(spark, s"$dir/doclens").get
+      .filter(col("doc_id") === victim).isEmpty)
+    assert(engine.read(spark, s"$dir/postings").get
+      .filter(col("doc_id") === victim).isEmpty)
+    val purgedMeta = meta(dir)
+    assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)) == expected)
+
+    // crash-sim: purge died AFTER the rewrites but BEFORE the tombstone
+    // clear — restore the tombstones and re-run. A delta-subtracting meta
+    // update would shrink n_docs/total_dl a second time; the recompute
+    // must land on the same truth.
+    engine.overwrite(spark, s"$dir/deleted", tombstones)
+    LexIndexStore.purgeDeleted(spark, dir, engine = engine)
+    val rerunMeta = meta(dir)
+    assert(rerunMeta.getLong(0) == purgedMeta.getLong(0) &&
+      rerunMeta.getLong(1) == purgedMeta.getLong(1),
+      s"re-run purge skewed meta: $rerunMeta vs $purgedMeta")
+    assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)) == expected)
+    Dedup.releaseLocalCheckpoint(tombstones)
+  }
+
+  test("interrupted add (doclens landed, postings lost) degrades, never corrupts") {
+    val all = docs(300)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
+      "doc_id", "text", nBuckets = 16, engine = engine)
+
+    // emulate the crash window appendCorpus documents: the increment's
+    // doclens commit landed, the postings commit did not
+    val lost = all.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+    val lostDl = Terms.tokens(lost, "doc_id", "text")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    engine.append(s"$dir/doclens", lostDl)
+
+    // the replay of that batch must SKIP (ids present in doclens): no
+    // duplicate postings, which would double-sum BM25 contributions
+    LexIndexStore.addDocuments(spark, dir, lost, "doc_id", "text",
+      engine = engine)
+    val post = engine.read(spark, s"$dir/postings").get
+    assert(post.filter(col("doc_id") >= 200).isEmpty,
+      "replayed batch re-appended postings for doclens-present ids")
+    assert(post.groupBy("doc_id", "token").count()
+      .filter(col("count") > 1).isEmpty)
+
+    // a DIFFERENT batch still lands normally and meta covers everything
+    // physically in doclens (the recompute contract)
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 250), "doc_id", "text", engine = engine)
+    val m = meta(dir)
+    val dl = engine.read(spark, s"$dir/doclens").get
+    assert(m.getLong(0) == dl.count())
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Guards the correctness-artifact pipeline itself. Round 8 shipped a
+  * `Some(null)` oracle (object-init-order capture) that NPE'd the verifier
+  * after the parquet dumps but before oracle_sql.json — the driver's gate
+  * saw an empty artifact and every green query went formally untested.
+  * These checks make that class of failure a unit-test failure instead.
+  * No SparkSession needed: this is pure registry/JSON hygiene.
+  */
+class OracleArtifactSpec extends AnyFunSuite {
+
+  test("every oracleSql value is non-null, non-empty, and SELECT-shaped") {
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.nonEmpty)
+    oracles.foreach { case (name, sql) =>
+      assert(sql != null, s"$name: null oracle")
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      val head = sql.trim.toUpperCase.takeWhile(!_.isWhitespace)
+      assert(head == "SELECT" || head == "WITH",
+        s"$name: oracle does not start with SELECT/WITH: ${sql.take(60)}")
+    }
+  }
+
+  test("every query name has either an oracle or is a known weak entry") {
+    // weak (rows-only) entries are allowed, but must be deliberate:
+    // keep this list in sync when adding non-SQL-expressible operators
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+  }
+
+  test("emitted oracle_sql.json is parseable JSON with one key per oracle") {
+    // reproduce Verify's exact escaping, then parse with the JDK's only
+    // built-in JSON-ish reader: javax.script is gone, so hand-roll a
+    // strict validator for the {"k":"v",...} shape Verify emits
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+
+    // strict walk of the emitted string: must be {"str":"str",...} with
+    // every escape valid — i.e. exactly what python json.load accepts
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new AssertionError(s"$msg at offset $i: ...${json.slice(i - 20, i + 20)}...")
+    def skipWs(): Unit = while (i < json.length && json(i) == ' ') i += 1
+    def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= json.length || json(i) != c) fail(s"expected '$c'")
+      i += 1; skipWs()
+    }
+    def parseString(): String = {
+      expect('"'); val sb = new StringBuilder
+      while (i < json.length && json(i) != '"') {
+        json(i) match {
+          case '\\' =>
+            i += 1
+            if (i >= json.length) fail("dangling backslash")
+            json(i) match {
+              case '"' | '\\' | '/' => sb += json(i); i += 1
+              case 'n' => sb += '\n'; i += 1
+              case 'r' => sb += '\r'; i += 1
+              case 't' => sb += '\t'; i += 1
+              case 'b' => sb += '\b'; i += 1
+              case 'f' => sb += '\f'; i += 1
+              case 'u' =>
+                if (i + 4 >= json.length) fail("truncated \\u escape")
+                val hex = json.slice(i + 1, i + 5).toString
+                if (!hex.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
+                  fail(s"bad \\u escape $hex")
+                sb += Integer.parseInt(hex, 16).toChar; i += 5
+              case c => fail(s"invalid escape \\$c")
+            }
+          case c if c < ' ' => fail(s"raw control char ${c.toInt}")
+          case c => sb += c; i += 1
+        }
+      }
+      expect('"'); sb.result()
+    }
+    expect('{')
+    val parsed = scala.collection.mutable.Map[String, String]()
+    var first = true
+    while (i < json.length && json(i) != '}') {
+      if (!first) expect(',')
+      first = false
+      val k = parseString(); expect(':')
+      val v = parseString()
+      parsed(k) = v
+    }
+    expect('}')
+    assert(i == json.length, "trailing garbage after closing brace")
+    assert(parsed.keySet == SparkEntry.oracleSql.keySet)
+    // round-trip: unescaped values equal the originals
+    SparkEntry.oracleSql.foreach { case (k, v) => assert(parsed(k) == v, s"$k round-trip") }
+  }
+}
