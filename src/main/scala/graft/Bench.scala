@@ -30,7 +30,7 @@ object Bench {
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => }
-          finally spark.catalog.clearCache()
+          finally graft.tools.Harness.releaseAllPinned(spark)
         }
       }
 

@@ -34,9 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist intermediates (e.g. LSH signature frames);
-      // release them between queries so a 40+-query run stays bounded
-      spark.catalog.clearCache()
+      // queries may persist intermediates (e.g. LSH signature frames) or
+      // leak localCheckpoint blocks clearCache can't see; release both so
+      // a 90+-query run stays bounded (graft.tools.Harness scaladoc)
+      graft.tools.Harness.releaseAllPinned(spark)
     }
     spark.stop()
   }

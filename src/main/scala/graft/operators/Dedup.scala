@@ -576,13 +576,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      // materialized once: the halving self-join reads this twice, and
-      // without the checkpoint the labels⋈nbrMin join would execute
-      // twice per round
+      // lazily persisted, NOT eagerly checkpointed: the halving self-join
+      // reads this twice, and persist makes the single `next` checkpoint
+      // job compute it once — an eager checkpoint here would cost a whole
+      // extra action per round, and round count × action latency is what
+      // the serial bench actually pays (lineage stays shallow either way:
+      // prop bottoms out at the checkpointed labels/edges)
       val prop = labels.join(nbrMin, Seq("id"))
         .select(col("id"), col("label").as("_old"),
           least(col("label"), col("nbr_label")).as("label"))
-        .localCheckpoint(true)
+        .persist()
       // pointer halving: adopt the label's own label (labels form a
       // decreasing forest, so this is always ≤ and compresses chains —
       // a label that is itself a root joins nothing and keeps its value)
@@ -598,11 +601,11 @@ object Dedup {
       // a clean corpus — must converge, not NPE)
       changed = next.agg(coalesce(sum("_chg"), lit(0L))).collect()(0).getLong(0)
       labels = next.drop("_chg")
-      // superseded checkpoints would otherwise pin executor storage once
-      // per iteration — and Dataset.unpersist does NOT release them (it
-      // only clears CacheManager entries), so unpersist the checkpoint's
-      // underlying RDD directly
-      releaseLocalCheckpoint(prop)
+      // superseded pins would otherwise stack up in executor storage once
+      // per iteration; prop is a CacheManager persist (plain unpersist),
+      // prev a checkpoint (Dataset.unpersist does NOT release those — it
+      // only clears CacheManager entries — so drop the underlying RDD)
+      prop.unpersist(blocking = false)
       if (prev ne labels) releaseLocalCheckpoint(prev)
       iter += 1
     }

@@ -42,6 +42,22 @@ object Harness {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $name failed: ${e.getMessage}")
       -1.0
-    } finally spark.catalog.clearCache()
+    } finally releaseAllPinned(spark)
+  }
+
+  /** Release EVERYTHING pinned in executor storage between queries:
+    * `catalog.clearCache()` only drops CacheManager (Dataset.persist)
+    * entries — `localCheckpoint` blocks are RDD-level and survive it, so
+    * a query that RETURNS a frame built over a checkpoint (CC labels,
+    * bm25's tf pin) leaks its blocks for the rest of the session. Across
+    * a 94-query run the dead blocks stack up in storage memory, and
+    * later iterative queries (x43's LSH→CC→pack chain) degrade
+    * nonlinearly once eviction starts — the bimodal bench timings round
+    * 8 chased. `getPersistentRDDs` sees both kinds; unpersist them all.
+    */
+  def releaseAllPinned(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 }
