@@ -262,15 +262,22 @@ object Dedup {
     * `pairsDir`, and the batch's signatures AND band buckets append to the
     * state.
     *
-    * State layout under `stateDir`: `sigs/` = (id, sig) one row per doc,
-    * `buckets/` = (id, band, band_hash) `bands` rows per doc — the
-    * persisted band-bucket INDEX. Per-batch work is O(increment + matched
-    * buckets): the increment is shingled/signed/bucketed once, and the
-    * probe joins the increment's buckets against the STORED index — band
-    * buckets are never re-derived over the full signature store (the scan
-    * of the stored index is a 3-column columnar read with no explode/hash
-    * work, and with the state bucketed on `band_hash` even that becomes a
-    * pruned lookup).
+    * State layout under `stateDir`: `sigs/ sb=<N>/` = (id, sig) one row
+    * per doc PARTITIONED by `sb = pmod(xxhash64(id), nStateBuckets)`, and
+    * `buckets/ bb=<N>/` = (id, band, band_hash) `bands` rows per doc
+    * PARTITIONED by `bb = pmod(band_hash, nStateBuckets)` — the persisted
+    * band-bucket INDEX, laid out the way [[LexIndexStore]] buckets its
+    * postings. Per-batch work is O(increment + touched buckets), never
+    * O(store): the increment is shingled/signed/bucketed once, its
+    * `bb`/`sb` value sets (bounded by `nStateBuckets`, driver-safe)
+    * become literal partition filters, and the probe reads ONLY the
+    * stored partitions that could hold a matching `(band, band_hash)` —
+    * a row matching an incoming band hash has that hash's `bb` by
+    * construction, so the pruning is exact, not approximate
+    * (plan-guarded in ExtensionOpsSpec). The one remaining store-wide
+    * read is the signature attach for candidate scoring — a 2-column
+    * columnar scan feeding a plain id equi-join (AQE-splittable), with
+    * no shingle/hash re-derivation.
     *
     * The union of emitted pairs over any arrival split equals the one-shot
     * batch run (the batch-parity property the spec pins). Duplicate ids
@@ -299,12 +306,11 @@ object Dedup {
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5, compactEvery: Int = 0,
+      nStateBuckets: Int = 64,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     requireBands(numHashes, bands)
-    val sigsDir = s"$stateDir/sigs"
-    val bucketsDir = s"$stateDir/buckets"
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .queryName("graft_dedup")
@@ -315,51 +321,138 @@ object Dedup {
         val incSigs = minhashSigs(batch.select(col(idCol), col(textCol)),
           idCol, textCol, shingleN, numHashes)
           .dropDuplicates("id").persist()
+        val incBuckets = bandBuckets(incSigs, numHashes, bands).persist()
         try {
-          val fs = new org.apache.hadoop.fs.Path(stateDir)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-          val incBuckets = bandBuckets(incSigs, numHashes, bands)
-          // schema-on-read: an existing-but-empty state dir (crash inside
-          // the first state write, pre-created dir) must read as an empty
-          // frame, not fail schema inference forever
-          val sigStore =
-            if (exists(sigsDir)) s.read.schema(incSigs.schema).parquet(sigsDir)
-            else incSigs.limit(0)
-          val bucketStore =
-            if (exists(bucketsDir))
-              s.read.schema(incBuckets.schema).parquet(bucketsDir)
-            else incBuckets.limit(0)
-          // scoring uses the incoming signature for any re-arrived id —
-          // its stored sig AND stored buckets drop out of the probe
-          val seenSigs = sigStore.join(incSigs.select("id"), Seq("id"), "left_anti")
-          val seenBuckets = bucketStore.join(incSigs.select("id"), Seq("id"), "left_anti")
-          incrementalFromBuckets(seenSigs, seenBuckets, incSigs, incBuckets,
-            numHashes, minJaccard)
-            .write.mode("append").parquet(pairsDir)
-          // the state keeps its first-seen row per id: a replayed batch
-          // (checkpoint recovery) must not append duplicates. Each table
-          // filters against its own store, so a crash between the two
-          // appends heals on replay.
-          val newSigs = incSigs.join(sigStore.select("id"), Seq("id"), "left_anti")
-            .localCheckpoint(true)
-          val newBuckets = incBuckets
-            .join(bucketStore.select("id"), Seq("id"), "left_anti")
-            .localCheckpoint(true)
-          try {
-            newSigs.write.mode("append").parquet(sigsDir)
-            newBuckets.write.mode("append").parquet(bucketsDir)
-          } finally {
-            releaseLocalCheckpoint(newSigs)
-            releaseLocalCheckpoint(newBuckets)
-          }
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            graft.sinks.TableSink.compact(s, sigsDir)
-            graft.sinks.TableSink.compact(s, bucketsDir)
-          }
-        } finally incSigs.unpersist()
+          val pairs = statePairsPlan(s, incSigs, incBuckets, stateDir,
+            numHashes, minJaccard, nStateBuckets)
+            .localCheckpoint(true) // materialize BEFORE the state grows
+          try pairs.write.mode("append").parquet(pairsDir)
+          finally releaseLocalCheckpoint(pairs)
+          growState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            compactState(s, stateDir)
+        } finally { incSigs.unpersist(); incBuckets.unpersist() }
       }
       .start()
+  }
+
+  /** The per-batch probe of the persisted LSH state: near-dup pairs of
+    * the increment against the stored corpus plus itself, with the
+    * stored band index read through a LITERAL partition filter on the
+    * increment's `bb` set (exact — a stored row matching an incoming
+    * band hash shares its `bb` by construction). The signature attach
+    * reads the sig store unpruned (candidate ids are distributed, not
+    * driver-collectable) but that is a 2-column scan + id equi-join.
+    * Callers checkpoint the result BEFORE [[growState]] — the plan reads
+    * the directories the growth then appends to.
+    */
+  private[graft] def statePairsPlan(s: org.apache.spark.sql.SparkSession,
+      incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
+      numHashes: Int, minJaccard: Double, nStateBuckets: Int): DataFrame = {
+    val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+    // scoring uses the incoming signature for any re-arrived id —
+    // its stored sig AND stored buckets drop out of the probe
+    val seenSigs = st.sigs.drop("sb")
+      .join(incSigs.select("id"), Seq("id"), "left_anti")
+    val seenBuckets = st.prunedBuckets.drop("bb")
+      .join(incSigs.select("id"), Seq("id"), "left_anti")
+    incrementalFromBuckets(seenSigs, seenBuckets, incSigs, incBuckets,
+      numHashes, minJaccard)
+  }
+
+  /** Append the increment to the state, replay-safe and pruned: every
+    * dedup filter reads only the increment's own `sb`/`bb` partitions
+    * (`sb` is a function of id and `bb` of band hash, so a stored row
+    * for an incoming id/hash can live nowhere else). Buckets commit
+    * FIRST, the sig registry second: a crash between them leaves the id
+    * out of the registry, so the replay re-filters its bucket rows
+    * against the pruned bucket store (same content ⇒ same partitions ⇒
+    * found ⇒ skipped) and re-appends only the missing sig row — heals
+    * with no duplicate state rows. A re-arrived id with DIFFERENT
+    * content (not a replay) is stopped by the registry filter before it
+    * could scatter a second version across other bucket partitions.
+    */
+  private[graft] def growState(s: org.apache.spark.sql.SparkSession,
+      incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
+      nStateBuckets: Int): Unit = {
+    val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+    val sigIds = st.prunedSigs.select("id")
+    val stateIds = sigIds.union(st.prunedBuckets.select("id")).distinct()
+    val newBuckets = incBuckets
+      .withColumn("bb", stateBb(nStateBuckets))
+      .join(stateIds, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val newSigs = incSigs
+      .withColumn("sb", stateSb(nStateBuckets))
+      .join(sigIds, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      newBuckets.write.partitionBy("bb").mode("append")
+        .parquet(s"$stateDir/buckets")
+      newSigs.write.partitionBy("sb").mode("append")
+        .parquet(s"$stateDir/sigs")
+    } finally {
+      releaseLocalCheckpoint(newSigs)
+      releaseLocalCheckpoint(newBuckets)
+    }
+  }
+
+  /** Compact both state tables, PRESERVING the partitioned layout (the
+    * flat [[graft.sinks.TableSink.compact]] would fold `sb`/`bb` back
+    * into data columns and the pruned probe loses its partition
+    * filters). One file per touched partition per pass.
+    */
+  private[graft] def compactState(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): Unit =
+    Seq(s"$stateDir/sigs" -> "sb", s"$stateDir/buckets" -> "bb")
+      .foreach { case (dir, pc) =>
+        graft.sinks.TableSink.compactPartitioned(s, dir, pc)
+      }
+
+  private def stateSb(n: Int): Column =
+    pmod(xxhash64(col("id")), lit(n.toLong)).cast("int")
+  private def stateBb(n: Int): Column =
+    pmod(col("band_hash"), lit(n.toLong)).cast("int")
+
+  private final case class LshState(sigs: DataFrame, prunedSigs: DataFrame,
+      prunedBuckets: DataFrame)
+
+  /** Read the two state tables with the increment's partition sets
+    * pushed as literal filters. The `bb`/`sb` value sets are bounded by
+    * `nStateBuckets` (driver-safe collects). Schema-on-read: an
+    * existing-but-empty state dir (crash inside the first state write)
+    * must read as an empty frame, not fail schema inference forever.
+    */
+  private def readState(s: org.apache.spark.sql.SparkSession,
+      incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
+      nStateBuckets: Int): LshState = {
+    val sigsDir = s"$stateDir/sigs"
+    val bucketsDir = s"$stateDir/buckets"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val sigSchema = incSigs.withColumn("sb", stateSb(nStateBuckets)).schema
+    val bucketSchema = incBuckets.withColumn("bb", stateBb(nStateBuckets)).schema
+    val sigStore =
+      if (exists(sigsDir)) s.read.schema(sigSchema).parquet(sigsDir)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sigSchema)
+    val bucketStore =
+      if (exists(bucketsDir)) s.read.schema(bucketSchema).parquet(bucketsDir)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        bucketSchema)
+    val incSb = incSigs.select(stateSb(nStateBuckets).as("sb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val incBb = incBuckets.select(stateBb(nStateBuckets).as("bb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    LshState(
+      sigs = sigStore,
+      prunedSigs =
+        if (incSb.isEmpty) sigStore.limit(0)
+        else sigStore.filter(col("sb").isin(incSb: _*)),
+      prunedBuckets =
+        if (incBb.isEmpty) bucketStore.limit(0)
+        else bucketStore.filter(col("bb").isin(incBb: _*)))
   }
 
   /** Duplicated-SPAN detection (substring-level dedup, the Lee et al.

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * Per micro-batch:
   *  1. MinHash signatures of the arriving docs probe the persisted
   *     signature/band-bucket store ([[Dedup.streamingMinhashDedup]]'s
-  *     state shape — O(batch) work, the store is never re-derived); an
+  *     `sb=`/`bb=`-partitioned state shape — O(batch + touched buckets)
+  *     work, the store is never re-derived and the band scan is
+  *     partition-pruned to the increment's bucket set); an
   *     arriving doc that pairs with ANY stored doc, or with a smaller id
   *     inside its own batch, is dropped. Under the id-ordered arrival
   *     contract this reproduces the batch run's min-id-keeps verdicts
@@ -46,12 +48,11 @@ object TrainingExport {
       langs: Seq[String] = Seq("en", "es", "fr", "de"),
       minQuality: Double = 0.5,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5,
+      minJaccard: Double = 0.5, nStateBuckets: Int = 64,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val sigsDir = s"$stateDir/dedup/sigs"
-    val bucketsDir = s"$stateDir/dedup/buckets"
+    val dedupStateDir = s"$stateDir/dedup"
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .queryName("graft_training_export")
@@ -63,45 +64,29 @@ object TrainingExport {
         if (!docs.isEmpty) {
           val incSigs = Dedup.minhashSigs(docs, idCol, textCol,
             shingleN, numHashes).dropDuplicates("id").persist()
+          val incBuckets = Dedup.bandBuckets(incSigs, numHashes, bands)
+            .persist()
           try {
-            val fs = new org.apache.hadoop.fs.Path(stateDir)
-              .getFileSystem(s.sparkContext.hadoopConfiguration)
-            def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-            val incBuckets = Dedup.bandBuckets(incSigs, numHashes, bands)
-            val sigStore =
-              if (exists(sigsDir)) s.read.schema(incSigs.schema).parquet(sigsDir)
-              else incSigs.limit(0)
-            val bucketStore =
-              if (exists(bucketsDir))
-                s.read.schema(incBuckets.schema).parquet(bucketsDir)
-              else incBuckets.limit(0)
-            // a re-arrived id scores with its incoming signature only
-            val seenSigs = sigStore.join(incSigs.select("id"), Seq("id"), "left_anti")
-            val seenBuckets = bucketStore.join(incSigs.select("id"), Seq("id"), "left_anti")
-            val pairs = Dedup.incrementalFromBuckets(seenSigs, seenBuckets,
-              incSigs, incBuckets, numHashes, minJaccard)
+            // partition-pruned probe of the shared sb=/bb= state layout
+            // (Dedup.statePairsPlan scaladoc); materialized BEFORE the
+            // state grows since the plan reads the state directories
+            val pairs = Dedup.statePairsPlan(s, incSigs, incBuckets,
+              dedupStateDir, numHashes, minJaccard, nStateBuckets)
+              .localCheckpoint(true)
             // pairs are (a_id < b_id) with an incoming id in every pair;
             // id-ordered arrivals put every stored id below every new id,
             // so the b side is always the incoming doc to drop — the
             // min-id-keeps rule batch keepDecisions applies
             val dropIds = pairs.select(col("b_id").as(idCol)).distinct()
             val kept = docs.join(dropIds, Seq(idCol), "left_anti")
-            // state append (kept AND dropped — chains must keep collapsing
-            // across batches); each table re-filters against its own store
-            // so a crash between the appends heals on replay
-            val newSigs = incSigs.join(sigStore.select("id"), Seq("id"), "left_anti")
-              .localCheckpoint(true)
-            val newBuckets = incBuckets
-              .join(bucketStore.select("id"), Seq("id"), "left_anti")
-              .localCheckpoint(true)
-            try {
-              newSigs.write.mode("append").parquet(sigsDir)
-              newBuckets.write.mode("append").parquet(bucketsDir)
-            } finally {
-              Dedup.releaseLocalCheckpoint(newSigs)
-              Dedup.releaseLocalCheckpoint(newBuckets)
-            }
+            // state grows with kept AND dropped docs — chains must keep
+            // collapsing across batches; replay healing and the pruned
+            // self-filters are growState's contract
+            Dedup.growState(s, incSigs, incBuckets, dedupStateDir,
+              nStateBuckets)
             // gates on the redacted text, x23's order, then the split
+            // (pairs stays pinned until `clean` materializes — kept
+            // reads it through the dropIds anti-join)
             val clean = TextOps.piiScrub(kept, idCol, textCol)
               .withColumn("lang_pred", TextOps.langId(col("redacted")))
               .filter(col("lang_pred").isin(langs: _*))
@@ -112,6 +97,7 @@ object TrainingExport {
               .withColumn("split", TextOps.splitAssign(col(idCol)))
               .select(col(idCol), col("redacted"), col("split"))
               .localCheckpoint(true) // three per-split packs share the gates
+            Dedup.releaseLocalCheckpoint(pairs)
             try {
               Seq("train", "val", "test").foreach { sp =>
                 Pack.packIncremental(clean.filter(col("split") === sp),
@@ -120,7 +106,7 @@ object TrainingExport {
                   .parquet(s"$outDir/split=$sp/batch=$batchId")
               }
             } finally Dedup.releaseLocalCheckpoint(clean)
-          } finally incSigs.unpersist()
+          } finally { incSigs.unpersist(); incBuckets.unpersist() }
         }
       }
       .start()

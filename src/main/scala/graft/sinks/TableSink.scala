@@ -272,6 +272,36 @@ object TableSink {
     replaceTable(spark.read.parquet(path).repartition(nFiles), path)
   }
 
+  /** [[compact]] for a `partCol`-partitioned table: rewrites through the
+    * same staged atomic swap but keeps the directory layout (the flat
+    * compact would fold the partition column back into the data files
+    * and every partition-pruned reader would silently degrade to full
+    * scans). One file per partition per pass — partitioned state tables
+    * here hold bounded partition counts (`sb=`/`bb=` hash buckets), so
+    * per-partition file count, not byte size, is the thing to bound.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      partCol: String): Unit = {
+    recover(spark, path)
+    if (!exists(spark, path)) return
+    replaceTablePartitioned(
+      spark.read.parquet(path).repartition(col(partCol)), path, partCol)
+  }
+
+  private def replaceTablePartitioned(df: DataFrame, path: String,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    val staging = path + ".staging"
+    df.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val tmpOld = new Path(path + ".old")
+    if (fs.exists(tmpOld)) fs.delete(tmpOld, true)
+    if (fs.exists(target)) fs.rename(target, tmpOld)
+    fs.rename(new Path(staging), target)
+    fs.delete(tmpOld, true)
+  }
+
   /** Replace the WHOLE table's contents atomically (blue/green swap /
     * truncate-and-load) — [[replaceTable]]'s staged swap, crash-recovered.
     */

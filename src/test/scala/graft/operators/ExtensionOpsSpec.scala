@@ -226,6 +226,59 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/state/buckets").count() == 5 * 8)
   }
 
+  test("dedup state probe: band scan partition-pruned to the increment's bb set") {
+    val stateDir = java.nio.file.Files.createTempDirectory("dedupstate").toString
+    def sigsOf(ids: Long*) = Dedup.minhashSigs(
+      corpus.filter(col("doc_id").isin(ids.map(Long.box): _*)),
+      "doc_id", "text", 3, 32).dropDuplicates("id").persist()
+    val s1 = sigsOf(1L, 3L); val b1 = Dedup.bandBuckets(s1, 32, 8).persist()
+    Dedup.growState(spark, s1, b1, stateDir, nStateBuckets = 16)
+    s1.unpersist(); b1.unpersist()
+
+    val s2 = sigsOf(2L, 4L, 5L); val b2 = Dedup.bandBuckets(s2, 32, 8).persist()
+    val pairsDf = Dedup.statePairsPlan(spark, s2, b2, stateDir,
+      numHashes = 32, minJaccard = 0.5, nStateBuckets = 16)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // parity with the one-shot incremental API over the same split
+    val expected = Dedup.minhashLshIncremental(
+      corpus.filter(col("doc_id").isin(1L, 3L)),
+      corpus.filter(col("doc_id").isin(2L, 4L, 5L)),
+      "doc_id", "text", 3, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == expected, s"pruned probe pairs=$pairs expected=$expected")
+
+    // the stored band index must be read through a literal bb partition
+    // filter — the scan that keeps the probe O(touched buckets), not
+    // O(store) (a full-scan probe is the 100 TB killer this layout exists
+    // to prevent)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    assert(pf.exists(l => l.contains("bb") && l.contains(" IN (")),
+      s"bb set not pushed as a partition filter on the state scan:\n$plan")
+    s2.unpersist(); b2.unpersist()
+
+    // growState replay: re-growing with the same increment appends nothing
+    Dedup.growState(spark, s2, b2, stateDir, nStateBuckets = 16)
+    Dedup.growState(spark, s2, b2, stateDir, nStateBuckets = 16)
+    assert(spark.read.parquet(s"$stateDir/sigs").count() == 5)
+    assert(spark.read.parquet(s"$stateDir/buckets").count() == 5 * 8)
+    // crash window: buckets committed, sigs lost — replay restores the
+    // sig row without duplicating bucket rows
+    val sigsPath = new java.io.File(s"$stateDir/sigs")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(sigsPath)
+    val s3 = sigsOf(1L, 2L, 3L, 4L, 5L)
+    val b3 = Dedup.bandBuckets(s3, 32, 8).persist()
+    Dedup.growState(spark, s3, b3, stateDir, nStateBuckets = 16)
+    assert(spark.read.parquet(s"$stateDir/sigs").count() == 5)
+    assert(spark.read.parquet(s"$stateDir/buckets").count() == 5 * 8,
+      "bucket rows duplicated on sig-loss replay")
+    s3.unpersist(); b3.unpersist()
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
