@@ -530,6 +530,59 @@ object TextVectorKernels {
         gramCoverage(2, topOnly = true), gramCoverage(5, topOnly = false)))
   }
 
+  /** Viterbi segmentation of one pre-token under a unigram piece LM
+    * (Kudo 2018): best[i] = max over piece lengths l of best[i-l] +
+    * logprob(word[i-l, i)), single characters falling back to `floor`
+    * when absent from the vocab so EVERY word segments (coverage — no
+    * dead ends, `back(i)` is always set because l = 1 always scores).
+    * Deterministic tie-break: lengths scan ascending with `>=`, so at an
+    * exact score tie the longer ending piece wins (fewer pieces).
+    * O(len × maxLen) per word; runs once per DISTINCT word in training
+    * (the word-frequency-table contract), not per occurrence.
+    */
+  def unigramViterbi(word: UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int, floor: Double): ArrayData = {
+    val w = word.toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val lmax = if (maxLen < i) maxLen else i
+      var l = 1
+      while (l <= lmax) {
+        val lp = vocab.get(w.substring(i - l, i))
+        val score =
+          if (lp != null) lp.doubleValue()
+          else if (l == 1) floor
+          else Double.NegativeInfinity
+        if (score != Double.NegativeInfinity &&
+            best(i - l) != Double.NegativeInfinity) {
+          val cand = best(i - l) + score
+          if (cand >= best(i)) { best(i) = cand; back(i) = l }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var count = 0
+    var p = n
+    while (p > 0) { count += 1; p -= back(p) }
+    val out = new Array[Any](count)
+    p = n
+    var j = count - 1
+    while (p > 0) {
+      val l = back(p)
+      out(j) = UTF8String.fromString(w.substring(p - l, p))
+      j -= 1; p -= l
+    }
+    new GenericArrayData(out)
+  }
+
   /** Approximate inner product from PQ codes + a query's LUT: fixed-order
     * sum of m lookups — deterministic at any parallelism.
     */
@@ -895,6 +948,43 @@ case class PqLutExpr(child: Expression, codebooks: Array[Array[Double]],
 /** Approximate inner product: m LUT lookups per (candidate, query) pair —
   * the PQ hot path, codegen'd like [[SigAgreement]].
   */
+/** Unigram-LM Viterbi segmentation of a pre-token
+  * ([[TextVectorKernels.unigramViterbi]]). The vocab travels as two
+  * parallel foldable array literals (pieces, logprobs) extracted once at
+  * expression build — the [[NearestCentroids]] model-shipping pattern —
+  * and becomes a hash map lazily per executor.
+  */
+case class UnigramViterbiExpr(child: Expression, pieces: Array[String],
+    logprobs: Array[Double], maxPieceLen: Int, floor: Double)
+    extends UnaryExpression {
+  require(pieces.length == logprobs.length,
+    s"pieces (${pieces.length}) and logprobs (${logprobs.length}) must align")
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), logprobs(i)); i += 1 }
+    m
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_viterbi requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.unigramViterbi(input.asInstanceOf[UTF8String],
+      vocab, maxPieceLen, floor)
+  // the vocab map rides the expression object; reference it from
+  // generated code instead of inlining (the NearestCentroids rationale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramViterbiExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramViterbiExpr =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_viterbi"
+}
+
 case class PqAdcExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   private def okCodes(e: Expression): Boolean = e.dataType match {
@@ -1050,5 +1140,29 @@ object TextVectorExpressions {
   def pq_adc(codes: Column, lut: Column, k: Int): Column = {
     registerPq(SparkSession.active)
     call_function("pq_adc", codes, lut, lit(k))
+  }
+
+  private[graft] def foldableStrings(e: Expression): Array[String] = {
+    val arr = e.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toArray
+  }
+
+  private[graft] def foldableDoubles(e: Expression): Array[Double] = {
+    val arr = e.eval(null).asInstanceOf[ArrayData]
+    arr.toDoubleArray()
+  }
+
+  private def registerUnigramViterbi(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "unigram_viterbi")(
+      exprs => UnigramViterbiExpr(exprs(0), foldableStrings(exprs(1)),
+        foldableDoubles(exprs(2)), litInt(exprs(3)), litDouble(exprs(4))))
+
+  def unigram_viterbi(c: Column, pieces: Array[String],
+      logprobs: Array[Double], maxPieceLen: Int, floor: Double): Column = {
+    registerUnigramViterbi(SparkSession.active)
+    call_function("unigram_viterbi", c,
+      org.apache.spark.sql.functions.typedlit(pieces.toSeq),
+      org.apache.spark.sql.functions.typedlit(logprobs.toSeq),
+      lit(maxPieceLen), lit(floor))
   }
 }
