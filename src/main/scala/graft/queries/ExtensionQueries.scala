@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps}
+import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps, UnigramLm}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -1032,6 +1032,46 @@ object ExtensionQueries {
               count(lit(1)).cast("double"), 4).as("subwords_per_word"))
       },
       F1OracleSql.sql.get("x44b_bpe_roundtrip")),
+
+    // Unigram-LM vocab training (Kudo 2018 — the OTHER mainstream
+    // tokenizer family next to x44's BPE): seed pieces from
+    // frequency-weighted word substrings, hard-EM under the codegen'd
+    // Viterbi kernel, prune-train to the target size. Same 100 TB shape
+    // as BPE: corpus pays one pre-tokenize pass, every round is
+    // vocabulary-sized. Output = the final (rank, piece, n, logprob)
+    // table, deterministic by (count desc, piece asc) ranking + the
+    // kernel's fixed tie-break — frozen-oracle pinned. Coverage /
+    // round-trip / determinism invariants are spec-pinned in
+    // UnigramLmSpec.
+    Q("x47_unigram_vocab",
+      (s, d) => UnigramLm.train(Tables.documents(s, d), "text",
+        vocabSize = 64, maxPieceLen = 6, emRounds = 2)
+        .vocab.orderBy("rank"),
+      F1OracleSql.sql.get("x47_unigram_vocab")),
+
+    // The x44b posture for the unigram model: re-segment the SAME
+    // corpus through the trained pieces and pin the invariants a broken
+    // trainer/segmenter would move — zero OOV (all corpus chars are
+    // vocab pieces by the coverage floor), zero concat mismatches (DP
+    // construction), total word/piece/char counts, and the compression
+    // the learned pieces buy over character segmentation.
+    Q("x47b_unigram_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = UnigramLm.train(docs, "text",
+          vocabSize = 64, maxPieceLen = 6, emRounds = 2)
+        UnigramLm.segment(docs, "doc_id", "text", model)
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(size(col("pieces"))).as("n_pieces"),
+            sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+            sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L)
+              .otherwise(0L)).as("n_mismatch"),
+            sum(length(col("word"))).cast("long").as("n_chars"),
+            round(sum(size(col("pieces"))).cast("double") /
+              count(lit(1)).cast("double"), 4).as("pieces_per_word"))
+      },
+      F1OracleSql.sql.get("x47b_unigram_roundtrip")),
 
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then
