@@ -175,6 +175,35 @@ object LexIndexStore {
     } finally Dedup.releaseLocalCheckpoint(fresh)
   }
 
+  /** Streaming index growth: documents landing on a file stream are
+    * absorbed per micro-batch through [[addDocuments]] — each trigger is
+    * O(increment), re-arrived ids (checkpoint replay, cross-batch
+    * overlap) heal through the doclens filter, and meta is recomputed
+    * from doclens per batch so the corpus scalars can never drift from
+    * the stored rows. Single-maintainer contract, same as
+    * [[AnnIndexStore.streamingAddVectors]].
+    */
+  def streamingAddDocuments(spark: SparkSession, sourceDir: String,
+      schema: StructType, indexPath: String, checkpointDir: String,
+      idCol: String, textCol: String,
+      engine: MergeEngine = new ManifestMergeEngine(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast at stream start, not first trigger
+    readMeta(spark, indexPath, engine)
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .queryName("graft_lex_ingest")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addDocuments(batch.sparkSession, indexPath, batch, idCol, textCol,
+          engine)
+      }
+      .start()
+  }
+
   /** Delete documents: tombstones, not rewrites. Each tombstone carries
     * the doc's stored length so searches can correct the corpus scalars
     * without re-aggregating doclens — O(deletes) work: one point join

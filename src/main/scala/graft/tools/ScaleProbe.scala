@@ -273,6 +273,84 @@ object ScaleProbe {
     corpus.unpersist()
   }
 
+  /** Persisted-inverted-index probe (the x24b treatment for x46b):
+    * attribute the lexical build-once/search-many split on a
+    * factor×-replicated document corpus. Reports index build,
+    * SEARCH-ONLY latency against the stored postings (×3 — steady
+    * state, bucket-pruned), the incremental addDocuments path, the
+    * delete→purge lifecycle, and the on-the-fly [[Terms.bm25TopK]] for
+    * contrast (what every search pays without the index).
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 lexindex"
+    */
+  private def lexIndexProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{LexIndexStore, Terms}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    // suffix-perturbed replication (the dedupProbe recipe): replicas stay
+    // realistic BM25 corpus members without being byte-identical
+    val corpus = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else concat(col("text"), lit(" v" + i))).as("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"lex_corpus","docs":${corpus.count()}}""")
+    val queries = spark.createDataFrame(Seq(
+      (1L, "hash join"), (2L, "window merge sort"),
+      (3L, "spark stream vector"), (4L, "customer zzzunseen")))
+      .toDF("query_id", "qtext")
+    val dir = Files.createTempDirectory("lexprobe").toString
+
+    timed("lexindex_build")(
+      LexIndexStore.build(spark, dir, corpus, "doc_id", "text", nBuckets = 64))
+    (1 to 3).foreach { i =>
+      timed(s"lexindex_search_stored_$i") {
+        LexIndexStore.searchTopK(spark, dir, queries,
+          "query_id", "qtext", k = 5).collect()
+      }
+    }
+    // incremental growth: one original-corpus-worth of new ids (1/factor
+    // of the indexed rows) — must cost O(increment), not O(index)
+    val inc = docs0.select(
+      (col("doc_id") + lit(factor.toLong * 1000000L)).as("doc_id"),
+      concat(col("text"), lit(" grown")).as("text"))
+    timed("lexindex_add_documents")(
+      LexIndexStore.addDocuments(spark, dir, inc, "doc_id", "text"))
+    timed("lexindex_search_grown") {
+      LexIndexStore.searchTopK(spark, dir, queries,
+        "query_id", "qtext", k = 5).collect()
+    }
+    // deletion lifecycle: tombstone one original-corpus-worth, search
+    // through the tombstone anti-join, purge (touched buckets only),
+    // search clean
+    val delIds = corpus.filter(col("doc_id") < 1000000L).select("doc_id")
+    timed("lexindex_delete_documents")(
+      LexIndexStore.deleteDocuments(spark, dir, delIds, "doc_id"))
+    timed("lexindex_search_tombstoned") {
+      LexIndexStore.searchTopK(spark, dir, queries,
+        "query_id", "qtext", k = 5).collect()
+    }
+    timed("lexindex_purge_deleted")(LexIndexStore.purgeDeleted(spark, dir))
+    timed("lexindex_search_purged") {
+      LexIndexStore.searchTopK(spark, dir, queries,
+        "query_id", "qtext", k = 5).collect()
+    }
+    // contrast: the x46 on-the-fly path over the same (grown) corpus
+    timed("lexindex_live_bm25_contrast") {
+      Terms.bm25TopK(corpus.unionByName(inc), "doc_id", "text",
+        queries, "query_id", "qtext", k = 5).collect()
+    }
+    corpus.unpersist()
+  }
+
   /** Manifest-log probe (round-7 directive #3 evidence): `n` single-file
     * appends to one manifest table; per-commit record bytes must stay
     * O(delta) — flat — while the FULL file list grows linearly (what every
@@ -472,6 +550,10 @@ object ScaleProbe {
     }
     if (mode == "bpe") {
       try bpeProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "lexindex") {
+      try lexIndexProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {

@@ -156,6 +156,47 @@ class LexIndexStoreSpec extends SparkSpec {
     Dedup.releaseLocalCheckpoint(tombstones)
   }
 
+  test("streaming growth: arrival-split ingest equals batch; replay heals") {
+    val all = docs(400)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
+      "doc_id", "text", nBuckets = 16, engine = engine)
+
+    val srcBase = java.nio.file.Files.createTempDirectory("lexstream").toString
+    val src = s"$srcBase/src"
+    new java.io.File(src).mkdirs()
+    def land(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("lexarr").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name"))
+    }
+    // two arrivals; the second RE-SHIPS part of the first plus
+    // base-corpus ids already indexed — both must be absorbed
+    land(all.filter(col("doc_id") >= 200 && col("doc_id") < 300), "a1.parquet")
+    val q = LexIndexStore.streamingAddDocuments(spark, src, all.schema,
+      dir, s"$srcBase/ckpt", "doc_id", "text", engine = engine)
+    try {
+      q.processAllAvailable()
+      land(all.filter(col("doc_id") >= 250 || col("doc_id") < 10), "a2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dl = engine.read(spark, s"$dir/doclens").get
+    assert(dl.count() == 400)
+    assert(dl.select("doc_id").distinct().count() == 400)
+    val m = meta(dir)
+    assert(m.getLong(0) == 400)
+    // search through the streamed-grown index equals the live scorer
+    // over the full corpus — batch addDocuments parity, end to end
+    assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine)) ==
+      rows(Terms.bm25TopK(all, "doc_id", "text",
+        queryBatch, "query_id", "qtext", k = 5)))
+  }
+
   test("interrupted add (doclens landed, postings lost) degrades, never corrupts") {
     val all = docs(300)
     val dir = tmpIndex()
