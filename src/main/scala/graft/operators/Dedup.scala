@@ -378,13 +378,19 @@ object Dedup {
     val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
     val sigIds = st.prunedSigs.select("id")
     val stateIds = sigIds.union(st.prunedBuckets.select("id")).distinct()
+    // cluster by the partition column BEFORE the partitioned write —
+    // unclustered, every task sprays a file into every bb=/sb= directory
+    // (tasks × buckets files per trigger; the LexIndexStore.appendCorpus
+    // rationale)
     val newBuckets = incBuckets
       .withColumn("bb", stateBb(nStateBuckets))
       .join(stateIds, Seq("id"), "left_anti")
+      .repartition(col("bb"))
       .localCheckpoint(true)
     val newSigs = incSigs
       .withColumn("sb", stateSb(nStateBuckets))
       .join(sigIds, Seq("id"), "left_anti")
+      .repartition(col("sb"))
       .localCheckpoint(true)
     try {
       newBuckets.write.partitionBy("bb").mode("append")

@@ -1073,6 +1073,93 @@ object ExtensionQueries {
       },
       F1OracleSql.sql.get("x47b_unigram_roundtrip")),
 
+    // The STREAMING dedup path under the driver's oracle: a bounded
+    // slice of the x02 corpus split into two deterministic arrival
+    // files (doc_id parity), drained through streamingMinhashDedup's
+    // partition-pruned persisted state, pairs read back sorted. By the
+    // batch-parity contract (spec-pinned: the pair union over any
+    // arrival split equals the one-shot run) the frozen oracle pins the
+    // streaming machinery itself. The id bound keeps the entry's bench
+    // cost constant across SFs — the streaming path's SCALE posture is
+    // ScaleProbe territory, not the serial bench's.
+    Q("x48_streaming_dedup",
+      (s, d) => {
+        // keep originals 0..999 AND their planted copies (+1,000,000 ids
+        // of originals < 20) — a bare id cap would drop every planted
+        // dup and freeze an empty-pairs oracle
+        val corpus = plantTextDups(Tables.documents(s, d))
+          .filter(col("doc_id") < 1000 || col("doc_id") >= 1000000L)
+          .select("doc_id", "text")
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x48_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val src = s"$base/src"
+        new java.io.File(src).mkdirs()
+        landFile(corpus.filter(col("doc_id") % 2 === 0), src, "a1.parquet")
+        val q = graft.operators.Dedup.streamingMinhashDedup(s, src,
+          corpus.schema, s"$base/state", s"$base/pairs", s"$base/ckpt",
+          "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+          minJaccard = 0.5, nStateBuckets = 16)
+        try {
+          q.processAllAvailable()
+          landFile(corpus.filter(col("doc_id") % 2 === 1), src, "a2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$base/pairs")
+          .dropDuplicates("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      },
+      F1OracleSql.sql.get("x48_streaming_dedup")),
+
+    // The STREAMING as-of join under the oracle: events split into two
+    // deterministic arrivals (event_id parity — so late clicks land
+    // AFTER purchases they must revise), drained through
+    // streamingAsofJoin's revision machinery with a watermark wide
+    // enough that nothing drops, result table read back. Converges to
+    // the one-shot batch as-of over all arrivals (the operator
+    // contract), so the oracle is x29's INDEPENDENT window-SQL
+    // formulation — the streaming path is checked against DuckDB
+    // semantics, not against our own batch run.
+    Q("x49_streaming_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "event_type")
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x49_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val src = s"$base/src"
+        new java.io.File(src).mkdirs()
+        landFile(ev.filter(col("event_id") % 2 === 0), src, "a1.parquet")
+        val q = graft.operators.AsofJoin.streamingAsofJoin(s, src, ev.schema,
+          s"$base/state", s"$base/out", s"$base/ckpt", Seq("user_id"),
+          leftFilter = "event_type = 'purchase'",
+          rightFilter = "event_type = 'click'",
+          leftId = "event_id", leftTs = "ts", rightTs = "ts",
+          rightCols = Map("event_id" -> "click_id"),
+          rightTieBreak = "event_id",
+          watermark = 4000000000000000000L)
+        try {
+          q.processAllAvailable()
+          landFile(ev.filter(col("event_id") % 2 === 1), src, "a2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$base/out")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000").as("ts_ms"),
+            expr("asof_ts div 1000000").as("click_ts_ms"),
+            col("click_id"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, ts_ms, click_ts_ms, click_id FROM (" +
+        "SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
+        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
+        "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
+        "WHERE rn = 1 ORDER BY event_id")),
+
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then
     // let Skew.statsJoin choose each join's physical shape FROM the
@@ -1176,6 +1263,20 @@ object ExtensionQueries {
       },
       Some(bm25OracleSql)),
   )
+
+  /** Land `df` as ONE flat parquet file in a file-stream source dir (the
+    * stream source lists plain files, not nested directories) — the
+    * deterministic-arrival helper the streaming registry entries use.
+    */
+  private def landFile(df: DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_land").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$srcDir/$name"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 
   private def bm25QueryBatch(s: SparkSession): DataFrame =
     s.createDataFrame(Seq(
