@@ -72,6 +72,58 @@ object Terms {
           .as("avg_neg_logprob"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document mean
+    * log-likelihood ratio between a TARGET domain's unigram model and
+    * the full corpus's — the operator that turns "I have 100 TB of raw
+    * text and 1 GB that looks like my eval domain" into a ranked
+    * selection. `targetFilter` marks the in-domain documents; both
+    * models are add-α smoothed over the SHARED corpus vocabulary
+    * (`p(w) = (c(w) + α) / (total + α·|V|)`), so out-of-target tokens
+    * get mass and the ratio is always finite. Score =
+    * `avg(ln(p_target(token) / p_corpus(token)))` over the doc's token
+    * occurrences — positive ⇒ looks like the target domain. Per-token
+    * contributions are pure double functions of exact counts, rounded
+    * to 6 decimals and DECIMAL-summed (the determinism convention),
+    * final average rounded to 4. Output: `(idCol, n_toks, dsir_score)`.
+    *
+    * Scale posture: ONE explode scan, pinned (three consumers: corpus
+    * model, target model, score join — at 100 TB persist the token
+    * table instead). Both models are vocabulary-sized; the score join
+    * keys on the term (Zipf-skewed — AQE splits); corpus scalars ride a
+    * 1-row broadcast. Downstream selection is `orderBy(score).limit(k)`
+    * — TakeOrderedAndProject, never a global sort or rank window.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: org.apache.spark.sql.Column,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = tokens(docs, idCol, textCol).localCheckpoint(true)
+    val gModel = toks.groupBy("token").agg(count(lit(1)).as("g_n"))
+    val targetIds = docs.filter(targetFilter).select(col(idCol))
+    val tModel = toks.join(targetIds, Seq(idCol), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("t_n"))
+    val scalars = gModel
+      .agg(sum(col("g_n")).as("g_total"), count(lit(1)).as("v"))
+      .crossJoin(tModel.agg(
+        coalesce(sum(col("t_n")), lit(0L)).as("t_total")))
+    val model = gModel.join(tModel, Seq("token"), "left")
+      .na.fill(0L, Seq("t_n"))
+    val contrib = log(
+      ((col("t_n") + alpha) / (col("t_total") + lit(alpha) * col("v"))) /
+      ((col("g_n") + alpha) / (col("g_total") + lit(alpha) * col("v"))))
+    toks.join(model, "token")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum(round(contrib, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
+      // + 0.0 canonicalizes IEEE negative zero: a doc rounding to exactly
+      // zero otherwise hash-compares 0.0 vs -0.0 across engines
+      .select(col(idCol), col("n_toks"),
+        (round(col("_s").cast("double") / col("n_toks"), 4) + lit(0.0))
+          .as("dsir_score"))
+  }
+
   /** Per-document top-`k` terms by smoothed TF-IDF
     * (`tf * ln((N + 1) / (df + 1))`, N = docs with at least one token),
     * score rounded to 4 decimals, ties broken by term. Output:

@@ -238,6 +238,37 @@ object TextOps {
     docs.filter(frac < rate)
   }
 
+  /** Deterministic global corpus shuffle + training-shard assignment:
+    * every document gets a `shard` in [0, nShards) and a dense 1-based
+    * `pos` within its shard, both pure functions of (seed, id) — the
+    * "global shuffle" step between packing and the training loader, made
+    * reproducible (a `rand()` shuffle re-draws on every retry, so two
+    * runs of the same export would feed different batch orders).
+    * Hash = md5 of `"seed:id"` (cross-engine-identical, the x37 idiom);
+    * shard = first 8 hex digits mod nShards, order within shard =
+    * (full hash, id) — id tiebreak makes the order total even under a
+    * (astronomically unlikely) hash collision.
+    *
+    * Scale posture: one shuffle on `shard`; each window partition holds
+    * ~corpus/nShards rows, so `nShards` sizes partitions exactly the way
+    * `spark.sql.shuffle.partitions` does — the caller picks it to bound
+    * partition memory (1024 shards over 100 TB ≈ 100 GB of ids/hashes
+    * per partition is still too hot; real exports use 10k+ shards, and
+    * the rank is over (hash, id) only — text does NOT ride the shuffle).
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be >= 1")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    docs.select(col(idCol), h.as("_h"),
+        pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def splitAssign(id: Column,
       weights: Seq[(String, Double)] =
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): Column = {

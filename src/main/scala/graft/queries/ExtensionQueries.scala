@@ -1160,6 +1160,55 @@ object ExtensionQueries {
         "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
         "WHERE rn = 1 ORDER BY event_id")),
 
+    // DSIR importance scoring (Xie et al. 2023): rank every document by
+    // how much more likely its tokens are under a TARGET domain's
+    // unigram model than under the whole corpus's — the data-selection
+    // operator between raw crawl and training mix. The target slice is
+    // a deterministic id stratum (doc_id ≡ 3 mod 7); both models are
+    // add-0.5 smoothed over the shared vocabulary, so the ratio is
+    // finite for every token. Live SQL oracle recomputes both models
+    // and every per-token contribution independently in DuckDB.
+    Q("x50_dsir_score",
+      (s, d) => Terms.dsirScore(Tables.documents(s, d), "doc_id", "text",
+        pmod(col("doc_id"), lit(7)) === 3, alpha = 0.5)
+        .orderBy("doc_id"),
+      Some("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "g AS (SELECT token, count(*) AS g_n FROM toks GROUP BY token), " +
+        "t AS (SELECT token, count(*) AS t_n FROM toks " +
+        "WHERE doc_id % 7 = 3 GROUP BY token), " +
+        "sc AS (SELECT (SELECT sum(g_n) FROM g) AS g_total, " +
+        "(SELECT count(*) FROM g) AS v, " +
+        "(SELECT coalesce(sum(t_n), 0) FROM t) AS t_total), " +
+        "model AS (SELECT g.token, g_n, coalesce(t_n, 0) AS t_n " +
+        "FROM g LEFT JOIN t USING (token)) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "round(CAST(sum(CAST(round(ln(" +
+        "((t_n + 0.5) / (t_total + 0.5 * v)) / " +
+        "((g_n + 0.5) / (g_total + 0.5 * v))), 6) " +
+        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 AS dsir_score " +
+        "FROM toks JOIN model USING (token) CROSS JOIN sc " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
+    // Deterministic global shuffle + shard assignment: the step between
+    // packing and the training loader — every doc lands in a
+    // pseudo-random shard with a dense in-shard position, reproducible
+    // across runs/retries (md5 of seed:id, the x37 cross-engine idiom;
+    // a rand() shuffle re-draws per retry). One shuffle on shard; the
+    // oracle re-derives shard and order independently in DuckDB.
+    Q("x51_shuffle_shards",
+      (s, d) => TextOps.shuffleShards(Tables.documents(s, d), "doc_id",
+        nShards = 8, seed = "graft")
+        .orderBy("shard", "pos"),
+      Some("SELECT doc_id, shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard " +
+        "ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) " +
+        "AS BIGINT) AS pos FROM (" +
+        "SELECT doc_id, ('0x' || substring(" +
+        "md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 " +
+        "AS shard FROM documents) t ORDER BY shard, pos")),
+
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then
     // let Skew.statsJoin choose each join's physical shape FROM the

@@ -279,6 +279,32 @@ class ExtensionOpsSpec extends SparkSpec {
     s3.unpersist(); b3.unpersist()
   }
 
+  test("dsirScore: target-domain docs score positive, off-domain negative, length-robust") {
+    // two disjoint vocabularies: "medical" target vs "legal" background
+    val docs = Seq(
+      (1L, "dose patient trial dose symptom patient"),
+      (2L, "patient dose trial symptom"),
+      (3L, "court clause verdict appeal court clause"),
+      (4L, "clause verdict appeal court"),
+      (5L, "dose patient court clause") // mixed: should sit between
+    ).toDF("doc_id", "text")
+    val scored = Terms.dsirScore(docs, "doc_id", "text",
+      col("doc_id") <= 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1) > 0 && scored(2) > 0, s"target docs must score > 0: $scored")
+    assert(scored(3) < 0 && scored(4) < 0, s"off-domain docs must score < 0: $scored")
+    assert(scored(5) > scored(3) && scored(5) < scored(1),
+      s"mixed doc sits between: $scored")
+    // per-token normalization: repeating a doc's text doesn't move its score
+    val doubled = Seq((9L, "dose patient trial symptom dose patient trial symptom"))
+      .toDF("doc_id", "text")
+    val s2 = Terms.dsirScore(docs.unionByName(doubled), "doc_id", "text",
+      col("doc_id") <= 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(s2(9) - s2(2)) < 0.01,
+      s"length-doubled same-distribution doc scores equal: $s2")
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
