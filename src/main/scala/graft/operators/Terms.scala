@@ -72,6 +72,58 @@ object Terms {
           .as("avg_neg_logprob"))
   }
 
+  /** Per-document mean bigram negative log-probability under an
+    * interpolated bigram LM trained on the corpus itself — the n-gram
+    * step past [[unigramLogprob]] toward the KenLM-style perplexity
+    * filter CCNet runs (Wenzek et al. 2020): unigram scoring can't see
+    * scrambled word order, a bigram model penalizes it.
+    * `p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/total` (interpolated
+    * with the unigram model, so unseen continuations never zero out),
+    * score = `avg(-ln p)` over the doc's bigram occurrences. Documents
+    * with fewer than two tokens have no bigrams and drop from the
+    * output (score them with [[unigramLogprob]]). Determinism
+    * convention throughout; `+ 0.0` canonicalizes the negative zero a
+    * certain-bigram doc (`p = 1`) would produce.
+    *
+    * Scale posture: bigram extraction is MAP-ONLY (array transform +
+    * explode — no self-join, no window); the three model tables
+    * (bigram counts, prefix counts, unigram counts) are
+    * vocabulary-sized partial-aggregated exchanges joined back on
+    * Zipf-skewed term keys (AQE splits); the corpus total rides a
+    * 1-row broadcast. Output: `(idCol, n_bigrams, avg_neg_logprob)`.
+    */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda ($lambda) must be in (0, 1]")
+    val toks = tokens(docs, idCol, textCol)
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("u_n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val arr = split(trim(col(textCol)), "\\s+")
+    val bg = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), arr.as("_arr"))
+      .filter(size(col("_arr")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_arr")) - 2),
+        i => struct(element_at(col("_arr"), i + 1).as("w1"),
+          element_at(col("_arr"), i + 2).as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val bModel = bg.groupBy("w1", "w2").agg(count(lit(1)).as("b_n"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1_n"))
+    val p = lit(lambda) * col("b_n") / col("c1_n") +
+      lit(1.0 - lambda) * col("u_n") / col("total")
+    bg.join(bModel, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(uni, bg("w2") === uni("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(round(-log(p), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        (round(col("_s").cast("double") / col("n_bigrams"), 4) + lit(0.0))
+          .as("avg_neg_logprob"))
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document mean
     * log-likelihood ratio between a TARGET domain's unigram model and

@@ -1191,6 +1191,40 @@ object ExtensionQueries {
         "FROM toks JOIN model USING (token) CROSS JOIN sc " +
         "GROUP BY doc_id ORDER BY doc_id")),
 
+    // Interpolated bigram-LM perplexity score — the n-gram step past
+    // x41 toward CCNet's KenLM filter: word-order-scrambled or
+    // improbable-sequence docs score high where a unigram model is
+    // blind. Bigram extraction is map-only (array transform + explode);
+    // three vocabulary-sized model joins. The live oracle re-derives
+    // model and score independently in DuckDB (array-subscript bigrams).
+    Q("x52_bigram_logprob",
+      (s, d) => Terms.bigramLogprob(Tables.documents(s, d), "doc_id",
+        "text", lambda = 0.9)
+        .orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(text), '\\s+') AS arr " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "toks AS (SELECT doc_id, unnest(arr) AS token FROM d), " +
+        "uni AS (SELECT token, count(*) AS u_n FROM toks GROUP BY token), " +
+        "tot AS (SELECT count(*) AS total FROM toks), " +
+        "bg AS (SELECT doc_id, arr[CAST(i AS INT)+1] AS w1, " +
+        "arr[CAST(i AS INT)+2] AS w2 " +
+        "FROM d, unnest(range(len(arr)-1)) AS t(i) WHERE len(arr) >= 2), " +
+        "bmodel AS (SELECT w1, w2, count(*) AS b_n FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*) AS c1_n FROM bg GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(CAST(sum(CAST(round(-ln(" +
+        // (1.0 - 0.9) NOT 0.1: the Spark side computes lit(1.0 - lambda),
+        // and IEEE 1.0-0.9 is 0x3FB999...9A-ulp, not the 0.1 literal —
+        // the oracle must run the SAME subtraction or scores drift in
+        // the 17th digit and the hash compare fails
+        "0.9 * b_n / c1_n + (1.0 - 0.9) * u_n / total), 6) " +
+        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 " +
+        "AS avg_neg_logprob " +
+        "FROM bg JOIN bmodel USING (w1, w2) JOIN c1 USING (w1) " +
+        "JOIN uni ON bg.w2 = uni.token CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
     // Deterministic global shuffle + shard assignment: the step between
     // packing and the training loader — every doc lands in a
     // pseudo-random shard with a dense in-shard position, reproducible

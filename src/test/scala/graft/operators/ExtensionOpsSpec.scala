@@ -305,6 +305,28 @@ class ExtensionOpsSpec extends SparkSpec {
       s"length-doubled same-distribution doc scores equal: $s2")
   }
 
+  test("bigramLogprob: scrambled word order scores worse; unigram model can't tell") {
+    // docs 1-3 share natural phrasing; doc 4 is doc 1's tokens SHUFFLED —
+    // identical unigram distribution, broken bigrams
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat ran on the mat"),
+      (4L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val bi = Terms.bigramLogprob(docs, "doc_id", "text", lambda = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(4) > bi(1), s"scrambled doc must score worse under bigrams: $bi")
+    val uniScores = Terms.unigramLogprob(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uniScores(4) == uniScores(1),
+      s"unigram model is order-blind (the gap x52 closes): $uniScores")
+    // single-token doc has no bigrams and drops (documented contract)
+    val tiny = Seq((9L, "word")).toDF("doc_id", "text")
+    assert(Terms.bigramLogprob(docs.unionByName(tiny), "doc_id", "text")
+      .filter(col("doc_id") === 9L).isEmpty)
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
