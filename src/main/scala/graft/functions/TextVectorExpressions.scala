@@ -405,6 +405,64 @@ object TextVectorKernels {
     new GenericArrayData(out)
   }
 
+  /** SQ8 scalar quantization (the FAISS SQ8 layout): per-dimension
+    * affine codes `c_i = clamp(round((x_i − min_i) / scale_i), 0, 255)`,
+    * `scale_i = (max_i − min_i) / 255`. A constant dimension
+    * (`scale ≤ 0`) codes 0 and dequantizes to its min — exact. 4 bytes →
+    * 1 byte per dimension with no training loop (the quantization step
+    * between full-precision brute force and PQ's codebook compression).
+    */
+  def sq8Encode(v: ArrayData, mins: Array[Double], scales: Array[Double],
+      isFloat: Boolean): ArrayData = {
+    val x = toDoubles(v, isFloat)
+    val n = mins.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val xi = if (i < x.length) x(i) else 0.0
+      val c = if (scales(i) <= 0) 0 else {
+        val r = Math.round((xi - mins(i)) / scales(i)).toInt
+        if (r < 0) 0 else if (r > 255) 255 else r
+      }
+      out(i) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ⟨query, dequantized SQ8 codes⟩ — fixed-order sum, deterministic at
+    * any parallelism.
+    */
+  def sq8Dot(q: ArrayData, codes: ArrayData, mins: Array[Double],
+      scales: Array[Double], qIsFloat: Boolean): Double = {
+    val x = toDoubles(q, qIsFloat)
+    val n = math.min(codes.numElements(), mins.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val qi = if (i < x.length) x(i) else 0.0
+      acc += qi * (mins(i) + codes.getInt(i) * scales(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** ‖dequantized SQ8 codes‖₂ — stored at encode time so cosine needs no
+    * second pass over the corpus.
+    */
+  def sq8Norm(codes: ArrayData, mins: Array[Double],
+      scales: Array[Double]): Double = {
+    val n = math.min(codes.numElements(), mins.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dq = mins(i) + codes.getInt(i) * scales(i)
+      acc += dq * dq
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
   /** Asymmetric-distance lookup table for one query: lut[s·k + j] =
     * ⟨query subvector s, codeword j of sub s⟩ — m·k inner products, after
     * which every candidate scores in m table lookups ([[pqAdc]]).
@@ -921,6 +979,80 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Double]],
   override def prettyName: String = "pq_encode"
 }
 
+/** SQ8 per-dimension affine quantizer ([[TextVectorKernels.sq8Encode]]);
+  * mins/scales ride the expression (the [[NearestCentroids]] pattern).
+  */
+case class Sq8EncodeExpr(child: Expression, mins: Array[Double],
+    scales: Array[Double]) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sq8_encode requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.sq8Encode(input.asInstanceOf[ArrayData], mins, scales, elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8EncodeExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8EncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_encode"
+}
+
+/** ⟨query, dequantized codes⟩ ([[TextVectorKernels.sq8Dot]]). */
+case class Sq8DotExpr(left: Expression, right: Expression,
+    mins: Array[Double], scales: Array[Double]) extends BinaryExpression {
+  private def qIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_dot requires (ARRAY<FLOAT|DOUBLE>, ARRAY<INT>), got $other")
+  }
+  override def nullSafeEval(q: Any, codes: Any): Any =
+    TextVectorKernels.sq8Dot(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], mins, scales, qIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8DotExpr", this)
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = (Double) $ref.nullSafeEval($q, $c);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Sq8DotExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sq8_dot"
+}
+
+/** ‖dequantized codes‖ ([[TextVectorKernels.sq8Norm]]). */
+case class Sq8NormExpr(child: Expression, mins: Array[Double],
+    scales: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_norm requires ARRAY<INT>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(codes: Any): Any =
+    TextVectorKernels.sq8Norm(codes.asInstanceOf[ArrayData], mins, scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8NormExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Double) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8NormExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_norm"
+}
+
 /** Per-query ADC lookup table against an embedded codebook matrix. */
 case class PqLutExpr(child: Expression, codebooks: Array[Array[Double]],
     m: Int, k: Int) extends UnaryExpression {
@@ -1140,6 +1272,39 @@ object TextVectorExpressions {
   def pq_adc(codes: Column, lut: Column, k: Int): Column = {
     registerPq(SparkSession.active)
     call_function("pq_adc", codes, lut, lit(k))
+  }
+
+  private def registerSq8(spark: SparkSession): Unit = {
+    Registry.registerOnce(spark, "sq8_encode")(
+      exprs => Sq8EncodeExpr(exprs(0), foldableDoubles(exprs(1)),
+        foldableDoubles(exprs(2))))
+    Registry.registerOnce(spark, "sq8_dot")(
+      exprs => Sq8DotExpr(exprs(0), exprs(1), foldableDoubles(exprs(2)),
+        foldableDoubles(exprs(3))))
+    Registry.registerOnce(spark, "sq8_norm")(
+      exprs => Sq8NormExpr(exprs(0), foldableDoubles(exprs(1)),
+        foldableDoubles(exprs(2))))
+  }
+
+  def sq8_encode(c: Column, mins: Array[Double], scales: Array[Double]): Column = {
+    registerSq8(SparkSession.active)
+    call_function("sq8_encode", c,
+      org.apache.spark.sql.functions.typedlit(mins.toSeq),
+      org.apache.spark.sql.functions.typedlit(scales.toSeq))
+  }
+  def sq8_dot(q: Column, codes: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    registerSq8(SparkSession.active)
+    call_function("sq8_dot", q, codes,
+      org.apache.spark.sql.functions.typedlit(mins.toSeq),
+      org.apache.spark.sql.functions.typedlit(scales.toSeq))
+  }
+  def sq8_norm(codes: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    registerSq8(SparkSession.active)
+    call_function("sq8_norm", codes,
+      org.apache.spark.sql.functions.typedlit(mins.toSeq),
+      org.apache.spark.sql.functions.typedlit(scales.toSeq))
   }
 
   private[graft] def foldableStrings(e: Expression): Array[String] = {

@@ -238,6 +238,66 @@ object Similarity {
     * Search cost per (candidate, query) drops from a dim-length dot
     * product to m table lookups.
     */
+  final case class Sq8Model(mins: Array[Double], scales: Array[Double],
+      encoded: DataFrame)
+
+  /** SQ8 scalar quantization (FAISS's SQ8): per-dimension affine 8-bit
+    * codes from one min/max pass — 4× compression with no training loop
+    * and near-lossless recall, the step between full-precision brute
+    * force and PQ's codebook compression. `encoded` = (id, codes, _cn)
+    * with `_cn` the DEQUANTIZED norm, so search pays no second corpus
+    * pass. Deterministic: min/max are exact, the quantizer is a pure
+    * function — identical model and codes at any parallelism.
+    *
+    * Scale posture: the stats pass is one posexplode + partial-agg
+    * exchange keyed by dimension (bounded cardinality = dim); the
+    * collect is dim-bounded (the k-centroid contract). Encode is
+    * map-only through the codegen'd kernel.
+    */
+  def buildSq8(corpus: DataFrame, corpusId: String,
+      corpusVec: String): Sq8Model = {
+    val stats = corpus
+      .select(posexplode(col(corpusVec)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect()
+    require(stats.nonEmpty, "SQ8 needs a non-empty corpus")
+    val dim = stats.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val scales = new Array[Double](dim)
+    stats.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getDouble(1)
+      scales(p) = (r.getDouble(2) - r.getDouble(1)) / 255.0
+    }
+    val codes = graft.functions.TextVectorExpressions
+      .sq8_encode(col(corpusVec), mins, scales)
+    Sq8Model(mins, scales,
+      corpus.select(col(corpusId), codes.as("codes"),
+        graft.functions.TextVectorExpressions
+          .sq8_norm(codes, mins, scales).as("_cn")))
+  }
+
+  /** SQ8 top-k by asymmetric scoring: full-precision queries against the
+    * dequantized corpus codes — cosine = sq8_dot / (‖dequant‖·‖q‖), the
+    * stored norms on both sides. Exhaustive over codes (compose with an
+    * IVF probe filter the way [[pqTopK]] does for pruned scans).
+    */
+  def sq8TopK(model: Sq8Model, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    val corpusId = model.encoded.columns.head
+    val joined = model.encoded
+      .crossJoin(broadcast(queries.withColumn("_qn", norm(col(queryVec)))))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos",
+        when(col("_cn") * col("_qn") === 0.0, lit(0.0))
+          .otherwise(graft.functions.TextVectorExpressions
+              .sq8_dot(col(queryVec), col("codes"), model.mins, model.scales) /
+            (col("_cn") * col("_qn"))))
+    rankTopK(joined, queryId, corpusId, k)
+  }
+
   final case class PqModel(codebooks: Array[Array[Double]], m: Int, k: Int,
       encoded: DataFrame)
 

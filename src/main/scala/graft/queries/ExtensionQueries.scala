@@ -311,6 +311,26 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x18_ann_pq_topk")),
 
+    // SQ8 scalar quantization (FAISS SQ8): per-dimension affine 8-bit
+    // codes from one min/max stats pass — 4x compression, no training
+    // loop, near-lossless recall; the quantization rung between x06's
+    // full-precision brute force and x18's codebook PQ. Asymmetric
+    // scoring (full-precision query vs dequantized codes via the
+    // codegen'd sq8_dot kernel), stored dequantized norms. Frozen
+    // oracle; recall vs brute force spec-pinned.
+    Q("x53_ann_sq8_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Similarity.buildSq8(
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          "c_id", "c_vec")
+        Similarity.sq8TopK(model,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "q_id", "q_vec", k = 5)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x53_ann_sq8_topk")),
+
     // The billion-scale composition: coarse lists prune the scan to
     // nprobe/nlists, PQ codes compress what remains, ADC scores it,
     // exact rerank fixes the tail. nprobe is margin-ROUTED per query

@@ -553,6 +553,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.85, f"pq+rerank recall@5 = $recall%.3f") // measured 0.92; deterministic
   }
 
+  test("SQ8: codes in range, deterministic, near-lossless recall@5 vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val model = Similarity.buildSq8(corpus, "c_id", "c_vec")
+    assert(model.mins.length == model.scales.length)
+    assert(model.scales.forall(_ >= 0))
+    val codes = model.encoded.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == model.mins.length &&
+      c.forall(j => j >= 0 && j <= 255)))
+    // deterministic rebuild (min/max are exact): identical model
+    val model2 = Similarity.buildSq8(corpus.repartition(7), "c_id", "c_vec")
+    assert(model.mins.sameElements(model2.mins) &&
+      model.scales.sameElements(model2.scales))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    val sq8 = pairs(Similarity.sq8TopK(model, queries, "q_id", "q_vec", 5))
+    val recall = (brute & sq8).size.toDouble / brute.size
+    // 8 bits/dim is near-lossless — far above PQ's ADC-only plurality
+    assert(recall >= 0.9, f"sq8 recall@5 = $recall%.3f")
+  }
+
   test("IVF-PQ composition: pruned + compressed + reranked search keeps IVF's recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
