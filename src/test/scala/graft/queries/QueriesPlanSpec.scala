@@ -211,6 +211,34 @@ class QueriesPlanSpec extends SparkSpec {
     assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p)
   }
 
+  test("x50 dsir / x52 bigram: model joins are hash joins, no corpus-sized nested loop") {
+    // the 1-row scalar frames ride BroadcastNestedLoopJoin (cross of a
+    // single row — fine); what must NEVER appear is a nested loop or
+    // cartesian between two corpus-sized sides, and the term-keyed model
+    // joins must stay hash-joinable (equi-keys AQE can split)
+    Seq("x50_dsir_score", "x52_bigram_logprob").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$n: model attach is not an equi-join\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n: cartesian product\n$p")
+    }
+  }
+
+  test("x51 shuffle shards: one exchange on shard, scan prunes to the id column") {
+    val p = plan("x51_shuffle_shards")
+    // only (hash, id) ride the shuffle — text must not reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    assert(!p.contains("text"), p)
+  }
+
+  test("x53 sq8: encode/score stay map-side — single exchange for the rank window") {
+    val p = plan("x53_ann_sq8_topk")
+    // queries broadcast onto the encoded corpus; no corpus-sized shuffle
+    // join anywhere in the scoring path
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p) // per-query top-k pre-pruned
+  }
+
   test("registry sweep: no Window partitioned solely by an unbounded-skew term-like key") {
     // the defect class x40 had: a window whose ONLY partition key is a
     // token/term-shaped column puts the Zipf head key's entire partition
