@@ -238,6 +238,37 @@ object Similarity {
     * Search cost per (candidate, query) drops from a dim-length dot
     * product to m table lookups.
     */
+  /** Matryoshka-style truncated-dimension ANN (Kusupati et al. 2022;
+    * the "shortening embeddings" serving trick MRL-trained models
+    * support): coarse-score on the FIRST `dPrefix` dimensions only —
+    * the scan ships and multiplies dPrefix/dim of every vector — then
+    * exact-rerank the per-query top-`rerank` shortlist on full vectors
+    * (an id equi-join: point reads, the [[pqTopK]] rerank discipline).
+    * With MRL embeddings the prefix preserves ranking and the rerank
+    * recovers the tail; scan cost drops by dim/dPrefix with no stored
+    * model at all.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      dPrefix: Int, k: Int, rerank: Int = 0): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix ($dPrefix) must be >= 1")
+    // ONLY the prefix rides the coarse scan — full vectors come back
+    // for the shortlist alone
+    val pre = corpus.select(col(corpusId),
+        slice(col(corpusVec), 1, dPrefix).as("_pc"))
+      .withColumn("_pcn", norm(col("_pc")))
+    val q = queries.select(col(queryId),
+        slice(col(queryVec), 1, dPrefix).as("_pq"))
+      .withColumn("_pqn", norm(col("_pq")))
+    val scored = pre.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cosineWithNorms(col("_pc"), col("_pq"),
+        col("_pcn"), col("_pqn")))
+    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
+      queryVec, k, rerank)
+  }
+
   final case class Sq8Model(mins: Array[Double], scales: Array[Double],
       encoded: DataFrame)
 

@@ -331,6 +331,26 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x53_ann_sq8_topk")),
 
+    // Matryoshka truncated-dimension search (Kusupati et al. 2022):
+    // coarse cosine on the first 32 of 64 dims (the scan ships half of
+    // every vector, no stored model), exact rerank of the per-query
+    // top-100 on full vectors. The synthetic embeddings aren't
+    // MRL-trained — a random vector's prefix carries ~sqrt(d'/d) of the
+    // rank signal — so this is the WORST case for the technique and
+    // exactly what the rerank exists to absorb; recall vs brute force
+    // is spec-pinned (MRL-trained embeddings preserve prefix ranking by
+    // construction and would need a far shallower rerank).
+    Q("x54_ann_matryoshka_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.matryoshkaTopK(
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", dPrefix = 32, k = 5, rerank = 100)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x54_ann_matryoshka_topk")),
+
     // The billion-scale composition: coarse lists prune the scan to
     // nprobe/nlists, PQ codes compress what remains, ADC scores it,
     // exact rerank fixes the tail. nprobe is margin-ROUTED per query

@@ -578,6 +578,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"sq8 recall@5 = $recall%.3f")
   }
 
+  test("matryoshka: prefix-only scan + full rerank recovers brute-force recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5))
+    // prefix-only on NON-MRL synthetic vectors is lossy by construction…
+    val coarse = pairs(Similarity.matryoshkaTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", dPrefix = 32, k = 5))
+    val coarseRecall = (brute & coarse).size.toDouble / brute.size
+    // …and the full-vector rerank of a 10x shortlist absorbs the loss
+    val rr = pairs(Similarity.matryoshkaTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", dPrefix = 32, k = 5, rerank = 100))
+    val recall = (brute & rr).size.toDouble / brute.size
+    assert(recall >= 0.8 && recall >= coarseRecall,
+      f"matryoshka rerank recall@5 = $recall%.3f (coarse $coarseRecall%.3f)")
+    // full-prefix degenerate case equals brute force exactly
+    assert(pairs(Similarity.matryoshkaTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", dPrefix = 64, k = 5)) == brute)
+  }
+
   test("IVF-PQ composition: pruned + compressed + reranked search keeps IVF's recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
