@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -81,6 +81,78 @@ object Prefix {
     val out = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value(pid)
       it.map { r =>
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** GROUP-WISE inclusive running sum: `outCol` = cumsum of `valueCol`
+    * within each `keyCol` group, in the total order of `orderCols` —
+    * the distributed form of `sum() OVER (PARTITION BY key ORDER BY …)`
+    * WITHOUT a window: a window partitions by the key, so one dominant
+    * group (90% of a mixture's docs from one source) lands on ONE task
+    * and AQE cannot split window exchanges. Here rows range-partition
+    * over (key, orderCols) — a dominant group SPANS partitions — and
+    * the per-(partition, key) totals (≤ partitions + distinct keys
+    * rows, driver-bounded for the bounded-key contract this targets:
+    * sources, splits, languages) seed each partition's running values
+    * exactly as [[cumsumLong]] seeds its global offsets.
+    *
+    * `keyCol` must be a string or integral column; `orderCols` must
+    * totally order rows WITHIN each key (unique tiebreaker last, same
+    * contract as [[cumsumLong]]).
+    */
+  def cumsumLongByKey(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "cumsum needs a total order")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortExprs = col(keyCol) +: orderCols
+    val ordered = df
+      .withColumn(valueCol, coalesce(col(valueCol).cast(LongType), lit(0L)))
+      .repartitionByRange(n, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint(true)
+    val vIdx = ordered.schema.fieldIndex(valueCol)
+    val kIdx = ordered.schema.fieldIndex(keyCol)
+
+    // per-(partition, key) totals: range partitioning puts each key in
+    // few contiguous partitions, so this is ≤ partitions + distinct
+    // keys rows — driver-bounded for bounded-cardinality keys
+    val totals = ordered
+      .groupBy(spark_partition_id().as("__pid"), col(keyCol))
+      .agg(sum(col(valueCol)).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), String.valueOf(r.get(1))) -> r.getLong(2))
+    // seed offset for (pid, key) = sum of the SAME key's totals in
+    // earlier partitions (partition order IS key-then-order order)
+    val offsets: Map[(Int, String), Long] = {
+      val byKey = totals.groupBy(_._1._2)
+      byKey.iterator.flatMap { case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1._1).map { case ((pid, _), s) =>
+          val o = ((pid, k), acc)
+          acc += s
+          o
+        }
+      }.toMap
+    }
+
+    val outSchema = ordered.schema.add(outCol, LongType, nullable = false)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curKey: String = null
+      var run = 0L
+      it.map { r =>
+        val k = String.valueOf(r.get(kIdx))
+        if (k != curKey) {
+          curKey = k
+          run = bc.value.getOrElse((pid, k), 0L)
+        }
         run += r.getLong(vIdx)
         Row.fromSeq(r.toSeq :+ run)
       }

@@ -238,6 +238,41 @@ object TextOps {
     docs.filter(frac < rate)
   }
 
+  /** Token-budget mixture selection: per source, take documents in
+    * (quality desc, id) order until the source's TOKEN budget is spent —
+    * the operator that turns per-source token targets ("300B web, 50B
+    * code, 30B books") into an actual document selection. A document is
+    * kept iff its group-wise running token total (its own tokens
+    * included) fits the budget — greedy best-first, deterministic, and
+    * growth-stable in the prefix sense (adding worse docs never evicts
+    * better ones). Sources without a budget are dropped (the
+    * [[mixSample]] allowlist semantics).
+    *
+    * Scale posture: the running total is
+    * [[Prefix.cumsumLongByKey]] — a range-partitioned group-wise scan,
+    * NOT a per-source window (one dominant source would pin a window's
+    * whole partition on one task). Output: the kept rows plus
+    * `(n_tokens, cum_tokens)`.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgets: Map[String, Long],
+      quality: Column): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      s"budgets must be non-negative (got $budgets)")
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val scored = docs
+      .withColumn("_budget", budget)
+      .filter(col("_budget") >= 0L)
+      .withColumn("n_tokens", wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("_q", quality)
+    graft.operators.Prefix.cumsumLongByKey(scored, sourceCol,
+        Seq(col("_q").desc, col(idCol)), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= col("_budget"))
+      .drop("_budget", "_q")
+  }
+
   /** Deterministic global corpus shuffle + training-shard assignment:
     * every document gets a `shard` in [0, nShards) and a dense 1-based
     * `pos` within its shard, both pure functions of (seed, id) — the

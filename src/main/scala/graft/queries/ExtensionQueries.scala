@@ -1283,6 +1283,33 @@ object ExtensionQueries {
         "md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 " +
         "AS shard FROM documents) t ORDER BY shard, pos")),
 
+    // Token-budget mixture selection: per-source token targets filled
+    // best-first (n_chars as the quality key here — SQL-recomputable on
+    // both engines) until each budget is spent; unlisted sources drop
+    // (allowlist semantics). The running total is the group-wise
+    // distributed prefix sum (Prefix.cumsumLongByKey), NOT a per-source
+    // window — a dominant source would pin a window partition on one
+    // task. src3's budget exceeds its corpus (everything kept), src1/2
+    // bisect — all three regimes under the oracle.
+    Q("x55_budget_mixture",
+      (s, d) => TextOps.budgetSelect(Tables.documents(s, d), "doc_id",
+        "source", "text",
+        Map("src1" -> 800L, "src2" -> 700L, "src3" -> 100000L),
+        quality = col("n_chars"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id"),
+      Some("SELECT doc_id, source, n_tokens, cum_tokens FROM (" +
+        "SELECT doc_id, source, n_tokens, b, " +
+        "sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) " +
+        "AS cum_tokens FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+        "CASE source WHEN 'src1' THEN 800 WHEN 'src2' THEN 700 " +
+        "WHEN 'src3' THEN 100000 ELSE -1 END AS b FROM documents) t " +
+        "WHERE b >= 0) t2 WHERE cum_tokens <= b " +
+        "ORDER BY source, cum_tokens, doc_id")),
+
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then
     // let Skew.statsJoin choose each join's physical shape FROM the

@@ -10,6 +10,55 @@ class PrefixPackSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("cumsumLongByKey matches the per-key window under a dominant key") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 90% of rows in one key — the skew a window PARTITION BY would put
+    // on a single task; the range-partitioned scan must not care
+    val df = (1 to 900).map(i => ("big", i.toLong, (i % 13).toLong)) ++
+      (1 to 60).map(i => ("s" + (i % 3), 1000L + i, (i % 7).toLong))
+    val d = df.toDF("k", "id", "v").repartition(11)
+    val got = Prefix.cumsumLongByKey(d, "k", Seq(col("id")), "v", "cum",
+        numPartitions = 7)
+      .select("k", "id", "cum").as[(String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    val w = Window.partitionBy("k").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("cum", sum(col("v")).over(w))
+      .select("k", "id", "cum").as[(String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    // descending order expressions work too (the budget-select shape)
+    val gotDesc = Prefix.cumsumLongByKey(d, "k", Seq(col("id").desc), "v",
+        "cum", numPartitions = 5)
+      .select("k", "id", "cum").as[(String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    val wDesc = Window.partitionBy("k").orderBy(col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantDesc = d.withColumn("cum", sum(col("v")).over(wDesc))
+      .select("k", "id", "cum").as[(String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(gotDesc.toSeq == wantDesc.toSeq)
+  }
+
+  test("budgetSelect: best-first fill, exact budget edge, allowlist drop") {
+    import org.apache.spark.sql.functions._
+    // quality = n_chars proxy column; src a: budget fits exactly the two
+    // best docs; src b: budget 0 keeps nothing; src c unlisted drops
+    val docs = Seq(
+      (1L, "a", "w x y z", 40L),   // 4 tokens, quality 40
+      (2L, "a", "w x y", 30L),     // 3 tokens, quality 30
+      (3L, "a", "w x", 20L),       // 2 tokens — would overflow budget 7
+      (4L, "b", "w", 10L),
+      (5L, "c", "w w", 99L)
+    ).toDF("doc_id", "source", "text", "q")
+    val kept = TextOps.budgetSelect(docs, "doc_id", "source", "text",
+        Map("a" -> 7L, "b" -> 0L), quality = col("q"))
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 4L, 2L -> 7L),
+      s"expected best-first exact fill, got $kept")
+  }
+
   test("cumsumLong matches the single-partition window formulation") {
     val df = (1 to 997).map(i => (i.toLong, ((i * 7919) % 23).toLong))
       .toDF("id", "v")
