@@ -406,6 +406,44 @@ object ScaleProbe {
     *
     *   sbt "runMain graft.tools.ScaleProbe 200 pack"
     */
+  /** Group-wise prefix-sum probe (x55 evidence): `n`M rows, 90% in ONE
+    * key — the skew that pins a `sum() OVER (PARTITION BY key)` window's
+    * dominant partition on a single task. Times
+    * [[graft.operators.Prefix.cumsumLongByKey]] (range-partitioned, the
+    * dominant key SPANS partitions) against the window formulation on
+    * the same frame.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 5 cumsumkey"
+    */
+  private def cumsumKeyProbe(spark: SparkSession, millions: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val n = millions.toLong * 1000000L
+    val df = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("dominant"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(97)))).as("k"),
+        pmod(col("id"), lit(13)).as("v"))
+      .localCheckpoint(true)
+    println(s"""{"probe":"cumsumkey_rows","n":$n}""")
+    timed("cumsumkey_distributed") {
+      graft.operators.Prefix.cumsumLongByKey(df, "k", Seq(col("id")), "v", "cum")
+        .agg(max(col("cum"))).collect()
+    }
+    timed("cumsumkey_window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.withColumn("cum", sum(col("v")).over(w))
+        .agg(max(col("cum"))).collect()
+    }
+    graft.operators.Dedup.releaseLocalCheckpoint(df)
+  }
+
   private def packProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Pack, Prefix, Terms}
@@ -554,6 +592,10 @@ object ScaleProbe {
     }
     if (mode == "lexindex") {
       try lexIndexProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "cumsumkey") {
+      try cumsumKeyProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "timeseries") {
