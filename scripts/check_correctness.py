@@ -19,6 +19,52 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# --- dtype-class gate (round 10) ---------------------------------------
+# The driver's checker fetches the oracle result as a dataframe; DuckDB
+# types outside the plain classes below degrade in that fetch (HUGEINT /
+# DECIMAL -> float64), so "42" hashes as "42.0" and the query goes red
+# even when every value matches (round 9's x55). fetchall() — what THIS
+# script hashes with — returns Python ints for HUGEINT, so the local gate
+# used to be blind to the class. DESCRIBE both sides and compare type
+# classes instead of trusting the fetch.
+
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_FLOAT_TYPES = {"FLOAT", "DOUBLE"}
+
+
+def type_class(t):
+    t = t.upper()
+    if t in _INT_TYPES:
+        return "int"
+    if t in _FLOAT_TYPES:
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "BAD"  # degrades to float64/object in a dataframe fetch
+    return "other"  # VARCHAR/DATE/TIMESTAMP/...: string-stable
+
+
+def dtype_problems(con, name, sql, out_dir):
+    """Compare DuckDB-described type classes of oracle vs spark output."""
+    probs = []
+    ora = {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+    spk = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE (SELECT * FROM '{out_dir}/{name}/*.parquet')").fetchall()}
+    for col, t in sorted(ora.items()):
+        tc = type_class(t)
+        if tc == "BAD":
+            probs.append(f"oracle col {col} is {t} (degrades in df fetch; "
+                         "CAST it — see graft determinism conventions)")
+        elif col in spk and tc != type_class(spk[col]):
+            probs.append(f"col {col} class mismatch: oracle {t} vs "
+                         f"spark {spk[col]}")
+    for col, t in sorted(spk.items()):
+        if type_class(t) == "BAD":
+            probs.append(f"spark col {col} is {t}")
+    return probs
+
 
 def canon(v):
     if v is None:
@@ -71,6 +117,10 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         problems = []
+        try:
+            problems.extend(dtype_problems(con, name, sql, out_dir))
+        except Exception as e:
+            problems.append(f"dtype describe failed: {e}")
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols {got_cols} != {exp_cols}")
         if len(got_rows) != len(exp_rows):

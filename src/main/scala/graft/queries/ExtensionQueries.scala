@@ -692,9 +692,9 @@ object ExtensionQueries {
         "epoch_ns(max(ts))//1000000 AS end_ms, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
         "SELECT user_id, ts, value, " +
-        "sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 " +
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 " +
         "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM (" +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM (" +
         "SELECT user_id, ts, value, event_id, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events) a) b GROUP BY user_id, session_seq " +
@@ -1218,9 +1218,9 @@ object ExtensionQueries {
         "g AS (SELECT token, count(*) AS g_n FROM toks GROUP BY token), " +
         "t AS (SELECT token, count(*) AS t_n FROM toks " +
         "WHERE doc_id % 7 = 3 GROUP BY token), " +
-        "sc AS (SELECT (SELECT sum(g_n) FROM g) AS g_total, " +
+        "sc AS (SELECT (SELECT CAST(sum(g_n) AS BIGINT) FROM g) AS g_total, " +
         "(SELECT count(*) FROM g) AS v, " +
-        "(SELECT coalesce(sum(t_n), 0) FROM t) AS t_total), " +
+        "(SELECT coalesce(CAST(sum(t_n) AS BIGINT), 0) FROM t) AS t_total), " +
         "model AS (SELECT g.token, g_n, coalesce(t_n, 0) AS t_n " +
         "FROM g LEFT JOIN t USING (token)) " +
         "SELECT doc_id, count(*) AS n_toks, " +
@@ -1300,11 +1300,12 @@ object ExtensionQueries {
         .orderBy("source", "cum_tokens", "doc_id"),
       Some("SELECT doc_id, source, n_tokens, cum_tokens FROM (" +
         "SELECT doc_id, source, n_tokens, b, " +
-        "sum(n_tokens) OVER (PARTITION BY source " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source " +
         "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) " +
-        "AS cum_tokens FROM (" +
+        "AS BIGINT) AS cum_tokens FROM (" +
         "SELECT doc_id, source, n_chars, " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
         "CASE source WHEN 'src1' THEN 800 WHEN 'src2' THEN 700 " +
         "WHEN 'src3' THEN 100000 ELSE -1 END AS b FROM documents) t " +
         "WHERE b >= 0) t2 WHERE cum_tokens <= b " +
@@ -1364,12 +1365,12 @@ object ExtensionQueries {
       },
       Some("""
         SELECT 'broadcast' AS part, c_mktsegment AS grp, count(*) AS n,
-               (sum(CAST(o_totalprice AS DECIMAL(28,6))))::DOUBLE AS sum_val
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 2
         UNION ALL
         SELECT 'salted' AS part, o_orderstatus AS grp, count(*) AS n,
-               (sum(CAST(l_quantity AS DECIMAL(28,6))))::DOUBLE AS sum_val
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_val
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 2
         ORDER BY part, grp
@@ -1448,7 +1449,7 @@ object ExtensionQueries {
         "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
         "FROM documents WHERE trim(text) <> ''), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
         "stats AS (SELECT count(*) AS n_docs, " +
         "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
         "dfq AS (SELECT token, count(*) AS df FROM tf " +

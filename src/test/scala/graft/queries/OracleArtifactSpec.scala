@@ -25,6 +25,31 @@ class OracleArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle leaves a sum() uncast (DuckDB HUGEINT df-fetch trap)") {
+    // DuckDB types sum(<integer>) — plain or windowed — as HUGEINT
+    // (INT128). The driver's checker fetches the oracle result as a
+    // dataframe, and HUGEINT degrades to float64 there, so Spark's "42"
+    // hashes against "42.0" and the query goes red with values identical
+    // (round 9's x55, ExtensionQueries x55 oracle). Repo convention is
+    // CAST(sum(...) [OVER (...)] AS BIGINT/DOUBLE) everywhere; this sweep
+    // makes the convention a unit-test failure instead of a judge round.
+    val sumRe = "(?i)\\bsum\\s*\\(".r
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        sumRe.findAllMatchIn(sql).flatMap { m =>
+          val before = sql.substring(0, m.start).replaceAll("\\s+", "")
+            .toLowerCase
+          if (before.endsWith("cast(")) None
+          else Some(s"$name@${m.start}: ..." +
+            sql.slice(math.max(0, m.start - 30), m.start + 40) + "...")
+        }
+    }
+    assert(bad.isEmpty,
+      s"uncast sum( in oracle SQL — DuckDB types it HUGEINT and the " +
+        s"driver's dataframe fetch degrades it to float64; wrap as " +
+        s"CAST(sum(...) AS BIGINT/DOUBLE):\n  " + bad.mkString("\n  "))
+  }
+
   test("every query name has either an oracle or is a known weak entry") {
     // weak (rows-only) entries are allowed, but must be deliberate:
     // keep this list in sync when adding non-SQL-expressible operators
