@@ -429,6 +429,37 @@ object Dedup {
     * existing-but-empty state dir (crash inside the first state write)
     * must read as an empty frame, not fail schema inference forever.
     */
+  /** Refuse a pre-partitioning (flat) state dir instead of silently
+    * reading it wrong: the store is read with a schema that includes the
+    * partition column, so legacy flat rows come back with `sb`/`bb`
+    * null, fail every isin partition filter, and the whole stored state
+    * turns invisible — missed duplicate pairs and re-appended ids. A
+    * loud one-time migration error beats silent corruption.
+    */
+  private def assertPartitionedStateLayout(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      partCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p)
+      val hasPartDirs = entries.exists(e =>
+        e.isDirectory && e.getPath.getName.startsWith(partCol + "="))
+      val hasFlatData = entries.exists { e =>
+        val n = e.getPath.getName
+        e.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasFlatData && !hasPartDirs) throw new IllegalStateException(
+        s"streaming-dedup state at $dir is in the legacy FLAT layout " +
+          s"(data files but no $partCol= partition directories); " +
+          "reading it against the partitioned schema would surface " +
+          s"every stored row with null $partCol and the partition-" +
+          "pruned probe would miss all of it. Migrate once — read the " +
+          s"flat table, derive $partCol, rewrite with " +
+          s"write.partitionBy(\"$partCol\") — or point the stream at a " +
+          "fresh stateDir.")
+    }
+  }
+
   private def readState(s: org.apache.spark.sql.SparkSession,
       incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
       nStateBuckets: Int): LshState = {
@@ -436,6 +467,8 @@ object Dedup {
     val bucketsDir = s"$stateDir/buckets"
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assertPartitionedStateLayout(fs, sigsDir, "sb")
+    assertPartitionedStateLayout(fs, bucketsDir, "bb")
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val sigSchema = incSigs.withColumn("sb", stateSb(nStateBuckets)).schema
     val bucketSchema = incBuckets.withColumn("bb", stateBb(nStateBuckets)).schema

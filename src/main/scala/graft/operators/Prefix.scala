@@ -88,6 +88,23 @@ object Prefix {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Ceiling on collected per-(partition, key) totals — the driver-side
+    * state is O(partitions + distinct keys), which is only "bounded
+    * model state" under the bounded-key contract. Far above any
+    * legitimate caller (sources × splits × languages ≪ 100k) and far
+    * below driver-OOM territory, so a violation fails fast with the
+    * contract named instead of an undiagnosed OOM at scale.
+    */
+  val MaxKeyedTotals: Int = 100000
+
+  /** Null-safe key encoding shared by the driver-side offsets map and
+    * the executor-side scan: `String.valueOf` alone would collapse a
+    * null key and the literal string "null" into one group (shared
+    * running offsets — silent corruption).
+    */
+  private def encodeKey(v: Any): String =
+    if (v == null) "\u0000" else "v:" + String.valueOf(v)
+
   /** GROUP-WISE inclusive running sum: `outCol` = cumsum of `valueCol`
     * within each `keyCol` group, in the total order of `orderCols` —
     * the distributed form of `sum() OVER (PARTITION BY key ORDER BY …)`
@@ -127,7 +144,14 @@ object Prefix {
       .groupBy(spark_partition_id().as("__pid"), col(keyCol))
       .agg(sum(col(valueCol)).as("__s"))
       .collect()
-      .map(r => (r.getInt(0), String.valueOf(r.get(1))) -> r.getLong(2))
+      .map(r => (r.getInt(0), encodeKey(r.get(1))) -> r.getLong(2))
+    require(totals.length <= MaxKeyedTotals,
+      s"cumsumLongByKey collected ${totals.length} per-(partition, key) " +
+        s"totals for key '$keyCol' (cap $MaxKeyedTotals): this operator's " +
+        "driver state is bounded only under the bounded-key contract " +
+        "(keys like source/split/language, NOT doc-level ids); for a " +
+        "high-cardinality key use a window over the key or cumsumLong " +
+        "over a composite order instead")
     // seed offset for (pid, key) = sum of the SAME key's totals in
     // earlier partitions (partition order IS key-then-order order)
     val offsets: Map[(Int, String), Long] = {
@@ -148,7 +172,7 @@ object Prefix {
       var curKey: String = null
       var run = 0L
       it.map { r =>
-        val k = String.valueOf(r.get(kIdx))
+        val k = encodeKey(r.get(kIdx))
         if (k != curKey) {
           curKey = k
           run = bc.value.getOrElse((pid, k), 0L)

@@ -73,31 +73,38 @@ object TrainingExport {
             val pairs = Dedup.statePairsPlan(s, incSigs, incBuckets,
               dedupStateDir, numHashes, minJaccard, nStateBuckets)
               .localCheckpoint(true)
-            // pairs are (a_id < b_id) with an incoming id in every pair;
-            // id-ordered arrivals put every stored id below every new id,
-            // so the b side is always the incoming doc to drop — the
-            // min-id-keeps rule batch keepDecisions applies
-            val dropIds = pairs.select(col("b_id").as(idCol)).distinct()
-            val kept = docs.join(dropIds, Seq(idCol), "left_anti")
-            // state grows with kept AND dropped docs — chains must keep
-            // collapsing across batches; replay healing and the pruned
-            // self-filters are growState's contract
-            Dedup.growState(s, incSigs, incBuckets, dedupStateDir,
-              nStateBuckets)
-            // gates on the redacted text, x23's order, then the split
-            // (pairs stays pinned until `clean` materializes — kept
-            // reads it through the dropIds anti-join)
-            val clean = TextOps.piiScrub(kept, idCol, textCol)
-              .withColumn("lang_pred", TextOps.langId(col("redacted")))
-              .filter(col("lang_pred").isin(langs: _*))
-              .filter(TextOps.qualityScore(col("redacted")) >= minQuality)
-              .withColumn("_rep",
-                explode(array(TextOps.repetitionStats(col("redacted")))))
-              .filter(!TextOps.repetitive(col("_rep")))
-              .withColumn("split", TextOps.splitAssign(col(idCol)))
-              .select(col(idCol), col("redacted"), col("split"))
-              .localCheckpoint(true) // three per-split packs share the gates
-            Dedup.releaseLocalCheckpoint(pairs)
+            // pairs' blocks release in a finally scoped to its use: a
+            // throw in the gates/clean checkpoint below used to skip the
+            // release and pin the blocks for the life of the streaming
+            // session, accumulating across failed batches
+            val clean =
+              try {
+                // pairs are (a_id < b_id) with an incoming id in every
+                // pair; id-ordered arrivals put every stored id below
+                // every new id, so the b side is always the incoming doc
+                // to drop — the min-id-keeps rule batch keepDecisions
+                // applies
+                val dropIds = pairs.select(col("b_id").as(idCol)).distinct()
+                val kept = docs.join(dropIds, Seq(idCol), "left_anti")
+                // state grows with kept AND dropped docs — chains must
+                // keep collapsing across batches; replay healing and the
+                // pruned self-filters are growState's contract
+                Dedup.growState(s, incSigs, incBuckets, dedupStateDir,
+                  nStateBuckets)
+                // gates on the redacted text, x23's order, then the split
+                // (pairs stays pinned until this materializes — kept
+                // reads it through the dropIds anti-join)
+                TextOps.piiScrub(kept, idCol, textCol)
+                  .withColumn("lang_pred", TextOps.langId(col("redacted")))
+                  .filter(col("lang_pred").isin(langs: _*))
+                  .filter(TextOps.qualityScore(col("redacted")) >= minQuality)
+                  .withColumn("_rep",
+                    explode(array(TextOps.repetitionStats(col("redacted")))))
+                  .filter(!TextOps.repetitive(col("_rep")))
+                  .withColumn("split", TextOps.splitAssign(col(idCol)))
+                  .select(col(idCol), col("redacted"), col("split"))
+                  .localCheckpoint(true) // per-split packs share the gates
+              } finally Dedup.releaseLocalCheckpoint(pairs)
             try {
               Seq("train", "val", "test").foreach { sp =>
                 Pack.packIncremental(clean.filter(col("split") === sp),

@@ -279,6 +279,30 @@ class ExtensionOpsSpec extends SparkSpec {
     s3.unpersist(); b3.unpersist()
   }
 
+  test("dedup state: legacy flat (unpartitioned) layout is refused loudly") {
+    // a pre-partitioning store read against the sb/bb schema surfaces
+    // every stored row with a null partition column — invisible to the
+    // isin-pruned probe (silently missed duplicates). The reader must
+    // fail with a migration message instead (ADVICE r9).
+    val stateDir = java.nio.file.Files.createTempDirectory("legacystate").toString
+    val s1 = Dedup.minhashSigs(corpus.filter(col("doc_id").isin(1L, 3L)),
+      "doc_id", "text", 3, 32).dropDuplicates("id").persist()
+    val b1 = Dedup.bandBuckets(s1, 32, 8).persist()
+    // simulate the legacy writer: flat parquet, no sb=/bb= directories
+    s1.write.parquet(s"$stateDir/sigs")
+    b1.write.parquet(s"$stateDir/buckets")
+    val e = intercept[IllegalStateException] {
+      Dedup.statePairsPlan(spark, s1, b1, stateDir,
+        numHashes = 32, minJaccard = 0.5, nStateBuckets = 16)
+    }
+    assert(e.getMessage.contains("legacy FLAT layout"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.growState(spark, s1, b1, stateDir, nStateBuckets = 16)
+    }
+    assert(e2.getMessage.contains("legacy FLAT layout"), e2.getMessage)
+    s1.unpersist(); b1.unpersist()
+  }
+
   test("dsirScore: target-domain docs score positive, off-domain negative, length-robust") {
     // two disjoint vocabularies: "medical" target vs "legal" background
     val docs = Seq(

@@ -41,6 +41,35 @@ class PrefixPackSpec extends SparkSpec {
     assert(gotDesc.toSeq == wantDesc.toSeq)
   }
 
+  test("cumsumLongByKey: null key and the literal string \"null\" stay " +
+    "separate groups") {
+    // String.valueOf-based keying collapsed these into one group with
+    // shared running offsets (ADVICE r9); encodeKey must keep them apart
+    val d = Seq(
+      (Option.empty[String], 1L, 10L), (Option.empty[String], 2L, 10L),
+      (Some("null"), 3L, 5L), (Some("null"), 4L, 5L)
+    ).toDF("k", "id", "v")
+    val got = Prefix.cumsumLongByKey(d, "k", Seq(col("id")), "v", "cum",
+        numPartitions = 3)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 5L, 4L -> 10L),
+      s"null-key group leaked into the 'null'-string group: $got")
+  }
+
+  test("cumsumLongByKey: high-cardinality key fails fast naming the " +
+    "bounded-key contract") {
+    // doc-level ids violate the driver-bounded totals contract; the cap
+    // must raise a diagnostic instead of silently growing driver state
+    val d = spark.range(Prefix.MaxKeyedTotals + 10L)
+      .select(col("id").cast("string").as("k"), col("id"),
+        lit(1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Prefix.cumsumLongByKey(d, "k", Seq(col("id")), "v", "cum",
+        numPartitions = 4)
+    }
+    assert(e.getMessage.contains("bounded-key contract"), e.getMessage)
+  }
+
   test("budgetSelect: best-first fill, exact budget edge, allowlist drop") {
     import org.apache.spark.sql.functions._
     // quality = n_chars proxy column; src a: budget fits exactly the two
