@@ -309,11 +309,25 @@ object AnnIndexStore {
     * unpruned [[Similarity.ivfPqTopKAdaptive]] — the per-query cid
     * equi-join inside restricts to each query's own lists; the literal
     * filter only removes never-probed partitions.
+    *
+    * `corpusPred`: optional FILTERED-search predicate over the stored
+    * tables' columns (the id — an id set, range, or expression over it):
+    * "near-dups within this metadata slice" without scanning the whole
+    * index. Applied directly above BOTH stored scans (codes + the
+    * rerank's vector fetch), so it reaches the parquet reader as a pushed
+    * filter COMPOSED with the cid partition pruning (plan-asserted in
+    * AnnIndexStoreSpec), and the search equals an index search over the
+    * filtered corpus — filter-then-rank, never a post-filtered top-k
+    * (which would return < k rows and drop covered neighbors). At scale a
+    * metadata slice ("same language/source") arrives as an id predicate
+    * computed upstream, or the metadata column is denormalized into the
+    * index tables at build time.
     */
   def searchTopK(index: PersistedAnnIndex, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, minProbe: Int = 4, maxProbe: Int = 12, margin: Double = 0.5,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0, corpusPred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val ivf = index.ivf
     val pq = index.pq
     val probeLists = graft.functions.TextVectorExpressions
@@ -328,17 +342,19 @@ object AnnIndexStore {
     // deterministic routing kernel → collecting the probe union re-derives
     // exactly the lists the join below uses
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
-    val scored = index.encodedWithCid
-      .filter(col("cid").isin(probed: _*))
+    val pruned = index.encodedWithCid.filter(col("cid").isin(probed: _*))
+    val scored = corpusPred.fold(pruned)(pruned.filter)
       .join(broadcast(q), Seq("cid"))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("adc", graft.functions.TextVectorExpressions.pq_adc(
         col("codes"), col("_lut"), pq.k))
       .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))
         .otherwise(col("adc") / (col("_cn") * col("_qn"))))
-    // the rerank's true-vector fetch prunes to the same lists: a
-    // shortlist candidate always comes from a probed partition
-    val corpus = ivf.assigned.filter(col("cid").isin(probed: _*))
+    // the rerank's true-vector fetch prunes to the same lists (a
+    // shortlist candidate always comes from a probed partition) and
+    // carries the same slice predicate
+    val rerankBase = ivf.assigned.filter(col("cid").isin(probed: _*))
+    val corpus = corpusPred.fold(rerankBase)(rerankBase.filter)
       .select(col(corpusId), col(corpusVec))
     Similarity.rerankOrRank(scored, corpus, queries, corpusId, corpusVec,
       queryId, queryVec, k, rerank)

@@ -473,11 +473,12 @@ object Similarity {
     */
   def ivfPqTopK(ivf: IvfIndex, pq: PqModel, corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
-      k: Int, nprobe: Int = 4, rerank: Int = 0): DataFrame =
+      k: Int, nprobe: Int = 4, rerank: Int = 0,
+      corpusPred: Option[Column] = None): DataFrame =
     ivfPqTopKWithProbes(ivf, pq, corpus, queries, corpusId, corpusVec,
       queryId, queryVec, k, rerank,
       graft.functions.TextVectorExpressions.nearest_centroids(
-        col(queryVec), ivf.centroids, nprobe))
+        col(queryVec), ivf.centroids, nprobe), corpusPred)
 
   /** IVF-PQ with margin-routed (adaptive) nprobe: each query probes its
     * `minProbe` nearest lists plus every further list whose centroid cosine
@@ -498,23 +499,38 @@ object Similarity {
       queries: DataFrame, corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int,
       minProbe: Int = 4, maxProbe: Int = 12, margin: Double = 0.5,
-      rerank: Int = 0): DataFrame =
+      rerank: Int = 0, corpusPred: Option[Column] = None): DataFrame =
     ivfPqTopKWithProbes(ivf, pq, corpus, queries, corpusId, corpusVec,
       queryId, queryVec, k, rerank,
       graft.functions.TextVectorExpressions.adaptive_nearest_centroids(
-        col(queryVec), ivf.centroids, minProbe, maxProbe, margin))
+        col(queryVec), ivf.centroids, minProbe, maxProbe, margin), corpusPred)
 
+  /** `corpusPred`: optional FILTERED-search predicate (real pipelines
+    * search within a metadata slice — "near-dups of this doc within the
+    * same source"). Applied to the candidate set BEFORE scoring and to the
+    * rerank's true-vector fetch, so the result equals an index search over
+    * the filtered corpus (filter-then-rank — a post-filter of an unfiltered
+    * top-k would return < k rows and lose covered neighbors). The predicate
+    * must reference only columns present on the ENCODED frame (the id
+    * column — an id set, range, or expression over it); at scale a
+    * metadata slice becomes an id predicate upstream, or the metadata
+    * column is denormalized into the index tables at build time.
+    */
   private def ivfPqTopKWithProbes(ivf: IvfIndex, pq: PqModel, corpus: DataFrame,
       queries: DataFrame, corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int, rerank: Int,
-      probeLists: Column): DataFrame = {
+      probeLists: Column, corpusPred: Option[Column] = None): DataFrame = {
     val q = queries
       .withColumn("_qn", norm(col(queryVec)))
       .withColumn("_lut", graft.functions.TextVectorExpressions.pq_lut(
         col(queryVec), pq.codebooks, pq.m, pq.k))
       .withColumn("cid", explode(probeLists))
       .drop(queryVec)
-    val scored = pq.encoded
+    // the predicate lands directly above the codes scan (before the
+    // cid/queries joins), so Catalyst pushes it into the scan — the
+    // filtered search never materializes out-of-slice candidates
+    val encoded = corpusPred.fold(pq.encoded)(pq.encoded.filter)
+    val scored = encoded
       .join(ivf.assigned.select(col(corpusId), col("cid")), corpusId)
       .join(broadcast(q), Seq("cid"))
       .filter(col(queryId) =!= col(corpusId))
@@ -522,7 +538,7 @@ object Similarity {
         col("codes"), col("_lut"), pq.k))
       .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))
         .otherwise(col("adc") / (col("_cn") * col("_qn"))))
-    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
-      queryVec, k, rerank)
+    rerankOrRank(scored, corpusPred.fold(corpus)(corpus.filter), queries,
+      corpusId, corpusVec, queryId, queryVec, k, rerank)
   }
 }

@@ -403,6 +403,35 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x24b_ann_persisted")),
 
+    // FILTERED ANN search — the slice-scoped variant every real curation
+    // pipeline runs ("near-dups of this doc within the same source"):
+    // the same persisted index as x24b, searched under a corpus
+    // predicate (vec_id < 300 here — an id-range slice ~30% of the
+    // corpus). The predicate is pushed into BOTH stored scans (codes +
+    // rerank vectors) where it composes with the cid partition pruning
+    // (plan-guarded), and the search is filter-then-rank: parity vs
+    // brute force over the filtered corpus is spec-pinned (a post-filter
+    // of unfiltered top-k would lose covered neighbors). Frozen oracle.
+    Q("x56_ann_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_annidx_x56_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        AnnIndexStore.save(s, dir, ivf, pq)
+        val loaded = AnnIndexStore.load(s, dir)
+        AnnIndexStore.searchTopK(loaded,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5,
+          minProbe = 4, maxProbe = 12, margin = 0.5, rerank = 50,
+          corpusPred = Some(col("c_id") < 300L))
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x56_ann_filtered")),
+
     Q("x14_ann_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -188,6 +188,51 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"no increment row in top-k — planted growth not searchable: $stored")
   }
 
+  test("filtered search: slice-only results, brute-force parity, predicate pushed under the partition pruning") {
+    val corpus = corpusOf(300)
+    val pred = col("c_id") < 150L
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    val loaded = AnnIndexStore.load(spark, dir)
+    val storedDf = AnnIndexStore.searchTopK(loaded, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 60,
+      corpusPred = Some(pred))
+    val stored = searchRows(storedDf)
+
+    // every neighbor is inside the slice, and each query still gets k rows
+    // (filter-then-rank — a post-filtered top-k would come up short)
+    assert(stored.nonEmpty && stored.forall(_._2 < 150L), stored.toString)
+    assert(stored.groupBy(_._1).forall(_._2.size == 3), stored.toString)
+
+    // parity with the in-memory filtered search over the same frozen models
+    val inMem = searchRows(Similarity.ivfPqTopKAdaptive(ivf, pq, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 60,
+      corpusPred = Some(pred)))
+    assert(stored == inMem, s"stored=$stored inMem=$inMem")
+
+    // recall vs brute force over the FILTERED corpus (the semantics the
+    // filtered search promises); rerank=60 over a 150-row slice makes the
+    // shortlist near-exhaustive, so recall should be essentially exact
+    val exact = searchRows(Similarity.bruteForceTopK(corpus.filter(pred), queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3))
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val hit = stored.count(r => exactSet((r._1, r._2)))
+    assert(hit.toDouble / exact.size >= 0.9,
+      s"filtered recall ${hit.toDouble / exact.size} < 0.9 (stored=$stored exact=$exact)")
+
+    // the slice predicate reaches the stored parquet scans as a pushed
+    // filter, composed with (not instead of) the cid partition pruning
+    val plan = storedDf.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("PushedFilters: [")).toSeq
+    assert(scanLines.exists(_.contains("LessThan(c_id,150)")),
+      s"slice predicate not pushed into a stored scan:\n${scanLines.mkString("\n")}")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    assert(pf.exists(l => l.contains("cid") && l.contains(" IN (")),
+      s"cid partition pruning lost under the slice predicate:\n${pf.mkString("\n")}")
+  }
+
   test("deleteVectors: tombstoned ids never surface; purge physically drops them") {
     import spark.implicits._
     val corpus = corpusOf(300)

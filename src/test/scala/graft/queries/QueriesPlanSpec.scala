@@ -239,6 +239,22 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // per-query top-k pre-pruned
   }
 
+  test("x56 filtered ann: slice predicate pushed into the stored list scan, pruning intact") {
+    val p = plan("x56_ann_filtered")
+    // the slice predicate reaches the stored parquet scans (codes +
+    // rerank vectors) as a pushed filter, composed with the cid
+    // partition pruning — the filtered search reads only probed lists
+    // AND only in-slice rows of them
+    assert(p.contains("LessThan(c_id,300)"),
+      s"slice predicate not pushed into a stored scan\n$p")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    // literal probe sets render as `cid IN (...)` or `cid INSET ...`
+    // depending on list length
+    assert(pf.exists(l => l.contains("cid") &&
+        (l.contains(" IN (") || l.contains(" INSET "))),
+      s"cid partition pruning lost under the slice predicate\n${pf.mkString("\n")}")
+  }
+
   test("registry sweep: no Window partitioned solely by an unbounded-skew term-like key") {
     // the defect class x40 had: a window whose ONLY partition key is a
     // token/term-shaped column puts the Zipf head key's entire partition
