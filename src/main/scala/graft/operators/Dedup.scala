@@ -673,6 +673,71 @@ object Dedup {
     mergeSpanWindows(spans, Seq("doc_id", "benchmark_id"))
   }
 
+  /** N-gram containment-ratio decontamination — the published recipe
+    * (Brown et al. 2020 appendix C's 13-gram overlap; the containment
+    * form most released-corpus reports use): for every (training doc,
+    * benchmark doc) pair sharing at least one verbatim `n`-token gram,
+    * report `containment` = |distinct benchmark n-grams appearing
+    * verbatim in the doc| / |distinct benchmark n-grams|, and flag the
+    * pair `contaminated` when the (rounded) ratio ≥ `minRatio`. The
+    * span-level machinery ([[decontaminate]]) answers "WHERE does the
+    * overlap sit" for surgical span removal; this answers "HOW MUCH of
+    * the benchmark does the doc cover" — the whole-document drop/keep
+    * decision. Benchmark docs with fewer than `n` tokens have no grams
+    * and never pair.
+    *
+    * Plan shape for the 100 TB-corpus / MB-benchmark asymmetry: the
+    * benchmark side dedups to distinct (benchmark_id, hash, gram) keys —
+    * bounded by benchmark token count, broadcastable; the corpus side is
+    * one map-only positional-hash explode joined against it, so nothing
+    * corpus-sized shuffles before the match. Matches are verified
+    * VERBATIM (gram-string equality, not just hash equality — the
+    * [[duplicateSpans]] verify discipline, always on here because a
+    * containment ratio inflated by a hash collision flags the wrong
+    * document), then distinct grams count per pair — the shuffle carries
+    * matched windows only, O(matched). Gram canonicalization is
+    * [[graft.functions.TextVectorKernels.tokenGramAt]] (lowercased,
+    * whitespace-normalized), reproducible in portable SQL — the x58
+    * oracle recomputes the whole operator live in DuckDB.
+    *
+    * Output: (doc_id, benchmark_id, n_matched, n_bench_grams,
+    * containment, contaminated).
+    */
+  def containmentDecontaminate(docs: DataFrame, docIdCol: String,
+      docTextCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 13, minRatio: Double = 0.8): DataFrame = {
+    require(n >= 1, s"need n ≥ 1 (got n=$n)")
+    require(minRatio >= 0.0 && minRatio <= 1.0,
+      s"minRatio ($minRatio) must be in [0, 1]")
+    import graft.functions.TextVectorExpressions.{shingle_hash_seq, token_gram}
+    val benchKeys = bench.select(col(benchIdCol).as("benchmark_id"),
+        posexplode(shingle_hash_seq(col(benchTextCol), n)).as(Seq("b_pos", "h")),
+        col(benchTextCol).as("_btext"))
+      .select(col("benchmark_id"), col("h"),
+        token_gram(col("_btext"), n, col("b_pos")).as("_gram"))
+      .distinct()
+    val benchTotals = benchKeys.groupBy("benchmark_id")
+      .agg(countDistinct("_gram").as("n_bench_grams"))
+    val docWin = docs.select(col(docIdCol).as("doc_id"),
+      posexplode(shingle_hash_seq(col(docTextCol), n)).as(Seq("pos", "h")))
+    val hits = docWin.join(benchKeys, Seq("h"))
+    // verbatim gate: only matched docs ship text (semi-join), and only
+    // matched windows' grams enter the count
+    val matchedText = docs
+      .select(col(docIdCol).as("doc_id"), col(docTextCol).as("_text"))
+      .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val verified = hits.join(matchedText, Seq("doc_id"))
+      .filter(token_gram(col("_text"), n, col("pos")) === col("_gram"))
+    verified.groupBy("doc_id", "benchmark_id")
+      .agg(countDistinct("_gram").as("n_matched"))
+      .join(benchTotals, "benchmark_id")
+      .withColumn("containment",
+        round(col("n_matched").cast("double") / col("n_bench_grams"), 4))
+      .select(col("doc_id"), col("benchmark_id"), col("n_matched"),
+        col("n_bench_grams"), col("containment"),
+        (col("containment") >= minRatio).as("contaminated"))
+  }
+
   /** Connected components over an undirected dup-pair edge list:
     * (id, cluster_id), cluster_id = the component's minimum id — the
     * missing step between pairwise near-dup output and an actual

@@ -240,6 +240,62 @@ object ExtensionQueries {
           .orderBy("doc_id", "benchmark_id", "span_start")
       }, F1OracleSql.sql.get("x25_decontaminate")),
 
+    // Containment-ratio decontamination at the published 13-gram recipe
+    // (Brown et al. 2020 appendix C): x25 reports WHERE the overlap sits
+    // (span removal), this reports HOW MUCH of each benchmark doc the
+    // training doc covers (whole-doc drop/keep). Benchmark = the first
+    // 10 docs' 400-char SUFFIXES, so both regimes are planted by
+    // construction: each source doc contains its own suffix verbatim
+    // (containment 1.0, contaminated) while its planted near-copy (last
+    // 15 chars truncated) loses exactly the grams crossing the cut —
+    // a PARTIAL ratio near (g−15)/g that straddles the 0.9 threshold
+    // across docs (a prefix-based benchmark left every pair at 1.0 and
+    // the threshold untested; at 0.8 every planted pair still passed). LIVE oracle: the whole operator — gram
+    // canonicalization, verbatim containment count, ratio, threshold —
+    // recomputed independently in DuckDB SQL.
+    Q("x58_containment_decontaminate",
+      (s, d) => {
+        val corpus = plantTextDups(Tables.documents(s, d))
+        val bench = Tables.documents(s, d).filter(col("doc_id") < 10).select(
+          (col("doc_id") + 5000L).as("bench_id"),
+          expr("substring(text, greatest(length(text) - 399, 1), 400)")
+            .as("prompt"))
+        Dedup.containmentDecontaminate(corpus, "doc_id", "text",
+          bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
+          .orderBy("doc_id", "benchmark_id")
+      },
+      Some("WITH corpus AS (" +
+        "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, " +
+        "substring(text, 1, greatest(length(text) - 15, 1)) AS text " +
+        "FROM documents WHERE doc_id < 20), " +
+        "bench AS (SELECT doc_id + 5000 AS benchmark_id, " +
+        "substring(text, greatest(length(text) - 399, 1), 400) AS prompt " +
+        "FROM documents WHERE doc_id < 10), " +
+        "bt AS (SELECT benchmark_id, " +
+        "regexp_split_to_array(trim(lower(prompt)), '\\s+') AS toks " +
+        "FROM bench WHERE trim(prompt) <> ''), " +
+        "bg AS (SELECT DISTINCT benchmark_id, " +
+        "array_to_string(toks[i:i+12], ' ') AS gram " +
+        "FROM bt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
+        "btot AS (SELECT benchmark_id, count(DISTINCT gram) AS n_bench_grams " +
+        "FROM bg GROUP BY 1), " +
+        "dt AS (SELECT doc_id, " +
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks " +
+        "FROM corpus WHERE trim(text) <> ''), " +
+        "dg AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(toks[i:i+12], ' ') AS gram " +
+        "FROM dt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
+        "m AS (SELECT doc_id, benchmark_id, " +
+        "CAST(count(*) AS BIGINT) AS n_matched " +
+        "FROM dg JOIN bg USING (gram) GROUP BY 1, 2) " +
+        "SELECT m.doc_id, m.benchmark_id, m.n_matched, " +
+        "CAST(btot.n_bench_grams AS BIGINT) AS n_bench_grams, " +
+        "round(m.n_matched / btot.n_bench_grams, 4) AS containment, " +
+        "round(m.n_matched / btot.n_bench_grams, 4) >= 0.9 AS contaminated " +
+        "FROM m JOIN btot USING (benchmark_id) " +
+        "ORDER BY doc_id, benchmark_id")),
+
     // Pairs → verdicts: connected components over the LSH pair graph, one
     // keep/drop row per document (transitive closure picks up A~C via B).
     Q("x17_dedup_clusters",

@@ -158,6 +158,36 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentDecontaminate: exact partial/full ratios, threshold both sides, clean docs silent") {
+    // benchmark 201: 5 tokens at n=4 → 2 distinct grams (t1..t4, t2..t5)
+    val bench = Seq((201L, "alpha bravo charlie delta echo"),
+      (202L, "foxtrot golf hotel india juliet")).toDF("bench_id", "prompt")
+    val docs = Seq(
+      // doc 1 contains the full benchmark → 2/2 = 1.0, contaminated
+      (1L, "noise words alpha bravo charlie delta echo more noise"),
+      // doc 2 contains only the first gram → 1/2 = 0.5, NOT contaminated
+      (2L, "prefix alpha bravo charlie delta and unrelated tail here"),
+      // doc 3 is clean — must not appear at all
+      (3L, "nothing shared with any benchmark prompt in this text"),
+      // doc 4 matches benchmark 202 fully but case-shifted: gram
+      // canonicalization lowercases, so it still counts
+      (4L, "FOXTROT GOLF hotel india JULIET plus extra")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentDecontaminate(docs, "doc_id", "text",
+        bench, "bench_id", "prompt", n = 4, minRatio = 0.8)
+      .orderBy("doc_id", "benchmark_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 201L, 2L, 2L, 1.0, true),
+      (2L, 201L, 1L, 2L, 0.5, false),
+      (4L, 202L, 2L, 2L, 1.0, true)), out.toSeq.toString)
+    // a benchmark shorter than n has no grams and never pairs
+    val shortBench = Seq((301L, "too short")).toDF("bench_id", "prompt")
+    assert(Dedup.containmentDecontaminate(docs, "doc_id", "text",
+      shortBench, "bench_id", "prompt", n = 4).count() == 0)
+  }
+
   test("keepDecisions edge cases: clean corpus (no pairs), pairs from a superset of docs") {
     // a clean corpus produces ZERO pairs — must converge to all-keep, not NPE
     val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
