@@ -660,6 +660,56 @@ object TextVectorKernels {
     }
     acc
   }
+
+  /** Hashed bag-of-features ids of the fastText-style linear classifier
+    * (Joulin et al. 2016 "Bag of Tricks"): for the lowercased whitespace
+    * tokens, one feature per UNIGRAM occurrence plus one per adjacent
+    * BIGRAM occurrence, each hashed into [0, dim). Emission order is
+    * token order (uni_0, uni_1, bi_01, uni_2, bi_12, …): a fixed
+    * enumeration shared by the training explode and the scoring kernel,
+    * so train and inference can never disagree on the feature map.
+    * Unigram id = FNV-1a(token) mod dim; bigram id mixes the two token
+    * hashes (h1·1000003 ⊕ h2) — pure functions of the text, no RNG, no
+    * vocabulary state. Empty/whitespace-only text → empty array.
+    */
+  def hashedBowIds(text: UTF8String, dim: Int): ArrayData = {
+    val h = tokenHashes(text)
+    if (h.length == 0) return new GenericArrayData(Array.emptyIntArray)
+    val out = new Array[Int](2 * h.length - 1)
+    var i = 0
+    var o = 0
+    while (i < h.length) {
+      out(o) = (((h(i) % dim) + dim) % dim).toInt
+      o += 1
+      if (i > 0) {
+        val hb = h(i - 1) * 1000003L ^ h(i)
+        out(o) = (((hb % dim) + dim) % dim).toInt
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Mean feature weight under a frozen weight vector — the map-only
+    * inference half of the hashed-bow classifier: margin =
+    * Σ_f w[id_f] / n_features over exactly the [[hashedBowIds]]
+    * enumeration (occurrence-counted). Single fixed-order per-row loop:
+    * deterministic at any parallelism, zero shuffles. 0.0 for textless
+    * rows (the caller's bias then decides). dim = weights.length.
+    */
+  def hashedBowMargin(text: UTF8String, weights: Array[Double]): Double = {
+    val ids = hashedBowIds(text, weights.length)
+    val n = ids.numElements()
+    if (n == 0) return 0.0
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += weights(ids.getInt(i))
+      i += 1
+    }
+    acc / n
+  }
 }
 
 /** array<long> shingle hashes of text (word n-grams). SQL: shingle_hashes(text, n). */
@@ -865,6 +915,48 @@ case class ShingleHashSeq(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
     copy(child = newChild)
   override def prettyName: String = "shingle_hash_seq"
+}
+
+/** Hashed unigram+bigram feature ids ([[TextVectorKernels.hashedBowIds]]).
+  * SQL: hashed_bow_ids(text, dim).
+  */
+case class HashedBowIdsExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && dim >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow_ids requires STRING and dim >= 1, got ${child.dataType.catalogString}, dim=$dim")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hashedBowIds(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.hashedBowIds($c, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): HashedBowIdsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_bow_ids"
+}
+
+/** Frozen-weights mean feature weight ([[TextVectorKernels.hashedBowMargin]]);
+  * the weight vector rides the expression (the [[Sq8DotExpr]] pattern).
+  * SQL: hashed_bow_margin(text, weights).
+  */
+case class HashedBowMarginExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && weights.nonEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow_margin requires STRING and non-empty weights, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hashedBowMargin(input.asInstanceOf[UTF8String], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedBowMarginExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (Double) $ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedBowMarginExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_bow_margin"
 }
 
 /** Verbatim word-n-gram extraction at a token position — see
@@ -1329,5 +1421,22 @@ object TextVectorExpressions {
       org.apache.spark.sql.functions.typedlit(pieces.toSeq),
       org.apache.spark.sql.functions.typedlit(logprobs.toSeq),
       lit(maxPieceLen), lit(floor))
+  }
+
+  private def registerHashedBow(spark: SparkSession): Unit = {
+    Registry.registerOnce(spark, "hashed_bow_ids")(
+      exprs => HashedBowIdsExpr(exprs(0), litInt(exprs(1))))
+    Registry.registerOnce(spark, "hashed_bow_margin")(
+      exprs => HashedBowMarginExpr(exprs(0), foldableDoubles(exprs(1))))
+  }
+
+  def hashed_bow_ids(c: Column, dim: Int): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("hashed_bow_ids", c, lit(dim))
+  }
+  def hashed_bow_margin(c: Column, weights: Array[Double]): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("hashed_bow_margin", c,
+      org.apache.spark.sql.functions.typedlit(weights.toSeq))
   }
 }

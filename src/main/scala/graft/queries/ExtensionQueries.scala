@@ -65,6 +65,22 @@ object ExtensionQueries {
           lit("\nhome | about | products | contact")))
         .otherwise(col("text")))
 
+  /** Planted spam: every doc with doc_id ≡ 0 (mod 3) gets the template
+    * junk block a trained quality gate exists to catch appended — the
+    * labeled-corpus shape a fastText-style classifier trains on (the
+    * testdata's sources share one vocabulary, so an unplanted source
+    * label would be unlearnable and the kernel dead — the
+    * [[plantBoilerplate]] rationale). Label 1.0 = clean.
+    */
+  private[graft] def plantSpam(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" click here buy now free offer limited " +
+          "prize winner cheap deal subscribe click here buy now free offer")))
+        .otherwise(col("text")).as("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0))
+        .as("label"))
+
   /** Planted near-dup vectors: ±10% alternating-sign per-component
     * scaling. Cosine is scale-invariant, so a uniform `x * 1.001` copy
     * scores EXACTLY 1.0 and never exercises the threshold; the
@@ -1293,6 +1309,28 @@ object ExtensionQueries {
     // add-0.5 smoothed over the shared vocabulary, so the ratio is
     // finite for every token. Live SQL oracle recomputes both models
     // and every per-token contribution independently in DuckDB.
+    // FastText-style hashed-bigram logistic quality scorer (Joulin et
+    // al. 2016) — the trained-classifier gate beside x50's
+    // statistical-LM scoring: spam planted on doc_id ≡ 0 (mod 3), the
+    // model trained ON THE EVEN-ID SLICE ONLY (both classes present)
+    // and scored over the whole corpus, so odd ids are held-out
+    // generalization, not memorization. Training is distributed with a
+    // dim-bounded gradient collect per iteration; scoring is one
+    // map-only codegen'd pass (plan-guarded in ClassifierSpec). Weights
+    // are bit-deterministic (DECIMAL-summed gradients, spec-pinned), so
+    // the frozen oracle pins the whole train→score pipeline.
+    Q("x57_quality_classifier",
+      (s, d) => {
+        val docs = plantSpam(Tables.documents(s, d))
+        val model = graft.operators.Classifier.trainQualityLr(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+        graft.operators.Classifier.score(docs, "doc_id", "text", model)
+          .join(docs.select(col("doc_id"), col("label")), "doc_id")
+          .select(col("doc_id"), col("label"), col("quality_score"), col("keep"))
+          .orderBy("doc_id")
+      }, F1OracleSql.sql.get("x57_quality_classifier")),
+
     Q("x50_dsir_score",
       (s, d) => Terms.dsirScore(Tables.documents(s, d), "doc_id", "text",
         pmod(col("doc_id"), lit(7)) === 3, alpha = 0.5)

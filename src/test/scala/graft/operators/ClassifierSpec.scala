@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hashed-bow logistic quality classifier: held-out separation,
+  * bit-identical retrains, map-only scoring plan, degenerate inputs.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: clean docs are word-salad from a
+  // "good" vocabulary, spam docs append the template junk a trained
+  // quality gate exists to catch
+  private val good = Vector("data", "table", "query", "join", "filter",
+    "window", "batch", "stream", "column", "vector", "merge", "scan")
+  private val spamTail = " click here buy now free offer limited prize " +
+    "winner cheap deal subscribe click here buy now free offer"
+
+  private def doc(i: Long): String =
+    (0 until 40).map(j => good(((i * 7 + j * 13) % good.size).toInt)).mkString(" ")
+
+  private def corpus(n: Int) = (0L until n.toLong).map { i =>
+    val spam = i % 3 == 0
+    (i, if (spam) doc(i) + spamTail else doc(i), if (spam) 0.0 else 1.0)
+  }.toDF("doc_id", "text", "label")
+
+  test("held-out separation: every clean doc outscores every spam doc") {
+    val all = corpus(90)
+    val train = all.filter(col("doc_id") % 2 === 0)
+    val holdout = all.filter(col("doc_id") % 2 === 1)
+    val model = Classifier.trainQualityLr(train, "doc_id", "text", "label",
+      dim = 2048, iters = 20, lr = 400.0)
+    val scored = Classifier.score(holdout, "doc_id", "text", model)
+      .join(holdout.select(col("doc_id"), col("label")), "doc_id")
+      .collect().map(r => (r.getDouble(1), r.getDouble(3)))
+    val clean = scored.filter(_._2 == 1.0).map(_._1)
+    val spam = scored.filter(_._2 == 0.0).map(_._1)
+    assert(clean.nonEmpty && spam.nonEmpty)
+    assert(clean.min > spam.max,
+      s"no margin between classes: clean=[${clean.min}, ${clean.max}] spam=[${spam.min}, ${spam.max}]")
+    // the 0.5 keep-threshold actually splits them (not just ordinal
+    // separation at 0.5±epsilon)
+    assert(clean.min >= 0.5 && spam.max < 0.5,
+      s"threshold does not separate: clean.min=${clean.min} spam.max=${spam.max}")
+  }
+
+  test("training is bit-deterministic: two runs, identical weights and scores") {
+    val train = corpus(60)
+    val m1 = Classifier.trainQualityLr(train, "doc_id", "text", "label",
+      dim = 512, iters = 10, lr = 400.0)
+    val m2 = Classifier.trainQualityLr(train.repartition(7), "doc_id", "text",
+      "label", dim = 512, iters = 10, lr = 400.0)
+    assert(m1.bias == m2.bias)
+    assert(m1.weights.toSeq == m2.weights.toSeq)
+  }
+
+  test("scoring is map-only: no exchange, no join, weights ride the kernel") {
+    val model = Classifier.BowLrModel(Array.fill(256)(0.1), -0.2)
+    // a file-backed frame: a local Seq constant-folds to LocalTableScan
+    // and would vacuously pass the no-exchange assertions
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Classifier.score(docs, "doc_id", "text", model)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("hashed_bow_margin"), plan)
+  }
+
+  test("degenerate inputs: empty text scores sigmoid(bias); empty training fails fast") {
+    val model = Classifier.BowLrModel(Array.fill(64)(5.0), 0.4)
+    val out = Classifier.score(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect().map(_.getDouble(1))
+    val expect = math.rint(1.0 / (1.0 + math.exp(-0.4)) * 1e4) / 1e4
+    assert(out.toSeq == Seq(expect, expect), out.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Classifier.trainQualityLr(Seq((1L, " ", 1.0)).toDF("doc_id", "text", "label"),
+        "doc_id", "text", "label", dim = 64, iters = 1)
+    }
+  }
+}
