@@ -74,27 +74,40 @@ object AnnIndexStore {
   /** Persist a freshly built index at `indexPath` (must not already hold
     * one — an index rebuild is a NEW path + reader swap, never an
     * in-place mutation).
+    *
+    * `metadata` (optional, `(id, metadata columns…)`): denormalized into
+    * BOTH data tables at build time — the scale answer to filtered
+    * search over attributes ("near-dups within the same language/
+    * source"): a [[searchTopK]] `corpusPred` over a stored metadata
+    * column reaches the parquet scans as a pushed filter, no join
+    * against a side table at query time. Incremental growth must then
+    * supply the same columns ([[addVectors]] enforces it — a null-filled
+    * metadata column would silently drop appended rows from every
+    * filtered search).
     */
   def save(spark: SparkSession, indexPath: String, ivf: IvfIndex, pq: PqModel,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = new ManifestMergeEngine(),
+      metadata: Option[DataFrame] = None): Unit = {
     require(engine.read(spark, centroidsPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
     engine.append(centroidsPath(indexPath), vecRows(spark, ivf.centroids, None))
     engine.append(codebooksPath(indexPath),
       vecRows(spark, pq.codebooks, Some((pq.m, pq.k))))
+    // both builders emit the id as their FIRST column by construction
+    val idCol = pq.encoded.columns.head
+    def withMeta(df: DataFrame): DataFrame =
+      metadata.fold(df)(m => df.join(m, Seq(idCol)))
     // cluster by list id before the partitioned write: without it every
     // upstream task sprays a file into every cid=N/ directory
     // (tasks × lists tiny files); clustered, each list lands contiguously
     // — fewer, bigger files per inverted list, which is also what a
     // search wants to scan
     engine.appendPartitioned(assignedPath(indexPath),
-      ivf.assigned.repartition(col("cid")), "cid")
+      withMeta(ivf.assigned).repartition(col("cid")), "cid")
     // the codes table carries the list id too (one id equi-join at save
-    // time), so BOTH scans prune to the probed lists at search time;
-    // both builders emit the id as their FIRST column by construction
-    val idCol = pq.encoded.columns.head
+    // time), so BOTH scans prune to the probed lists at search time
     engine.appendPartitioned(encodedPath(indexPath),
-      pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol)
+      withMeta(pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol))
         .repartition(col("cid")), "cid")
   }
 
@@ -151,29 +164,45 @@ object AnnIndexStore {
     */
   def addVectors(spark: SparkSession, indexPath: String, vectors: DataFrame,
       corpusId: String, corpusVec: String,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = new ManifestMergeEngine(),
+      metadata: Option[DataFrame] = None): Unit = {
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
     val cb = engine.read(spark, codebooksPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
     val mk = cb.select("m", "k").head()
     appendEncoded(indexPath, vectors, corpusId, corpusVec,
-      centroids, matrixOf(cb), mk.getInt(0), mk.getInt(1), engine)
+      centroids, matrixOf(cb), mk.getInt(0), mk.getInt(1), engine, metadata)
   }
 
   /** Frozen-model encode + list-clustered partitioned append of new
     * vectors — shared by [[addVectors]] and [[streamingAddVectors]].
+    * Refuses a column-set mismatch against the stored assigned table:
+    * appending rows WITHOUT a metadata column the index was built with
+    * would null-fill them, and a filtered search would silently never
+    * see the increment.
     */
   private def appendEncoded(indexPath: String, vectors: DataFrame,
       corpusId: String, corpusVec: String, centroids: Array[Array[Double]],
       codebooks: Array[Array[Double]], m: Int, k: Int,
-      engine: MergeEngine): Unit = {
+      engine: MergeEngine, metadata: Option[DataFrame] = None): Unit = {
     val proj = vectors.select(col(corpusId), col(corpusVec))
-    val newAssigned = Similarity.assignCid(proj, corpusVec, centroids)
+    val newAssigned0 = Similarity.assignCid(proj, corpusVec, centroids)
+    val newAssigned = metadata.fold(newAssigned0)(m0 =>
+      newAssigned0.join(m0, Seq(corpusId)))
+    engine.read(vectors.sparkSession, assignedPath(indexPath)).foreach { stored =>
+      val want = stored.columns.toSet
+      val got = newAssigned.columns.toSet
+      require(got == want,
+        s"index at $indexPath stores columns ${want.toSeq.sorted.mkString(",")} " +
+          s"but the increment carries ${got.toSeq.sorted.mkString(",")} — supply " +
+          "the same metadata columns the index was built with")
+    }
     engine.appendPartitioned(assignedPath(indexPath),
       newAssigned.repartition(col("cid")), "cid")
+    val enc0 = Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
+      .join(newAssigned0.select(col(corpusId), col("cid")), corpusId)
     engine.appendPartitioned(encodedPath(indexPath),
-      Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
-        .join(newAssigned.select(col(corpusId), col("cid")), corpusId)
+      metadata.fold(enc0)(m0 => enc0.join(m0, Seq(corpusId)))
         .repartition(col("cid")), "cid")
   }
 

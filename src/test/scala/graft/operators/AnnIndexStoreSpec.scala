@@ -233,6 +233,56 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"cid partition pruning lost under the slice predicate:\n${pf.mkString("\n")}")
   }
 
+  test("metadata index: attribute predicate pushed to stored scans; mismatched increment refused") {
+    import spark.implicits._
+    val corpus = corpusOf(300)
+    // deterministic metadata: source = src<id mod 3>
+    val meta = corpus.select(col("c_id"),
+      concat(lit("src"), pmod(col("c_id"), lit(3))).as("source"))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq, metadata = Some(meta))
+    val loaded = AnnIndexStore.load(spark, dir)
+    val out = AnnIndexStore.searchTopK(loaded, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 60,
+      corpusPred = Some(col("source") === "src1"))
+    val rows = searchRows(out)
+    // every neighbor is in the slice (id ≡ 1 mod 3), k rows per query
+    assert(rows.nonEmpty && rows.forall(_._2 % 3 == 1), rows.toString)
+    assert(rows.groupBy(_._1).forall(_._2.size == 3), rows.toString)
+    // the attribute predicate reaches the stored scan — no join against a
+    // side table at query time
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(source,src1)"),
+      s"metadata predicate not pushed:\n$plan")
+    // parity vs brute force over the metadata-filtered corpus
+    val exact = searchRows(Similarity.bruteForceTopK(
+      corpus.join(meta.filter(col("source") === "src1").select("c_id"), "c_id"),
+      queries, "c_id", "c_vec", "q_id", "q_vec", k = 3))
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val hit = rows.count(r => exactSet((r._1, r._2)))
+    assert(hit.toDouble / exact.size >= 0.9,
+      s"metadata-filtered recall ${hit.toDouble / exact.size} < 0.9")
+    // an increment WITHOUT the metadata column must refuse loudly (a
+    // null-filled source would vanish from every filtered search)
+    val inc = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec")
+    }
+    assert(err.getMessage.contains("metadata columns"), err.getMessage)
+    // with the column supplied, growth works and the new rows are
+    // reachable under the filter
+    AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec",
+      metadata = Some(inc.select(col("c_id"),
+        concat(lit("src"), pmod(col("c_id"), lit(3))).as("source"))))
+    val grown = AnnIndexStore.load(spark, dir)
+    assert(grown.ivf.assigned.filter(col("source") === "src1").count() ==
+      (0L until 320L).count(_ % 3 == 1))
+  }
+
   test("deleteVectors: tombstoned ids never surface; purge physically drops them") {
     import spark.implicits._
     val corpus = corpusOf(300)
