@@ -673,6 +673,65 @@ object Dedup {
     mergeSpanWindows(spans, Seq("doc_id", "benchmark_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the embedding
+    * space with the deterministic IVF k-means quantizer
+    * ([[Similarity.buildIvf]]), compare pairs ONLY within a cluster,
+    * connect cos ≥ `minCos` pairs into semantic-dup groups (transitive —
+    * A~B~C is one group even without an A~C edge), and keep one
+    * representative per group. Representative = the group's minimum id
+    * (the [[keepDecisions]] convention — deterministic and
+    * arrival-independent; the paper's lowest-centroid-similarity pick is
+    * a one-line swap on the same machinery). Output: (idCol, cid,
+    * cluster_size, dup_group, keep) — one row per input vector.
+    *
+    * Where x05 ([[embeddingDups]]) answers "which PAIRS are near-dups"
+    * via sign-LSH buckets, this is the cluster-then-prune WHOLE-CORPUS
+    * recipe: every vector gets a verdict, and the pair search is scoped
+    * by the semantic clustering itself. Scale shape: the pair join is an
+    * equi-join on the cluster id (AQE-splittable); pairwise work is
+    * Σ m_i² over cluster sizes — the SemDeDup cost model, tuned by
+    * `nClusters` (the paper runs 50k clusters over LAION so m_i stays
+    * ~10⁴). Clusters larger than `maxCluster` SKIP pairing (their rows
+    * keep — missed dups, never false merges) — the hot-bucket cap
+    * discipline of the LSH operators; callers watching coverage can
+    * read the capped clusters straight off the output (`cluster_size >
+    * maxCluster`), so the cap is never silent.
+    */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCos: Double = 0.99, iters: Int = 2,
+      maxCluster: Long = 100000L): DataFrame = {
+    require(nClusters >= 1, s"nClusters ($nClusters) must be >= 1")
+    require(minCos >= -1.0 && minCos <= 1.0, s"minCos ($minCos) must be in [-1, 1]")
+    require(maxCluster >= 2, s"maxCluster ($maxCluster) must be >= 2")
+    val ivf = Similarity.buildIvf(emb.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nClusters, iters)
+    val assigned = ivf.assigned
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cid"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    // sizes is nClusters rows — broadcasts onto the corpus
+    val small = assigned.join(broadcast(sizes), "cid")
+      .filter(col("cluster_size") <= maxCluster)
+    val left = small.select(col("cid"), col("id").as("a_id"),
+      col("v").as("a_v"), col("n").as("a_n"))
+    val right = small.select(col("cid"), col("id").as("b_id"),
+      col("v").as("b_v"), col("n").as("b_n"))
+    val pairs = left.join(right, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.cosineWithNorms(col("a_v"), col("b_v"),
+        col("a_n"), col("b_n")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id")
+    keepDecisions(assigned.select(col("id").as(idCol)), idCol, pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"),
+        col("keep"))
+      .join(assigned.select(col("id").as(idCol), col("cid")), idCol)
+      .join(broadcast(sizes), "cid")
+      .select(col(idCol), col("cid"), col("cluster_size"), col("dup_group"),
+        col("keep"))
+  }
+
   /** N-gram containment-ratio decontamination — the published recipe
     * (Brown et al. 2020 appendix C's 13-gram overlap; the containment
     * form most released-corpus reports use): for every (training doc,

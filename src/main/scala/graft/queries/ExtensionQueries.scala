@@ -475,6 +475,21 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x24b_ann_persisted")),
 
+    // SemDeDup (Abbas et al. 2023): the cluster-then-prune WHOLE-CORPUS
+    // semantic dedup — k-means clusters scope the pair search (x05's
+    // LSH buckets answer the pairs-only question), transitive groups,
+    // one keeper per group, a verdict row for EVERY vector. Planted
+    // ±10% alternating-sign copies straddle the 0.99 gate (the x05
+    // fixture), so threshold or clustering drift moves borderline
+    // vectors across keep/drop and fails the frozen oracle.
+    Q("x59_semdedup",
+      (s, d) => {
+        val emb = plantVecDups(Tables.embeddings(s, d))
+        Dedup.semDeDup(emb, "vec_id", "embedding",
+          nClusters = 16, minCos = 0.99, iters = 2)
+          .orderBy("vec_id")
+      }, F1OracleSql.sql.get("x59_semdedup")),
+
     // FILTERED ANN search — the slice-scoped variant every real curation
     // pipeline runs ("near-dups of this doc within the same source"):
     // the same persisted index as x24b, searched under a corpus

@@ -158,6 +158,39 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup: cluster-scoped groups, transitive keep-one, cap skips pairing visibly") {
+    // ids 1 and 2 are the two lowest — deterministic k-means init puts
+    // one centroid in each direction group
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),      // group A representative
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),      // group B representative
+      (3L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),   // ~dup of 1
+      (4L, Seq(0.996f, 0.02f, 0.0f, 0.0f)),   // ~dup of 3 (and 1) — transitive
+      (5L, Seq(0.9f, 0.436f, 0.0f, 0.0f)),    // A-cluster singleton (cos ≈ 0.9)
+      (6L, Seq(0.01f, 0.9999f, 0.0f, 0.0f))   // ~dup of 2
+    ).toDF("id", "v")
+    val out = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
+        iters = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // (id, cluster_size, dup_group, keep): {1,3,4} one transitive group
+    // keeping 1; {2,6} keeping 2; 5 a kept singleton
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, true), (2L, 2L, 2L, true), (3L, 4L, 1L, false),
+      (4L, 4L, 1L, false), (5L, 4L, 5L, true), (6L, 2L, 2L, false)),
+      out.toSeq.toString)
+    // cap: the size-4 cluster skips pairing (its rows all keep, sizes
+    // still reported so the cap is visible); the size-2 cluster pairs
+    val capped = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
+        iters = 2, maxCluster = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    assert(capped.toSeq == Seq(
+      (1L, 4L, true), (2L, 2L, true), (3L, 4L, true),
+      (4L, 4L, true), (5L, 4L, true), (6L, 2L, false)),
+      capped.toSeq.toString)
+  }
+
   test("containmentDecontaminate: exact partial/full ratios, threshold both sides, clean docs silent") {
     // benchmark 201: 5 tokens at n=4 → 2 distinct grams (t1..t4, t2..t5)
     val bench = Seq((201L, "alpha bravo charlie delta echo"),
