@@ -97,12 +97,29 @@ object LexIndexStore {
     * double-sum those docs' BM25 contributions forever.
     */
   private def appendCorpus(indexPath: String, docs: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, engine: MergeEngine): Unit = {
+      textCol: String, nBuckets: Int, engine: MergeEngine,
+      metadata: Option[DataFrame] = None): Unit = {
     val tf = Terms.tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     try {
-      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      val dl0 = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      // metadata denormalizes into doclens (1 row/doc — the natural
+      // home): a filtered search's doc predicate then hits the stored
+      // table with no query-time side join. Column-set mismatches vs the
+      // stored layout are refused: a null-filled metadata column would
+      // silently drop appended docs from every filtered search (the
+      // AnnIndexStore.appendEncoded contract).
+      val dl = metadata.fold(dl0)(m => dl0.join(m, Seq(idCol)))
+      engine.read(docs.sparkSession, doclensPath(indexPath)).foreach { stored =>
+        val want = stored.columns.toSet
+        val got = dl.columns.toSet
+        require(got == want,
+          s"index at $indexPath stores doclens columns " +
+            s"${want.toSeq.sorted.mkString(",")} but the increment carries " +
+            s"${got.toSeq.sorted.mkString(",")} — supply the same metadata " +
+            "columns the index was built with")
+      }
       engine.append(doclensPath(indexPath), dl)
       // cluster by bucket before the partitioned write (the AnnIndexStore
       // save rationale: unclustered, every task sprays a file into every
@@ -137,11 +154,12 @@ object LexIndexStore {
     */
   def build(spark: SparkSession, indexPath: String, docs: DataFrame,
       idCol: String, textCol: String, nBuckets: Int = 64,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = new ManifestMergeEngine(),
+      metadata: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(engine.read(spark, metaPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
-    appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine)
+    appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine, metadata)
     refreshMeta(spark, indexPath, nBuckets, engine)
   }
 
@@ -155,7 +173,8 @@ object LexIndexStore {
     */
   def addDocuments(spark: SparkSession, indexPath: String, docs: DataFrame,
       idCol: String, textCol: String,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = new ManifestMergeEngine(),
+      metadata: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     val meta = readMeta(spark, indexPath, engine)
     val existing = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
@@ -168,7 +187,8 @@ object LexIndexStore {
       .localCheckpoint(true)
     try {
       if (!fresh.isEmpty) {
-        appendCorpus(indexPath, fresh, idCol, textCol, meta.nBuckets, engine)
+        appendCorpus(indexPath, fresh, idCol, textCol, meta.nBuckets, engine,
+          metadata)
         // recompute, don't ±delta: heals a prior crash-before-meta too
         refreshMeta(spark, indexPath, meta.nBuckets, engine)
       }
@@ -301,10 +321,21 @@ object LexIndexStore {
     * Spark expression the writers used, through a local frame — never a
     * driver-side reimplementation of the hash.
     */
+  /** `docPred`: optional FILTERED-retrieval predicate over the stored
+    * doclens columns (the id, or metadata denormalized at build time via
+    * `build(metadata=…)`) — "top-k within this source/language" with the
+    * Lucene filtered-query semantics: idf and avgdl stay CORPUS-level
+    * (a filter restricts candidates, it does not define a new corpus),
+    * and the restriction applies BEFORE ranking at the doclens join, so
+    * each query still gets k in-slice results instead of a post-filtered
+    * shortfall. The postings scan itself stays pruned by the query
+    * vocabulary; out-of-slice candidates drop at the id-keyed score join.
+    */
   def searchTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      engine: MergeEngine = new ManifestMergeEngine()): DataFrame = {
+      engine: MergeEngine = new ManifestMergeEngine(),
+      docPred: Option[Column] = None): DataFrame = {
     val meta = readMeta(spark, indexPath, engine)
     val postings = engine.read(spark, postingsPath(indexPath))
       .getOrElse(throw new IllegalStateException(
@@ -344,6 +375,9 @@ object LexIndexStore {
     val stats = spark.range(1)
       .select(lit(liveDocs).as("n_docs"),
         lit(liveDl.toDouble / liveDocs).as("avgdl"))
-    Terms.bm25ScoreTopK(tfq, qt, dl, stats, idCol, k, k1, b)
+    // the slice filter lands on doclens only: candidates drop at the
+    // score join (filter-then-rank) while df/idf/avgdl stay corpus-level
+    Terms.bm25ScoreTopK(tfq, qt, docPred.fold(dl)(dl.filter), stats,
+      idCol, k, k1, b)
   }
 }

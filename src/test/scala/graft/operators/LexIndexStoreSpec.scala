@@ -40,6 +40,48 @@ class LexIndexStoreSpec extends SparkSpec {
     engine.read(spark, s"$dir/meta").get
       .select("n_docs", "total_dl").head()
 
+  test("metadata-filtered search: Lucene semantics, exact parity, mismatched increment refused") {
+    import spark.implicits._
+    val corpus = docs(400)
+    val metadata = corpus.select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id"), lit(3))).as("source"))
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, corpus, "doc_id", "text", nBuckets = 16,
+      engine = engine, metadata = Some(metadata))
+    val pred = col("source") === "src1"
+    val got = rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 5, engine = engine, docPred = Some(pred)))
+    // slice containment
+    assert(got.nonEmpty && got.forall(_._2 % 3 == 1), got.toString)
+    // EXACT parity with the Lucene filtered-query semantics: corpus-level
+    // idf/avgdl, candidates restricted, re-ranked — i.e. the unfiltered
+    // search with a huge k, post-filtered to the slice, re-ranked per
+    // query and cut to k. BM25 scores must match to the digit.
+    val unfiltered = LexIndexStore.searchTopK(spark, dir, queryBatch,
+      "query_id", "qtext", k = 100000, engine = engine)
+    val expect = unfiltered.filter(col("doc_id") % 3 === 1)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "n_hit_terms", "score", "rank")
+    assert(got == rows(expect), s"got=$got expect=${rows(expect)}")
+    // an increment WITHOUT the metadata column refuses loudly
+    val inc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") >= 400 && col("doc_id") < 410)
+      .select("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      LexIndexStore.addDocuments(spark, dir, inc, "doc_id", "text", engine)
+    }
+    assert(err.getMessage.contains("metadata columns"), err.getMessage)
+    // with the column supplied, growth works and stays filterable
+    LexIndexStore.addDocuments(spark, dir, inc, "doc_id", "text", engine,
+      metadata = Some(inc.select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(3))).as("source"))))
+    val dl = engine.read(spark, s"$dir/doclens").get
+    assert(dl.filter(col("source").isNull).count() == 0)
+  }
+
   test("build + searchTopK equals bm25TopK; scan is bucket-pruned") {
     val corpus = docs(400)
     val dir = tmpIndex()
