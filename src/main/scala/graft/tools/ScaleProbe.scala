@@ -35,6 +35,90 @@ object ScaleProbe {
     *
     *   sbt "runMain graft.tools.ScaleProbe 10 dedup"
     */
+  /** Round-10 curation operators at probe scale: the trained quality
+    * classifier (distributed GD train + map-only score), 13-gram
+    * containment decontamination, and SemDeDup — each timed on a
+    * `factor`× replication of the sf0.1 corpus/embeddings with planted
+    * signal, printing quality alongside wall so a speed win that
+    * destroys separation/detection can't read as a win.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 10 curation"
+    */
+  private def curationProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Classifier, Dedup}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par)
+    // classifier corpus: spam planted on id % 3 == 0, trained on the
+    // id % 5 == 0 slice (both classes present), scored over everything
+    val spamText = " click here buy now free offer limited prize winner " +
+      "cheap deal subscribe click here buy now free offer"
+    val labeled = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(spamText)))
+          .otherwise(col("text")).as("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0))
+          .as("label"))
+      .cache()
+    println(s"""{"probe":"corpus","docs":${labeled.count()}}""")
+    val model = timed("classifier_train_10it") {
+      Classifier.trainQualityLr(labeled.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+    }
+    timed("classifier_score_all") {
+      val scored = Classifier.score(labeled, "doc_id", "text", model)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      val sep = scored.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .groupBy("label")
+        .agg(min("quality_score").as("mn"), max("quality_score").as("mx"))
+        .orderBy("label").collect()
+      println(s"""{"probe":"classifier_heldout","spam_max":${sep(0).getDouble(2)},"clean_min":${sep(1).getDouble(1)}}""")
+    }
+    // containment decontamination: 100 benchmark prompts (400-char
+    // suffixes of the base docs) against the full replicated corpus —
+    // every replica of those 100 docs must surface
+    timed("containment_13gram") {
+      val bench = docs0.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 5000000L).as("bench_id"),
+        expr("substring(text, greatest(length(text) - 399, 1), 400)").as("prompt"))
+      val hits = Dedup.containmentDecontaminate(docs.select("doc_id", "text"),
+        "doc_id", "text", bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
+      println(s"""{"probe":"containment_pairs","n":${hits.count()},"expect":${100 * factor}}""")
+    }
+    labeled.unpersist()
+    // SemDeDup: factor× the embeddings with perturbed planted copies of
+    // the base rows (the x59 fixture shape at scale)
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val emb = (0 until factor).map(i => emb0.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      (if (i == 0) col("embedding")
+       else transform(col("embedding"), (x, j) =>
+        x * (lit(1.0f) + lit(0.002f * i) *
+          when(pmod(j, lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))))
+        .as("embedding")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"vectors","n":${emb.count()}}""")
+    timed(s"semdedup_${factor}x") {
+      val out = Dedup.semDeDup(emb, "vec_id", "embedding",
+        nClusters = 64, minCos = 0.999, iters = 2).cache()
+      val dropped = out.filter(!col("keep")).count()
+      val capped = out.filter(col("cluster_size") > 100000L).count()
+      println(s"""{"probe":"semdedup_verdicts","n":${out.count()},"dropped":$dropped,"capped_rows":$capped}""")
+      out.unpersist()
+    }
+    emb.unpersist()
+  }
+
   private def dedupProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Similarity}
@@ -572,6 +656,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "dedup") {
       try dedupProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "curation") {
+      try curationProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "annindex") {
