@@ -1551,6 +1551,29 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       Some(bm25OracleSql)),
+
+    // FILTERED retrieval over the persisted index — "top-k within this
+    // source" with the Lucene filtered-query semantics: the index is
+    // built with the source column DENORMALIZED into doclens, the
+    // predicate restricts candidates BEFORE ranking (each query keeps k
+    // in-slice results), and idf/avgdl stay corpus-level (a filter is
+    // not a new corpus). LIVE oracle: x46's SQL with the restriction in
+    // the scoring CTE only — the independent formulation of exactly
+    // those semantics.
+    Q("x60_bm25_filtered",
+      (s, d) => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lexidx_x60_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val docs = Tables.documents(s, d)
+        LexIndexStore.build(s, dir, docs, "doc_id", "text", nBuckets = 64,
+          metadata = Some(docs.select(col("doc_id"), col("source"))))
+        LexIndexStore.searchTopK(s, dir, bm25QueryBatch(s),
+          "query_id", "qtext", k = 5,
+          docPred = Some(col("source") === "src1"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25FilteredOracleSql)),
   )
 
   /** Land `df` as ONE flat parquet file in a file-stream source dir (the
@@ -1577,7 +1600,17 @@ object ExtensionQueries {
   // an eager val here would still be null at that point (object vals
   // initialize in declaration order; this exact bug shipped a null
   // oracle and zeroed round 8's correctness artifact)
-  private lazy val bm25OracleSql: String =
+  private lazy val bm25OracleSql: String = bm25Oracle("")
+
+  /** x46's oracle with a candidate restriction in the scoring CTE —
+    * the Lucene filtered-query semantics the engine's `docPred`
+    * implements: tf/dl/stats/dfq stay CORPUS-level, only `scored`'s
+    * rows are restricted, then ranked.
+    */
+  private lazy val bm25FilteredOracleSql: String = bm25Oracle(
+    "WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src1') ")
+
+  private def bm25Oracle(docFilter: String): String =
     ("WITH q(query_id, qtext) AS (VALUES " +
         "(1::BIGINT, 'hash join'), (2::BIGINT, 'window merge sort'), " +
         "(3::BIGINT, 'spark stream vector'), (4::BIGINT, 'customer zzzunseen')), " +
@@ -1601,6 +1634,7 @@ object ExtensionQueries {
         "AS DECIMAL(28,6))) AS DOUBLE), 4) AS score " +
         "FROM tf JOIN dfq USING (token) JOIN qt USING (token) " +
         "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats " +
+        docFilter +
         "GROUP BY 1, 2) " +
         "SELECT query_id, doc_id, n_hit_terms, score, rank FROM (" +
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
