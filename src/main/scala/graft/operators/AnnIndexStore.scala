@@ -351,30 +351,54 @@ object AnnIndexStore {
     * metadata slice ("same language/source") arrives as an id predicate
     * computed upstream, or the metadata column is denormalized into the
     * index tables at build time.
+    *
+    * `matchCols`: PER-QUERY attribute matching — "near-dups of this doc
+    * within ITS OWN source/language", where the slice varies by query
+    * and a single global `corpusPred` cannot express it. Each named
+    * column must exist on BOTH the query frame and the stored index
+    * (denormalized at build via `save(metadata=…)`); a candidate
+    * survives only when its stored values equal the query's own,
+    * applied BEFORE ranking inside the broadcast candidate join — every
+    * query keeps k within-its-slice neighbors at zero extra scan cost
+    * (the probed-lists read is unchanged; the equality rides the join
+    * filter). Composes with `corpusPred` (global slice ∧ per-query
+    * match).
     */
   def searchTopK(index: PersistedAnnIndex, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, minProbe: Int = 4, maxProbe: Int = 12, margin: Double = 0.5,
-      rerank: Int = 0, corpusPred: Option[org.apache.spark.sql.Column] = None)
-      : DataFrame = {
+      rerank: Int = 0, corpusPred: Option[org.apache.spark.sql.Column] = None,
+      matchCols: Seq[String] = Nil): DataFrame = {
     val ivf = index.ivf
     val pq = index.pq
+    matchCols.foreach { c =>
+      require(queries.columns.contains(c),
+        s"matchCols column '$c' missing from the query frame")
+      require(index.encodedWithCid.columns.contains(c),
+        s"matchCols column '$c' not stored in the index — build with " +
+          "save(metadata = ...) carrying it")
+    }
     val probeLists = graft.functions.TextVectorExpressions
       .adaptive_nearest_centroids(col(queryVec), ivf.centroids,
         minProbe, maxProbe, margin)
-    val q = queries
-      .withColumn("_qn", Similarity.norm(col(queryVec)))
-      .withColumn("_lut", graft.functions.TextVectorExpressions.pq_lut(
-        col(queryVec), pq.codebooks, pq.m, pq.k))
-      .withColumn("cid", explode(probeLists))
-      .drop(queryVec)
+    // query-side match columns rename to _q_<c> so the candidate join
+    // keeps both sides addressable for the equality filter
+    val q = matchCols.foldLeft(queries
+        .withColumn("_qn", Similarity.norm(col(queryVec)))
+        .withColumn("_lut", graft.functions.TextVectorExpressions.pq_lut(
+          col(queryVec), pq.codebooks, pq.m, pq.k))
+        .withColumn("cid", explode(probeLists))
+        .drop(queryVec))((df, c) => df.withColumnRenamed(c, s"_q_$c"))
     // deterministic routing kernel → collecting the probe union re-derives
     // exactly the lists the join below uses
     val probed = q.select("cid").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = index.encodedWithCid.filter(col("cid").isin(probed: _*))
+    val matchPred = matchCols.map(c => col(c) === col(s"_q_$c"))
+      .foldLeft(lit(true))(_ && _)
     val scored = corpusPred.fold(pruned)(pruned.filter)
       .join(broadcast(q), Seq("cid"))
       .filter(col(queryId) =!= col(corpusId))
+      .filter(matchPred)
       .withColumn("adc", graft.functions.TextVectorExpressions.pq_adc(
         col("codes"), col("_lut"), pq.k))
       .withColumn("cos", when(col("_cn") * col("_qn") === 0.0, lit(0.0))

@@ -519,6 +519,37 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x56_ann_filtered")),
 
+    // PER-QUERY matched-attribute search — "near-dups of this doc
+    // within ITS OWN source": the slice varies by query (queries span
+    // all three derived sources here), which x56's single global
+    // predicate cannot express. The source column is denormalized into
+    // the stored index; the per-query equality rides the broadcast
+    // candidate join BEFORE ranking, so every query gets k
+    // within-its-slice neighbors at unchanged scan cost. Frozen oracle;
+    // per-query slice parity vs brute force is spec-pinned.
+    Q("x61_ann_matched",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val meta = corpus.select(col("c_id"),
+          concat(lit("src"), pmod(col("c_id"), lit(3))).as("source"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_annidx_x61_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        AnnIndexStore.save(s, dir, ivf, pq, metadata = Some(meta))
+        val loaded = AnnIndexStore.load(s, dir)
+        AnnIndexStore.searchTopK(loaded,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              concat(lit("src"), pmod(col("vec_id"), lit(3))).as("source")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5,
+          minProbe = 4, maxProbe = 12, margin = 0.5, rerank = 50,
+          matchCols = Seq("source"))
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x61_ann_matched")),
+
     Q("x14_ann_ivf_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

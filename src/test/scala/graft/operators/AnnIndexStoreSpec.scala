@@ -283,6 +283,45 @@ class AnnIndexStoreSpec extends SparkSpec {
       (0L until 320L).count(_ % 3 == 1))
   }
 
+  test("per-query matchCols: each query restricted to ITS OWN slice in one call") {
+    val corpus = corpusOf(300)
+    val srcOf = concat(lit("src"), pmod(col("c_id"), lit(3)))
+    val meta = corpus.select(col("c_id"), srcOf.as("source"))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq, metadata = Some(meta))
+    val loaded = AnnIndexStore.load(spark, dir)
+    // queries span all three sources — the slice varies per query
+    val q = corpus.filter(col("c_id") < 6)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec"),
+        concat(lit("src"), pmod(col("c_id"), lit(3))).as("source"))
+    val got = searchRows(AnnIndexStore.searchTopK(loaded, q,
+      "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 60,
+      matchCols = Seq("source")))
+    // every neighbor shares its query's source (id mod 3), k per query
+    assert(got.nonEmpty && got.forall(r => r._2 % 3 == r._1 % 3), got.toString)
+    assert(got.groupBy(_._1).forall(_._2.size == 3), got.toString)
+    // per-query parity vs brute force over THAT query's slice
+    (0L until 6L).foreach { qid =>
+      val slice = corpus.filter(pmod(col("c_id"), lit(3)) === qid % 3)
+      val exact = searchRows(Similarity.bruteForceTopK(slice,
+        q.filter(col("q_id") === qid).drop("source"),
+        "c_id", "c_vec", "q_id", "q_vec", k = 3))
+      val mine = got.filter(_._1 == qid)
+      val hit = mine.count(r => exact.exists(e => e._2 == r._2))
+      assert(hit >= 2, s"q$qid recall $hit/3 vs slice brute force " +
+        s"(mine=$mine exact=$exact)")
+    }
+    // a matchCols column absent from the index fails fast
+    val err = intercept[IllegalArgumentException] {
+      AnnIndexStore.searchTopK(loaded,
+        q.withColumnRenamed("source", "lang"),
+        "c_id", "c_vec", "q_id", "q_vec", k = 3, matchCols = Seq("lang"))
+    }
+    assert(err.getMessage.contains("not stored in the index"), err.getMessage)
+  }
+
   test("deleteVectors: tombstoned ids never surface; purge physically drops them") {
     import spark.implicits._
     val corpus = corpusOf(300)
