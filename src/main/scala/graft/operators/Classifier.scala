@@ -104,6 +104,52 @@ object Classifier {
     } finally Dedup.releaseLocalCheckpoint(base)
   }
 
+  /** Persist a trained model: weights as an (idx, w) table plus a 1-row
+    * (bias, dim) meta table through the [[graft.sinks.MergeEngine]] seam
+    * — train-once/score-many, the [[AnnIndexStore]] lifecycle for the
+    * scorer (a production gate retrains occasionally but scores every
+    * ingest batch; the model must outlive the training session). Both
+    * tables are driver-sized (dim rows).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: BowLrModel,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : Unit = {
+    require(engine.read(spark, s"$path/meta").isEmpty,
+      s"model already exists at $path — retrains go to a new path")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wSchema = StructType(Seq(StructField("idx", IntegerType, nullable = false),
+      StructField("w", DoubleType, nullable = false)))
+    val wRows = model.weights.zipWithIndex.map { case (w, i) => Row(i, w) }
+    engine.append(s"$path/weights", spark.createDataFrame(
+      java.util.Arrays.asList(wRows: _*), wSchema).coalesce(1))
+    val mSchema = StructType(Seq(StructField("bias", DoubleType, nullable = false),
+      StructField("dim", IntegerType, nullable = false)))
+    engine.append(s"$path/meta", spark.createDataFrame(
+      java.util.Collections.singletonList(Row(model.bias, model.weights.length)),
+      mSchema).coalesce(1))
+  }
+
+  /** Load a persisted model — bit-identical to what [[saveModel]] stored
+    * (spec-pinned), so scores from a reloaded model can never drift from
+    * the training session's.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : BowLrModel = {
+    val m = engine.read(spark, s"$path/meta")
+      .getOrElse(throw new IllegalStateException(s"no model at $path"))
+      .select("bias", "dim").head()
+    val dim = m.getInt(1)
+    val weights = new Array[Double](dim)
+    engine.read(spark, s"$path/weights")
+      .getOrElse(throw new IllegalStateException(s"no weights at $path"))
+      .select("idx", "w").collect()
+      .foreach(r => weights(r.getInt(0)) = r.getDouble(1))
+    BowLrModel(weights, m.getDouble(0))
+  }
+
   /** Map-only scoring under a frozen model: (idCol, quality_score, keep)
     * with quality_score = σ(margin + bias) rounded to 4 decimals and
     * keep = score ≥ `threshold`. Zero shuffles — the weight vector rides

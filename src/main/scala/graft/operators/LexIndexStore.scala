@@ -330,12 +330,20 @@ object LexIndexStore {
     * each query still gets k in-slice results instead of a post-filtered
     * shortfall. The postings scan itself stays pruned by the query
     * vocabulary; out-of-slice candidates drop at the id-keyed score join.
+    *
+    * `matchCols`: PER-QUERY attribute matching — "top-k within the
+    * query's OWN source/language", the slice varying by query. Each
+    * named column must exist on both the query frame and the stored
+    * doclens (denormalized at build via `build(metadata=…)`); the
+    * equality applies before ranking, composing with `docPred`
+    * (global slice ∧ per-query match), idf/avgdl corpus-level as above.
     */
   def searchTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       engine: MergeEngine = new ManifestMergeEngine(),
-      docPred: Option[Column] = None): DataFrame = {
+      docPred: Option[Column] = None,
+      matchCols: Seq[String] = Nil): DataFrame = {
     val meta = readMeta(spark, indexPath, engine)
     val postings = engine.read(spark, postingsPath(indexPath))
       .getOrElse(throw new IllegalStateException(
@@ -375,9 +383,22 @@ object LexIndexStore {
     val stats = spark.range(1)
       .select(lit(liveDocs).as("n_docs"),
         lit(liveDl.toDouble / liveDocs).as("avgdl"))
+    matchCols.foreach { c =>
+      require(queries.columns.contains(c),
+        s"matchCols column '$c' missing from the query frame")
+      require(doclens.columns.contains(c),
+        s"matchCols column '$c' not stored in doclens — build with " +
+          "metadata = ... carrying it")
+    }
+    val qMatch =
+      if (matchCols.isEmpty) None
+      else Some((matchCols.foldLeft(
+        queries.select((qidCol +: matchCols).map(col): _*)
+          .withColumnRenamed(qidCol, "query_id"))(
+        (df, c) => df.withColumnRenamed(c, s"_q_$c")), matchCols))
     // the slice filter lands on doclens only: candidates drop at the
     // score join (filter-then-rank) while df/idf/avgdl stay corpus-level
     Terms.bm25ScoreTopK(tfq, qt, docPred.fold(dl)(dl.filter), stats,
-      idCol, k, k1, b)
+      idCol, k, k1, b, qMatch)
   }
 }

@@ -283,20 +283,34 @@ object Terms {
     * search ([[LexIndexStore]]) runs the EXACT arithmetic of the
     * on-the-fly path — parity is structural, not coincidental.
     */
+  /** `qMatch`: optional PER-QUERY attribute restriction — (query
+    * attributes frame keyed by query_id with columns pre-renamed
+    * `_q_<c>`, the matched column names). The doc side of each equality
+    * must ride the `dl` frame (the persisted index denormalizes
+    * metadata into doclens); the filter applies AFTER the dl join and
+    * BEFORE scoring/ranking, so every query keeps its k
+    * within-its-own-slice results while df/idf/avgdl stay corpus-level
+    * (the Lucene filtered-query semantics, per query).
+    */
   private[operators] def bm25ScoreTopK(tfq: DataFrame, qt: DataFrame,
       dl: DataFrame, stats: DataFrame, idCol: String, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double,
+      qMatch: Option[(DataFrame, Seq[String])] = None): DataFrame = {
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
     val contrib =
       log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
           (col("df") + 0.5)) *
         (col("tf").cast("double") * (k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = tfq
+    val joined = tfq
       .join(broadcast(dfq), "token")
       .join(broadcast(qt), "token")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
+    val scored = qMatch.fold(joined) { case (qAttrs, cols) =>
+      joined.join(broadcast(qAttrs), "query_id")
+        .filter(cols.map(c => col(c) === col(s"_q_$c")).reduce(_ && _))
+    }
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"),
         sum(round(contrib, 6)

@@ -1605,6 +1605,30 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       Some(bm25FilteredOracleSql)),
+
+    // PER-QUERY matched retrieval — "top-k within the query's OWN
+    // source", the slice varying by query (the x61 semantics for
+    // lexical search): queries carry a source each, the stored doclens
+    // carries the corpus's, and the equality applies before ranking
+    // with idf/avgdl corpus-level. LIVE oracle: the per-query
+    // restriction joined into the scoring CTE.
+    Q("x62_bm25_matched",
+      (s, d) => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lexidx_x62_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val docs = Tables.documents(s, d)
+        LexIndexStore.build(s, dir, docs, "doc_id", "text", nBuckets = 64,
+          metadata = Some(docs.select(col("doc_id"), col("source"))))
+        val q = s.createDataFrame(Seq(
+          (1L, "hash join", "src0"), (2L, "window merge sort", "src1"),
+          (3L, "spark stream vector", "src2"), (4L, "customer zzzunseen", "src0")))
+          .toDF("query_id", "qtext", "source")
+        LexIndexStore.searchTopK(s, dir, q, "query_id", "qtext", k = 5,
+          matchCols = Seq("source"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25MatchedOracleSql)),
   )
 
   /** Land `df` as ONE flat parquet file in a file-stream source dir (the
@@ -1640,6 +1664,46 @@ object ExtensionQueries {
     */
   private lazy val bm25FilteredOracleSql: String = bm25Oracle(
     "WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src1') ")
+
+  /** x46's oracle with PER-QUERY source restriction: the query VALUES
+    * carry a src each, qt propagates it, and the scoring CTE joins the
+    * corpus's source and keeps only equal rows — the independent DuckDB
+    * formulation of `matchCols` (idf/avgdl stay corpus-level).
+    */
+  private lazy val bm25MatchedOracleSql: String =
+    ("WITH q(query_id, qtext, src) AS (VALUES " +
+        "(1::BIGINT, 'hash join', 'src0'), " +
+        "(2::BIGINT, 'window merge sort', 'src1'), " +
+        "(3::BIGINT, 'spark stream vector', 'src2'), " +
+        "(4::BIGINT, 'customer zzzunseen', 'src0')), " +
+        "qt AS (SELECT DISTINCT query_id, src, " +
+        "unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS token FROM q), " +
+        "toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "stats AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "dfq AS (SELECT token, count(*) AS df FROM tf " +
+        "WHERE token IN (SELECT token FROM qt) GROUP BY 1), " +
+        "scored AS (SELECT qt.query_id, tf.doc_id, " +
+        "count(*) AS n_hit_terms, " +
+        "round(CAST(sum(CAST(round(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+        "(CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) " +
+        "AS DECIMAL(28,6))) AS DOUBLE), 4) AS score " +
+        "FROM tf JOIN dfq USING (token) JOIN qt USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats " +
+        "JOIN (SELECT doc_id, source FROM documents) dm " +
+        "ON tf.doc_id = dm.doc_id " +
+        "WHERE dm.source = qt.src " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, n_hit_terms, score, rank FROM (" +
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored) r " +
+        "WHERE rank <= 5 ORDER BY query_id, rank")
 
   private def bm25Oracle(docFilter: String): String =
     ("WITH q(query_id, qtext) AS (VALUES " +

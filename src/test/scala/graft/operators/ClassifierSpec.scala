@@ -68,6 +68,26 @@ class ClassifierSpec extends SparkSpec {
     assert(plan.contains("hashed_bow_margin"), plan)
   }
 
+  test("model persistence: save/load round-trip bit-identical, re-save refused") {
+    val train = corpus(60)
+    val m1 = Classifier.trainQualityLr(train, "doc_id", "text", "label",
+      dim = 512, iters = 5, lr = 400.0)
+    val path = java.nio.file.Files.createTempDirectory("bowlr_spec").toString
+    Classifier.saveModel(spark, path, m1)
+    val m2 = Classifier.loadModel(spark, path)
+    assert(m2.bias == m1.bias)
+    assert(m2.weights.toSeq == m1.weights.toSeq)
+    // scores from the reloaded model are identical
+    val docs = corpus(20).select("doc_id", "text")
+    val s1 = Classifier.score(docs, "doc_id", "text", m1).collect().map(_.toString).toSeq
+    val s2 = Classifier.score(docs, "doc_id", "text", m2).collect().map(_.toString).toSeq
+    assert(s1 == s2)
+    // retrains go to a new path
+    intercept[IllegalArgumentException] {
+      Classifier.saveModel(spark, path, m1)
+    }
+  }
+
   test("degenerate inputs: empty text scores sigmoid(bias); empty training fails fast") {
     val model = Classifier.BowLrModel(Array.fill(64)(5.0), 0.4)
     val out = Classifier.score(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),

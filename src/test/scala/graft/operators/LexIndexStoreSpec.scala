@@ -82,6 +82,44 @@ class LexIndexStoreSpec extends SparkSpec {
     assert(dl.filter(col("source").isNull).count() == 0)
   }
 
+  test("per-query matchCols: each query restricted to ITS OWN slice, exact re-rank parity") {
+    import spark.implicits._
+    val corpus = docs(400)
+    val metadata = corpus.select(col("doc_id"),
+      concat(lit("s"), pmod(col("doc_id"), lit(2))).as("source"))
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, corpus, "doc_id", "text", nBuckets = 16,
+      engine = engine, metadata = Some(metadata))
+    // the slice varies per query: q1/q3 want s0 docs, q2 wants s1
+    val q = Seq((1L, "hash join", "s0"), (2L, "window merge sort", "s1"),
+      (3L, "spark stream vector", "s0")).toDF("query_id", "qtext", "source")
+    val got = rows(LexIndexStore.searchTopK(spark, dir, q,
+      "query_id", "qtext", k = 5, engine = engine,
+      matchCols = Seq("source")))
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 0L)
+    assert(got.nonEmpty && got.forall(r => r._2 % 2 == want(r._1)), got.toString)
+    // exact parity: unfiltered search with huge k, post-filtered to each
+    // query's own slice, re-ranked, cut to k
+    val unfiltered = LexIndexStore.searchTopK(spark, dir,
+      q.drop("source"), "query_id", "qtext", k = 100000, engine = engine)
+    val expect = unfiltered
+      .join(q.select(col("query_id"), col("source").as("_want")), "query_id")
+      .filter(concat(lit("s"), pmod(col("doc_id"), lit(2))) === col("_want"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "n_hit_terms", "score", "rank")
+    assert(got == rows(expect), s"got=$got expect=${rows(expect)}")
+    // a matchCols column absent from doclens fails fast
+    val err = intercept[IllegalArgumentException] {
+      LexIndexStore.searchTopK(spark, dir,
+        q.withColumnRenamed("source", "lang"), "query_id", "qtext", k = 5,
+        engine = engine, matchCols = Seq("lang"))
+    }
+    assert(err.getMessage.contains("not stored in doclens"), err.getMessage)
+  }
+
   test("build + searchTopK equals bm25TopK; scan is bucket-pruned") {
     val corpus = docs(400)
     val dir = tmpIndex()
