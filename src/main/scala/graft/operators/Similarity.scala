@@ -329,6 +329,41 @@ object Similarity {
     rankTopK(joined, queryId, corpusId, k)
   }
 
+  /** IVF-SQ8: coarse inverted lists prune the scan, SQ8's training-free
+    * affine codes compress what remains — the quantization-matrix cell
+    * between flat SQ8 ([[sq8TopK]], exhaustive) and IVF-PQ
+    * ([[ivfPqTopK]], trained codebooks). The right pick when codebook
+    * training is unwanted (cold start, drifting corpora) but a full
+    * codes scan no longer fits the budget: 4× compression, no training
+    * loop, near-lossless scoring, nprobe/nlists of the corpus read.
+    * Margin-routed probes and the optional exact rerank follow
+    * [[ivfPqTopKAdaptive]]; `corpusPred` is the same filtered-search
+    * contract.
+    */
+  def ivfSq8TopK(ivf: IvfIndex, model: Sq8Model, corpus: DataFrame,
+      queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int,
+      minProbe: Int = 4, maxProbe: Int = 12, margin: Double = 0.5,
+      rerank: Int = 0, corpusPred: Option[Column] = None): DataFrame = {
+    val q = queries
+      .withColumn("_qn", norm(col(queryVec)))
+      .withColumn("cid", explode(
+        graft.functions.TextVectorExpressions.adaptive_nearest_centroids(
+          col(queryVec), ivf.centroids, minProbe, maxProbe, margin)))
+    val encoded = corpusPred.fold(model.encoded)(model.encoded.filter)
+    val scored = encoded
+      .join(ivf.assigned.select(col(corpusId), col("cid")), corpusId)
+      .join(broadcast(q), Seq("cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos",
+        when(col("_cn") * col("_qn") === 0.0, lit(0.0))
+          .otherwise(graft.functions.TextVectorExpressions
+              .sq8_dot(col(queryVec), col("codes"), model.mins, model.scales) /
+            (col("_cn") * col("_qn"))))
+    rerankOrRank(scored, corpusPred.fold(corpus)(corpus.filter), queries,
+      corpusId, corpusVec, queryId, queryVec, k, rerank)
+  }
+
   final case class PqModel(codebooks: Array[Array[Double]], m: Int, k: Int,
       encoded: DataFrame)
 

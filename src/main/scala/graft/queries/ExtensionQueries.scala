@@ -403,6 +403,27 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x53_ann_sq8_topk")),
 
+    // IVF-SQ8: the quantization-matrix cell between x53's flat SQ8 scan
+    // and x24's trained IVF-PQ — coarse lists prune the read to
+    // nprobe/nlists, training-free 8-bit codes compress what remains
+    // (the cold-start/drifting-corpus pick where codebook training is
+    // unwanted). Margin-routed probes + exact rerank; full-probe
+    // equivalence to flat SQ8 and a recall floor vs brute force are
+    // spec-pinned. Frozen oracle.
+    Q("x63_ann_ivfsq8_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val model = Similarity.buildSq8(corpus, "c_id", "c_vec")
+        Similarity.ivfSq8TopK(ivf, model, corpus,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5,
+          minProbe = 4, maxProbe = 12, margin = 0.5, rerank = 50)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x63_ann_ivfsq8_topk")),
+
     // Matryoshka truncated-dimension search (Kusupati et al. 2022):
     // coarse cosine on the first 32 of 64 dims (the scan ships half of
     // every vector, no stored model), exact rerank of the per-query

@@ -665,6 +665,31 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"sq8 recall@5 = $recall%.3f")
   }
 
+  test("IVF-SQ8: full probe equals flat SQ8 exactly; pruned probe holds the recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+    val model = Similarity.buildSq8(corpus, "c_id", "c_vec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // probing EVERY list = the exhaustive candidate set = flat SQ8, exactly
+    val full = rows(Similarity.ivfSq8TopK(ivf, model, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 5,
+      minProbe = 16, maxProbe = 16, margin = 0.0))
+    assert(full == rows(Similarity.sq8TopK(model, queries, "q_id", "q_vec", 5)))
+    // pruned probes + rerank hold the recall floor vs brute force
+    def pairs(s: Seq[(Long, Long, Double, Int)]) = s.map(r => (r._1, r._2)).toSet
+    val brute = pairs(rows(Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5)))
+    val pruned = pairs(rows(Similarity.ivfSq8TopK(ivf, model, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)))
+    val recall = (brute & pruned).size.toDouble / brute.size
+    assert(recall >= 0.85, f"ivf-sq8 recall@5 = $recall%.3f")
+  }
+
   test("matryoshka: prefix-only scan + full rerank recovers brute-force recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
