@@ -71,6 +71,30 @@ object AnnIndexStore {
       .coalesce(1)
   }
 
+  /** Refuse a metadata frame that does not cover every id in `ids`
+    * EXACTLY once. The denormalizing joins below are inner, so a missing
+    * metadata row would silently drop that id from the index (never
+    * searchable, filtered or not) and a duplicated metadata id would
+    * silently multiply index rows — both must fail as loudly as the
+    * column-set mismatch does. Cost: two metadata-sized probe jobs with
+    * limit-1 early exit plus one anti-join pass over the batch's ids;
+    * nothing corpus-sized is collected.
+    */
+  private[operators] def requireMetadataCoversIds(ids: DataFrame,
+      idCol: String, metadata: DataFrame, where: String): Unit = {
+    val dup = metadata.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(dup == 0L,
+      s"$where: metadata carries duplicate $idCol rows — each id must " +
+        "appear exactly once or the denormalizing join multiplies index rows")
+    val missing = ids.select(col(idCol)).distinct()
+      .join(metadata.select(col(idCol)), Seq(idCol), "left_anti")
+      .limit(1).count()
+    require(missing == 0L,
+      s"$where: metadata does not cover every $idCol in the batch — a " +
+        "missing row would silently drop that id from the index")
+  }
+
   /** Persist a freshly built index at `indexPath` (must not already hold
     * one — an index rebuild is a NEW path + reader swap, never an
     * in-place mutation).
@@ -95,6 +119,8 @@ object AnnIndexStore {
       vecRows(spark, pq.codebooks, Some((pq.m, pq.k))))
     // both builders emit the id as their FIRST column by construction
     val idCol = pq.encoded.columns.head
+    metadata.foreach(m => requireMetadataCoversIds(
+      ivf.assigned.select(col(idCol)), idCol, m, s"ANN index at $indexPath"))
     def withMeta(df: DataFrame): DataFrame =
       metadata.fold(df)(m => df.join(m, Seq(idCol)))
     // cluster by list id before the partitioned write: without it every
@@ -186,6 +212,9 @@ object AnnIndexStore {
       codebooks: Array[Array[Double]], m: Int, k: Int,
       engine: MergeEngine, metadata: Option[DataFrame] = None): Unit = {
     val proj = vectors.select(col(corpusId), col(corpusVec))
+    metadata.foreach(m0 => requireMetadataCoversIds(
+      proj.select(col(corpusId)), corpusId, m0,
+      s"ANN index increment at $indexPath"))
     val newAssigned0 = Similarity.assignCid(proj, corpusVec, centroids)
     val newAssigned = metadata.fold(newAssigned0)(m0 =>
       newAssigned0.join(m0, Seq(corpusId)))

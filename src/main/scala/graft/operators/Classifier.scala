@@ -158,8 +158,13 @@ object Classifier {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
       model: BowLrModel, threshold: Double = 0.5): DataFrame = {
+    // null text scores like empty text (σ(bias)) — without the coalesce
+    // the null-safe kernel propagates null into quality_score AND keep,
+    // and a downstream keep-filter drops those rows silently instead of
+    // applying the documented textless-doc contract
     val margin = graft.functions.TextVectorExpressions
-      .hashed_bow_margin(col(textCol), model.weights) + lit(model.bias)
+      .hashed_bow_margin(coalesce(col(textCol), lit("")), model.weights) +
+      lit(model.bias)
     docs.select(col(idCol).as("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("quality_score"))
       .withColumn("keep", col("quality_score") >= threshold)

@@ -64,25 +64,28 @@ object LexIndexStore {
     pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
 
   private def metaRow(spark: SparkSession, nDocs: Long, totalDl: Long,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, idColName: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("n_docs", LongType, nullable = false),
       StructField("total_dl", LongType, nullable = false),
-      StructField("n_buckets", IntegerType, nullable = false)))
+      StructField("n_buckets", IntegerType, nullable = false),
+      StructField("id_col", StringType, nullable = false)))
     spark.createDataFrame(
-      java.util.Collections.singletonList(Row(nDocs, totalDl, nBuckets)),
+      java.util.Collections.singletonList(Row(nDocs, totalDl, nBuckets,
+        idColName)),
       schema).coalesce(1)
   }
 
-  private final case class Meta(nDocs: Long, totalDl: Long, nBuckets: Int)
+  private final case class Meta(nDocs: Long, totalDl: Long, nBuckets: Int,
+      idCol: String)
 
   private def readMeta(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Meta = {
     val r = engine.read(spark, metaPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no lexical index at $indexPath"))
-      .select("n_docs", "total_dl", "n_buckets").head()
-    Meta(r.getLong(0), r.getLong(1), r.getInt(2))
+      .select("n_docs", "total_dl", "n_buckets", "id_col").head()
+    Meta(r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
   }
 
   /** Tokenize `docs` and append their lengths + postings. The tf frame is
@@ -109,8 +112,18 @@ object LexIndexStore {
       // table with no query-time side join. Column-set mismatches vs the
       // stored layout are refused: a null-filled metadata column would
       // silently drop appended docs from every filtered search (the
-      // AnnIndexStore.appendEncoded contract).
-      val dl = metadata.fold(dl0)(m => dl0.join(m, Seq(idCol)))
+      // AnnIndexStore.appendEncoded contract). Row coverage is refused
+      // too: the denormalizing join is inner, so a doc id with no
+      // metadata row would silently vanish from doclens while its
+      // postings are still written — searchable-but-unscorable, df
+      // skewed vs n_docs, and a later re-add (which dedups against
+      // doclens) would append its postings a SECOND time, permanently
+      // double-counting its BM25 mass.
+      val dl = metadata.fold(dl0) { m =>
+        AnnIndexStore.requireMetadataCoversIds(dl0, idCol, m,
+          s"lexical index at $indexPath")
+        dl0.join(m, Seq(idCol))
+      }
       engine.read(docs.sparkSession, doclensPath(indexPath)).foreach { stored =>
         val want = stored.columns.toSet
         val got = dl.columns.toSet
@@ -137,13 +150,13 @@ object LexIndexStore {
     * a re-applied delta skews `avgdl`/idf for every future search.
     */
   private def refreshMeta(spark: SparkSession, indexPath: String,
-      nBuckets: Int, engine: MergeEngine): Unit = {
+      nBuckets: Int, idColName: String, engine: MergeEngine): Unit = {
     val dl = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no doclens at $indexPath"))
     val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     engine.overwrite(spark, metaPath(indexPath),
-      metaRow(spark, m.getLong(0), m.getLong(1), nBuckets))
+      metaRow(spark, m.getLong(0), m.getLong(1), nBuckets, idColName))
   }
 
   /** Build a fresh index at `indexPath` (must not already hold one — a
@@ -160,7 +173,7 @@ object LexIndexStore {
     require(engine.read(spark, metaPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
     appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine, metadata)
-    refreshMeta(spark, indexPath, nBuckets, engine)
+    refreshMeta(spark, indexPath, nBuckets, idCol, engine)
   }
 
   /** Grow a stored index: tokenize ONLY the increment and append —
@@ -176,6 +189,9 @@ object LexIndexStore {
       engine: MergeEngine = new ManifestMergeEngine(),
       metadata: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     val meta = readMeta(spark, indexPath, engine)
+    require(idCol == meta.idCol,
+      s"index at $indexPath was built with id column '${meta.idCol}' " +
+        s"but the increment names '$idCol'")
     val existing = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no lexical index at $indexPath"))
@@ -190,7 +206,7 @@ object LexIndexStore {
         appendCorpus(indexPath, fresh, idCol, textCol, meta.nBuckets, engine,
           metadata)
         // recompute, don't ±delta: heals a prior crash-before-meta too
-        refreshMeta(spark, indexPath, meta.nBuckets, engine)
+        refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine)
       }
     } finally Dedup.releaseLocalCheckpoint(fresh)
   }
@@ -254,7 +270,10 @@ object LexIndexStore {
     engine.read(spark, deletedPath(indexPath)).foreach { del =>
       if (!del.isEmpty) {
         val meta = readMeta(spark, indexPath, engine)
-        val idc = del.columns.filterNot(_ == "dl").head
+        // id column name comes from meta, never inferred from column
+        // position — a metadata column ordered before the id (or one
+        // literally named "dl") must not mis-key the purge joins
+        val idc = meta.idCol
         // Commit sequence is crash-idempotent end to end: every step is a
         // left_anti/no-op on rows already purged, meta is RECOMPUTED from
         // the purged doclens (never shrunk by tombstone deltas — a crash
@@ -285,7 +304,7 @@ object LexIndexStore {
             .localCheckpoint(true)
           try engine.overwrite(spark, doclensPath(indexPath), keptLens)
           finally Dedup.releaseLocalCheckpoint(keptLens)
-          refreshMeta(spark, indexPath, meta.nBuckets, engine)
+          refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine)
           engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
         } finally Dedup.releaseLocalCheckpoint(delIds)
       }
@@ -351,7 +370,10 @@ object LexIndexStore {
     val doclens = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no doclens at $indexPath"))
-    val idCol = doclens.columns.filterNot(_ == "dl").head
+    // the stored id column name rides meta (written at build) — inferring
+    // it from doclens column POSITION would silently mis-join scores the
+    // day a backend reorders columns or a metadata column is named "dl"
+    val idCol = meta.idCol
     val qt = Terms.queryTerms(queries, qidCol, qtextCol)
     val qTokens = qt.select("token").distinct().collect()
       .map(_.getString(0)).toSeq

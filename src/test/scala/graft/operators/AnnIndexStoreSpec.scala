@@ -283,6 +283,49 @@ class AnnIndexStoreSpec extends SparkSpec {
       (0L until 320L).count(_ % 3 == 1))
   }
 
+  test("metadata must cover every id exactly once, at save AND at increment") {
+    val corpus = corpusOf(200)
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val full = corpus.select(col("c_id"), lit("s0").as("source"))
+    // save: metadata missing ids refuses (the inner join would silently
+    // drop those vectors from the index — never searchable again)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndexStore.save(spark, tmpIndex(), ivf, pq,
+        metadata = Some(full.filter(col("c_id") < 100)))
+    }
+    assert(e1.getMessage.contains("does not cover"), e1.getMessage)
+    // save: duplicated metadata ids refuse (the join would multiply rows)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndexStore.save(spark, tmpIndex(), ivf, pq,
+        metadata = Some(full.union(full.limit(1))))
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    // increment: same two refusals against a valid stored index
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq, metadata = Some(full))
+    val inc = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") >= 200 && col("vec_id") < 220)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val incMeta = inc.select(col("c_id"), lit("s0").as("source"))
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec",
+        metadata = Some(incMeta.filter(col("c_id") < 210)))
+    }
+    assert(e3.getMessage.contains("does not cover"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec",
+        metadata = Some(incMeta.union(incMeta.limit(1))))
+    }
+    assert(e4.getMessage.contains("duplicate"), e4.getMessage)
+    // refusals left no partial increment behind: the stored index still
+    // holds exactly the 200 saved rows, and a clean add then works
+    assert(AnnIndexStore.load(spark, dir).ivf.assigned.count() == 200)
+    AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec",
+      metadata = Some(incMeta))
+    assert(AnnIndexStore.load(spark, dir).ivf.assigned.count() == 220)
+  }
+
   test("per-query matchCols: each query restricted to ITS OWN slice in one call") {
     val corpus = corpusOf(300)
     val srcOf = concat(lit("src"), pmod(col("c_id"), lit(3)))

@@ -94,6 +94,15 @@ class ClassifierSpec extends SparkSpec {
       "doc_id", "text", model).collect().map(_.getDouble(1))
     val expect = math.rint(1.0 / (1.0 + math.exp(-0.4)) * 1e4) / 1e4
     assert(out.toSeq == Seq(expect, expect), out.toSeq.toString)
+    // NULL text behaves exactly like empty text — the documented
+    // textless-doc contract (σ(bias)), never a null score + null keep
+    // that a downstream keep-filter would drop in an undefined way
+    val withNull = Classifier.score(
+      Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model).orderBy("doc_id")
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(withNull.toSeq == Seq((expect, expect >= 0.5), (expect, expect >= 0.5)),
+      withNull.toSeq.toString)
     intercept[IllegalArgumentException] {
       Classifier.trainQualityLr(Seq((1L, " ", 1.0)).toDF("doc_id", "text", "label"),
         "doc_id", "text", "label", dim = 64, iters = 1)

@@ -277,6 +277,42 @@ class LexIndexStoreSpec extends SparkSpec {
         queryBatch, "query_id", "qtext", k = 5)))
   }
 
+  test("metadata must cover every id exactly once; id column name persisted in meta") {
+    val corpus = docs(100)
+    // a metadata frame MISSING some doc ids refuses loudly — the inner
+    // denormalizing join would otherwise drop those docs from doclens
+    // while their postings were still written (unscorable + permanent
+    // double-count on a later re-add)
+    val partial = corpus.filter(col("doc_id") < 50)
+      .select(col("doc_id"), lit("s0").as("source"))
+    val e1 = intercept[IllegalArgumentException] {
+      LexIndexStore.build(spark, tmpIndex(), corpus, "doc_id", "text",
+        nBuckets = 8, engine = engine, metadata = Some(partial))
+    }
+    assert(e1.getMessage.contains("does not cover"), e1.getMessage)
+    // duplicated metadata ids refuse — the join would multiply rows
+    val full = corpus.select(col("doc_id"), lit("s0").as("source"))
+    val e2 = intercept[IllegalArgumentException] {
+      LexIndexStore.build(spark, tmpIndex(), corpus, "doc_id", "text",
+        nBuckets = 8, engine = engine, metadata = Some(full.union(full.limit(1))))
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    // a clean build persists the id column NAME in meta (read back by
+    // searches/purges instead of positional inference) and an increment
+    // naming a different id column refuses
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, corpus, "doc_id", "text", nBuckets = 8,
+      engine = engine)
+    assert(engine.read(spark, s"$dir/meta").get
+      .select("id_col").head().getString(0) == "doc_id")
+    val e3 = intercept[IllegalArgumentException] {
+      LexIndexStore.addDocuments(spark, dir,
+        docs(110).filter(col("doc_id") >= 100).withColumnRenamed("doc_id", "id"),
+        "id", "text", engine = engine)
+    }
+    assert(e3.getMessage.contains("id column"), e3.getMessage)
+  }
+
   test("interrupted add (doclens landed, postings lost) degrades, never corrupts") {
     val all = docs(300)
     val dir = tmpIndex()
