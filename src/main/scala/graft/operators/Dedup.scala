@@ -689,35 +689,105 @@ object Dedup {
     * via sign-LSH buckets, this is the cluster-then-prune WHOLE-CORPUS
     * recipe: every vector gets a verdict, and the pair search is scoped
     * by the semantic clustering itself. Scale shape: the pair join is an
-    * equi-join on the cluster id (AQE-splittable); pairwise work is
-    * Σ m_i² over cluster sizes — the SemDeDup cost model, tuned by
+    * equi-join on the partition key (AQE-splittable); pairwise work is
+    * Σ m_i² over partition sizes — the SemDeDup cost model, tuned by
     * `nClusters` (the paper runs 50k clusters over LAION so m_i stays
-    * ~10⁴). Clusters larger than `maxCluster` SKIP pairing (their rows
-    * keep — missed dups, never false merges) — the hot-bucket cap
-    * discipline of the LSH operators; callers watching coverage can
-    * read the capped clusters straight off the output (`cluster_size >
-    * maxCluster`), so the cap is never silent.
+    * ~10⁴).
+    *
+    * OVERSIZE clusters (> `maxCluster` — the dominant semantic mass a
+    * web corpus always has) are RECURSIVELY re-clustered with a finer
+    * per-cluster quantizer (the paper's practice) until every partition
+    * fits under the cap: each refinement level trains one deterministic
+    * sub-quantizer per oversize partition on that partition's own rows
+    * (driver loop bounded by the oversize count — the skew tail; every
+    * collect stays model-sized) and lands ALL reassignments in a single
+    * corpus-wide join. Pairing then runs inside the refined leaves, so
+    * dups buried in a dominant cluster are caught instead of skipped.
+    * The tradeoff is bounded recall loss at leaf BOUNDARIES: a dup pair
+    * the sub-quantizer separates is missed (cos ≥ 0.99 pairs sit ~8°
+    * apart and almost always share a nearest sub-centroid; IDENTICAL
+    * vectors always do). Partitions still over the cap after
+    * `refineDepth` levels — or that a sub-quantizer cannot split at all
+    * (a > cap mass of identical points) — skip pairing as before, and
+    * the skip is never silent: every row carries `paired` (false ⇒ its
+    * partition was never pairwise-compared) alongside its TOP-LEVEL
+    * `cid`/`cluster_size` provenance.
     */
   def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, minCos: Double = 0.99, iters: Int = 2,
-      maxCluster: Long = 100000L): DataFrame = {
+      maxCluster: Long = 100000L, refineBranch: Int = 8,
+      refineDepth: Int = 3): DataFrame = {
     require(nClusters >= 1, s"nClusters ($nClusters) must be >= 1")
     require(minCos >= -1.0 && minCos <= 1.0, s"minCos ($minCos) must be in [-1, 1]")
     require(maxCluster >= 2, s"maxCluster ($maxCluster) must be >= 2")
+    require(refineBranch >= 2, s"refineBranch ($refineBranch) must be >= 2")
+    require(refineDepth >= 0, s"refineDepth ($refineDepth) must be >= 0")
     val ivf = Similarity.buildIvf(emb.select(col(idCol), col(vecCol)),
       idCol, vecCol, nClusters, iters)
-    val assigned = ivf.assigned
+    var assigned = ivf.assigned
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cid"))
       .withColumn("n", Similarity.norm(col("v")))
+      // the pairing partition key: starts as the top-level cluster,
+      // grows a ".subcid" path segment per refinement level
+      .withColumn("part", col("cid").cast("string"))
     val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("cluster_size"))
-    // sizes is nClusters rows — broadcasts onto the corpus
-    val small = assigned.join(broadcast(sizes), "cid")
-      .filter(col("cluster_size") <= maxCluster)
-    val left = small.select(col("cid"), col("id").as("a_id"),
+    // level-0 partitions ARE the clusters, so their sizes come free off
+    // the (nClusters-row, broadcastable) sizes frame
+    var frontier: Seq[(String, Long)] = sizes
+      .filter(col("cluster_size") > maxCluster)
+      .select(col("cid").cast("string"), col("cluster_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var terminal = List.empty[String] // gave up: un-splittable under cap
+    var depth = 0
+    while (frontier.nonEmpty && depth < refineDepth) {
+      // One sub-quantizer per oversize partition, trained on that
+      // partition only. Branch is clamped to size/2 so the quantizer
+      // never degenerates to one-point cells (k ≈ n would scatter dup
+      // groups into singleton leaves and silently miss them); depth,
+      // not branch, does the rest of the splitting.
+      val subMaps = frontier.map { case (p, s) =>
+        val eff = math.min(refineBranch.toLong, math.max(2L, s / 2)).toInt
+        Similarity.buildIvf(
+          assigned.filter(col("part") === p).select(col("id"), col("v")),
+          "id", "v", eff, iters)
+          .assigned.select(col("id"), col("cid").as("_subcid"))
+      }
+      // disjoint partitions → one union, ONE corpus-wide reassignment
+      // join per level; checkpoint cuts the per-level lineage the next
+      // level's Lloyd passes would otherwise replay iters× over
+      assigned = assigned
+        .join(subMaps.reduce(_ union _), Seq("id"), "left")
+        .withColumn("part", when(col("_subcid").isNotNull,
+          concat(col("part"), lit("."), col("_subcid"))).otherwise(col("part")))
+        .drop("_subcid")
+        .localCheckpoint(true)
+      val parentSize = frontier.toMap
+      val stillOver = assigned.groupBy("part")
+        .agg(count(lit(1)).as("psz"))
+        .filter(col("psz") > maxCluster)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // no-progress guard: a child exactly as big as its trained parent
+      // will never split (a > cap mass of identical vectors) — stop
+      // burning Lloyd passes on it; it lands paired=false below
+      val (stuck, splittable) = stillOver.partition { case (p, s) =>
+        val dot = p.lastIndexOf('.')
+        dot >= 0 && parentSize.get(p.substring(0, dot)).contains(s)
+      }
+      terminal ++= stuck.map(_._1)
+      frontier = splittable
+      depth += 1
+    }
+    // partitions still over cap after refinement skip pairing — missed
+    // dups, never false merges — and are VISIBLE via paired=false
+    val residual = frontier.map(_._1) ++ terminal
+    val pairedCol = if (residual.isEmpty) lit(true)
+      else !col("part").isin(residual: _*)
+    val pairable = assigned.filter(pairedCol)
+    val left = pairable.select(col("part"), col("id").as("a_id"),
       col("v").as("a_v"), col("n").as("a_n"))
-    val right = small.select(col("cid"), col("id").as("b_id"),
+    val right = pairable.select(col("part"), col("id").as("b_id"),
       col("v").as("b_v"), col("n").as("b_n"))
-    val pairs = left.join(right, Seq("cid"))
+    val pairs = left.join(right, Seq("part"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", Similarity.cosineWithNorms(col("a_v"), col("b_v"),
         col("a_n"), col("b_n")))
@@ -726,10 +796,10 @@ object Dedup {
     keepDecisions(assigned.select(col("id").as(idCol)), idCol, pairs)
       .select(col("doc_id").as(idCol), col("cluster_id").as("dup_group"),
         col("keep"))
-      .join(assigned.select(col("id").as(idCol), col("cid")), idCol)
+      .join(assigned.select(col("id").as(idCol), col("cid"), col("part")), idCol)
       .join(broadcast(sizes), "cid")
       .select(col(idCol), col("cid"), col("cluster_size"), col("dup_group"),
-        col("keep"))
+        col("keep"), pairedCol.as("paired"))
   }
 
   /** N-gram containment-ratio decontamination — the published recipe

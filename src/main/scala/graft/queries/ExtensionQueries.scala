@@ -511,6 +511,24 @@ object ExtensionQueries {
           .orderBy("vec_id")
       }, F1OracleSql.sql.get("x59_semdedup")),
 
+    // SemDeDup oversize-cluster RECURSION: a coarse nClusters=4 run puts
+    // every top-level cluster over maxCluster=100 (the dominant-semantic-
+    // mass shape a web corpus has), so the pre-recursion cap would have
+    // skipped pairing corpus-wide. The finer per-cluster quantizers
+    // split each oversize cluster until its leaves fit, and the planted
+    // near-dup copies buried inside are caught — keep/drop verdicts,
+    // leaf-boundary recall behavior, and paired-coverage flags all
+    // frozen. cluster_size stays TOP-LEVEL provenance (> maxCluster on
+    // every row proves the recursion actually ran).
+    Q("x59b_semdedup_recursive",
+      (s, d) => {
+        val emb = plantVecDups(Tables.embeddings(s, d))
+        Dedup.semDeDup(emb, "vec_id", "embedding",
+          nClusters = 4, minCos = 0.99, iters = 2,
+          maxCluster = 100, refineBranch = 4, refineDepth = 3)
+          .orderBy("vec_id")
+      }, F1OracleSql.sql.get("x59b_semdedup_recursive")),
+
     // FILTERED ANN search — the slice-scoped variant every real curation
     // pipeline runs ("near-dups of this doc within the same source"):
     // the same persisted index as x24b, searched under a corpus

@@ -179,16 +179,72 @@ class ExtensionOpsSpec extends SparkSpec {
       (1L, 4L, 1L, true), (2L, 2L, 2L, true), (3L, 4L, 1L, false),
       (4L, 4L, 1L, false), (5L, 4L, 5L, true), (6L, 2L, 2L, false)),
       out.toSeq.toString)
-    // cap: the size-4 cluster skips pairing (its rows all keep, sizes
-    // still reported so the cap is visible); the size-2 cluster pairs
+    // cap: the size-4 cluster exceeds maxCluster=2 and is RECURSIVELY
+    // re-clustered with a finer quantizer until its leaves fit — the
+    // planted dup pair that lands in one leaf (3~4) is caught where the
+    // pre-recursion cap skipped the whole cluster; the 1~3 edge crosses
+    // a leaf boundary and is missed (the documented bounded recall
+    // tradeoff — missed dups, never false merges). cluster_size stays
+    // the TOP-LEVEL provenance, and every refined row reports paired.
     val capped = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
         iters = 2, maxCluster = 2)
       .orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4), r.getBoolean(5)))
     assert(capped.toSeq == Seq(
-      (1L, 4L, true), (2L, 2L, true), (3L, 4L, true),
-      (4L, 4L, true), (5L, 4L, true), (6L, 2L, false)),
+      (1L, 4L, true, true), (2L, 2L, true, true), (3L, 4L, true, true),
+      (4L, 4L, false, true), (5L, 4L, true, true), (6L, 2L, false, true)),
       capped.toSeq.toString)
+    // refineDepth=0 restores the hard skip: the oversize cluster's rows
+    // all keep and are flagged paired=false (the cap is never silent)
+    val skipped = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
+        iters = 2, maxCluster = 2, refineDepth = 0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4), r.getBoolean(5)))
+    assert(skipped.toSeq == Seq(
+      (1L, 4L, true, false), (2L, 2L, true, true), (3L, 4L, true, false),
+      (4L, 4L, true, false), (5L, 4L, true, false), (6L, 2L, false, true)),
+      skipped.toSeq.toString)
+  }
+
+  test("semDeDup recursion: planted identical dups inside an oversize cluster are caught") {
+    // ONE dominant semantic cluster (all vectors in the +x hemisphere,
+    // well inside any 0.99 gate of each other only where planted) big
+    // enough to blow a maxCluster=8 cap, holding three IDENTICAL-vector
+    // dup pairs. Identical vectors assign identically under ANY
+    // quantizer, so recursion must land each pair in one leaf and catch
+    // it — the zero-recall-loss core of the refinement contract. A far
+    // -x singleton anchors the second top-level centroid so the fixture
+    // clusters deterministically.
+    val base = (0 until 24).map { i =>
+      // distinct directions ≥ 0.15 rad (8.6°) apart — safely below the
+      // 0.99 gate (acos 0.99 ≈ 8.1°), so only the planted EXACT copies
+      // form dup edges; the i%5 third component separates the two
+      // same-angle rows (i, i+12) well under the gate too
+      val a = 0.15 * (i % 12)
+      (100L + i, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        (0.1f * (i % 5)), 0.0f))
+    }
+    val dups = Seq(0, 5, 11).zipWithIndex.map { case (src, j) =>
+      (200L + j, base(src)._2) // exact copies of three base vectors
+    }
+    val emb = ((-1L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)) +: (base ++ dups))
+      .toDF("id", "v")
+    val out = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
+        iters = 2, maxCluster = 8, refineBranch = 4, refineDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSeq
+    // the dominant cluster's rows sat ABOVE the cap (top-level
+    // provenance proves it), yet every planted copy was caught
+    val copies = out.filter(r => r._1 >= 200L)
+    assert(copies.size == 3)
+    assert(copies.forall(_._2 > 8), s"expected oversize provenance: $copies")
+    assert(copies.forall(r => !r._4), s"planted copies must drop: $copies")
+    assert(copies.map(_._3).toSet == Set(100L, 105L, 111L),
+      s"dup_group must be the original id: $copies")
+    // the originals keep, as group representatives
+    assert(out.filter(r => Set(100L, 105L, 111L)(r._1)).forall(_._4))
+    // recursion terminated under the cap: every row was pairwise-compared
+    assert(out.forall(_._5), s"unpaired rows remain: ${out.filterNot(_._5)}")
   }
 
   test("containmentDecontaminate: exact partial/full ratios, threshold both sides, clean docs silent") {
