@@ -710,6 +710,36 @@ object TextVectorKernels {
     }
     acc / n
   }
+
+  /** Multi-class mean feature weights under a frozen ROW-MAJOR weight
+    * matrix (`weights.length = nClasses * dim`): one margin per class
+    * over the SAME [[hashedBowIds]] enumeration, ids hashed once and
+    * reused across classes. Fixed per-row loop order → deterministic at
+    * any parallelism, zero shuffles — the softmax scorer's map-only
+    * inference half. All-zero margins for textless rows (the caller's
+    * per-class bias then decides the argmax).
+    */
+  def hashedBowMargins(text: UTF8String, weights: Array[Double],
+      nClasses: Int): ArrayData = {
+    val dim = weights.length / nClasses
+    val out = new Array[Double](nClasses)
+    val ids = hashedBowIds(text, dim)
+    val n = ids.numElements()
+    if (n == 0) return new GenericArrayData(out)
+    var c = 0
+    while (c < nClasses) {
+      val off = c * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += weights(off + ids.getInt(i))
+        i += 1
+      }
+      out(c) = acc / n
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<long> shingle hashes of text (word n-grams). SQL: shingle_hashes(text, n). */
@@ -957,6 +987,36 @@ case class HashedBowMarginExpr(child: Expression, weights: Array[Double])
   override protected def withNewChildInternal(newChild: Expression): HashedBowMarginExpr =
     copy(child = newChild)
   override def prettyName: String = "hashed_bow_margin"
+}
+
+/** Per-class mean feature weights under a frozen row-major weight
+  * matrix — the multi-class sibling of [[HashedBowMarginExpr]]; the
+  * matrix rides the expression as a codegen reference object, never a
+  * join. SQL: hashed_bow_margins(text) via the registered builder.
+  */
+case class HashedBowMarginsExpr(child: Expression, weights: Array[Double],
+    nClasses: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && nClasses >= 2 &&
+      weights.length % nClasses == 0 && weights.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow_margins requires STRING and a non-empty row-major " +
+        s"(nClasses x dim) weight matrix, got ${child.dataType.catalogString}, " +
+        s"len=${weights.length}, nClasses=$nClasses")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hashedBowMargins(input.asInstanceOf[UTF8String],
+      weights, nClasses)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedBowMarginsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashedBowMarginsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_bow_margins"
 }
 
 /** Verbatim word-n-gram extraction at a token position — see
@@ -1428,6 +1488,9 @@ object TextVectorExpressions {
       exprs => HashedBowIdsExpr(exprs(0), litInt(exprs(1))))
     Registry.registerOnce(spark, "hashed_bow_margin")(
       exprs => HashedBowMarginExpr(exprs(0), foldableDoubles(exprs(1))))
+    Registry.registerOnce(spark, "hashed_bow_margins")(
+      exprs => HashedBowMarginsExpr(exprs(0), foldableDoubles(exprs(1)),
+        litInt(exprs(2))))
   }
 
   def hashed_bow_ids(c: Column, dim: Int): Column = {
@@ -1438,5 +1501,14 @@ object TextVectorExpressions {
     registerHashedBow(SparkSession.active)
     call_function("hashed_bow_margin", c,
       org.apache.spark.sql.functions.typedlit(weights.toSeq))
+  }
+  /** Per-class margins under a frozen (nClasses × dim) weight matrix,
+    * flattened row-major into the expression.
+    */
+  def hashed_bow_margins(c: Column, weights: Array[Array[Double]]): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("hashed_bow_margins", c,
+      org.apache.spark.sql.functions.typedlit(weights.flatten.toSeq),
+      lit(weights.length))
   }
 }

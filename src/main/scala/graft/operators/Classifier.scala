@@ -169,4 +169,124 @@ object Classifier {
         round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("quality_score"))
       .withColumn("keep", col("quality_score") >= threshold)
   }
+
+  /** Driver-sized multi-class model: `labels(c)` names class c,
+    * `weights(c)` is its dim-length row, `bias(c)` its intercept.
+    */
+  final case class BowSoftmaxModel(labels: Array[String],
+      weights: Array[Array[Double]], bias: Array[Double])
+
+  /** Multinomial (softmax) sibling of [[trainQualityLr]] — the
+    * CCNet/DSIR-style DOMAIN classifier ("which slice of the mixture
+    * does this doc belong to"), feeding source-mixing weights (x28/x55)
+    * with per-doc domain labels instead of a binary keep gate. Same
+    * machinery end to end: hashed unigram+bigram features, full-batch
+    * GD where each iteration is a handful of distributed jobs over the
+    * pinned (doc, feature) frame and the ONLY collect is the gradient —
+    * `nClasses × (dim+1)` rows, model-bounded, never doc-bounded.
+    * Class order is the sorted distinct label set (deterministic);
+    * margins/softmax/gradients follow the repo determinism convention
+    * (per-row contributions rounded to 8 decimals, DECIMAL accumulation
+    * — window sums included, exact decimal addition is
+    * order-independent), so training twice is bit-identical.
+    */
+  def trainDomainSoftmax(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 2048, iters: Int = 20,
+      lr: Double = 400.0, biasLr: Double = 1.0): BowSoftmaxModel = {
+    require(dim >= 1, s"dim ($dim) must be >= 1")
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(lr > 0 && biasLr > 0, s"lr ($lr) and biasLr ($biasLr) must be > 0")
+    import graft.functions.TextVectorExpressions.hashed_bow_ids
+    val labels: Array[String] = docs.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(labels.length >= 2 && labels.length <= 1024,
+      s"need 2..1024 distinct labels, got ${labels.length}")
+    val nC = labels.length
+    val labelIdx = array_position(typedlit(labels.toSeq),
+      col(labelCol).cast("string")).cast("int") - 1
+    val base = docs
+      .select(col(idCol).as("_id"), labelIdx.as("_y"),
+        hashed_bow_ids(col(textCol), dim).as("_ids"))
+      .filter(size(col("_ids")) > 0)
+      .select(col("_id"), col("_y"), size(col("_ids")).cast("double").as("_nf"),
+        explode(col("_ids")).as("_fid"))
+      .groupBy("_id", "_y", "_nf", "_fid")
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+      .localCheckpoint(true)
+    try {
+      val nDocs = base.select("_id").distinct().count()
+      require(nDocs > 0, "no non-empty labeled docs to train on")
+      val weights = Array.fill(nC)(new Array[Double](dim))
+      val bias = new Array[Double](nC)
+      val decSum = (c: Column) => sum(round(c, 8).cast(DecimalType(30, 8)))
+      val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("_id")
+      (1 to iters).foreach { _ =>
+        val wFlat = typedlit(weights.flatten.toSeq)
+        val bLit = typedlit(bias.toSeq)
+        // per-(doc, class) margins: the feature frame fans out ×nC — the
+        // softmax cost model; nC is mixture-domain-bounded (≤ dozens)
+        val margins = base
+          .select(col("_id"), col("_y"), col("_nf"), col("_fid"), col("_cnt"),
+            explode(typedlit(Seq.range(0, nC))).as("_cid"))
+          .withColumn("_c", round(
+            element_at(wFlat, col("_cid") * dim + col("_fid") + 1) *
+              col("_cnt") / col("_nf"), 8).cast(DecimalType(30, 8)))
+          .groupBy("_id", "_cid")
+          .agg(first(col("_y")).as("_y"),
+            (sum(col("_c")).cast("double") +
+              element_at(bLit, col("_cid") + 1)).as("_m"))
+        // stable softmax over the doc's nC margins via window aggs: max
+        // is order-free, the normalizer is a DECIMAL sum of 8-decimal-
+        // rounded exps — deterministic at any row order
+        val probs = margins
+          .withColumn("_e", round(exp(col("_m") - max(col("_m")).over(wdoc)), 8)
+            .cast(DecimalType(30, 8)))
+          .withColumn("_p", (col("_e") / sum(col("_e")).over(wdoc)).cast("double"))
+          .select(col("_id"), col("_cid"), col("_y"), col("_p"))
+        val onehot = when(col("_y") === col("_cid"), lit(1.0)).otherwise(lit(0.0))
+        // one collect per iteration, nC×(dim+1) rows: per-(class,
+        // feature) gradients plus each class's bias gradient at fid=-1
+        val grads = base.select("_id", "_fid", "_cnt", "_nf").join(probs, "_id")
+          .select(col("_cid"), col("_fid"),
+            ((col("_p") - onehot) * col("_cnt") / col("_nf")).as("_g"))
+          .unionByName(probs.select(col("_cid"), lit(-1).as("_fid"),
+            (col("_p") - onehot).as("_g")))
+          .groupBy("_cid", "_fid").agg(decSum(col("_g")).cast("double").as("_g"))
+          .collect()
+        grads.foreach { r =>
+          val c = r.getInt(0)
+          val f = r.getInt(1)
+          if (f < 0) bias(c) -= biasLr * r.getDouble(2) / nDocs
+          else weights(c)(f) -= lr * r.getDouble(2) / nDocs
+        }
+      }
+      BowSoftmaxModel(labels, weights, bias)
+    } finally Dedup.releaseLocalCheckpoint(base)
+  }
+
+  /** Map-only domain inference under a frozen softmax model: (doc_id,
+    * domain, confidence) with domain = argmax class (first index on
+    * exact ties — deterministic) and confidence = its softmax
+    * probability rounded to 4 decimals. The weight MATRIX rides one
+    * codegen'd kernel call ([[graft.functions.HashedBowMarginsExpr]] —
+    * features hashed once, reused across classes); softmax/argmax are
+    * per-row array built-ins. Zero shuffles (plan-guarded), so domain
+    * labeling composes into scan-side gate chains like [[score]] does.
+    * Null/empty text lands at the bias argmax, never a null row.
+    */
+  def scoreDomains(docs: DataFrame, idCol: String, textCol: String,
+      model: BowSoftmaxModel): DataFrame = {
+    val margins = graft.functions.TextVectorExpressions
+      .hashed_bow_margins(coalesce(col(textCol), lit("")), model.weights)
+    docs.select(col(idCol).as("doc_id"),
+        zip_with(margins, typedlit(model.bias.toSeq), (m, b) => m + b).as("_m"))
+      .withColumn("_mx", array_max(col("_m")))
+      .withColumn("_e", transform(col("_m"), x => exp(x - col("_mx"))))
+      .withColumn("_idx", array_position(col("_m"), col("_mx")).cast("int"))
+      .select(col("doc_id"),
+        element_at(typedlit(model.labels.toSeq), col("_idx")).as("domain"),
+        round(element_at(col("_e"), col("_idx")) /
+          aggregate(col("_e"), lit(0.0), (acc, x) => acc + x), 4)
+          .as("confidence"))
+  }
 }

@@ -81,6 +81,22 @@ object ExtensionQueries {
       when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0))
         .as("label"))
 
+  /** Planted domain markers for the softmax classifier: doc_id mod 3
+    * picks the domain, whose marker vocabulary is appended to the text —
+    * the separable three-way structure a linear domain labeler exists to
+    * learn, deterministic so the x64 oracle can freeze every verdict.
+    */
+  private def plantDomains(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        element_at(typedlit(Seq(
+          " def class import return lambda compile module array",
+          " reported officials announced minister government yesterday",
+          " encyclopedia references category citation disambiguation")),
+          pmod(col("doc_id"), lit(3)).cast("int") + 1)).as("text"),
+      element_at(typedlit(Seq("code", "news", "wiki")),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1).as("domain"))
+
   /** Planted near-dup vectors: ±10% alternating-sign per-component
     * scaling. Cosine is scale-invariant, so a uniform `x * 1.001` copy
     * scores EXACTLY 1.0 and never exercises the threshold; the
@@ -1415,6 +1431,26 @@ object ExtensionQueries {
           .select(col("doc_id"), col("label"), col("quality_score"), col("keep"))
           .orderBy("doc_id")
       }, F1OracleSql.sql.get("x57_quality_classifier")),
+
+    // Multi-class DOMAIN classifier (x57's softmax sibling — the
+    // CCNet/DSIR-style mixture labeler feeding x28/x55 source-mixing):
+    // deterministic domain markers planted by doc_id mod 3, trained on
+    // the 25% labeled slice (curation practice: labels are scarce),
+    // scored over the WHOLE corpus map-only with the weight matrix
+    // riding one codegen'd kernel call. Frozen oracle pins every
+    // verdict + 4-decimal confidence; held-out accuracy and the
+    // zero-shuffle scoring plan are spec-pinned.
+    Q("x64_domain_classifier",
+      (s, d) => {
+        val docs = plantDomains(Tables.documents(s, d))
+        val model = graft.operators.Classifier.trainDomainSoftmax(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", "domain", dim = 1024, iters = 12, lr = 3200.0)
+        graft.operators.Classifier.scoreDomains(docs, "doc_id", "text", model)
+          .join(docs.select(col("doc_id"), col("domain").as("label")), "doc_id")
+          .select(col("doc_id"), col("label"), col("domain"), col("confidence"))
+          .orderBy("doc_id")
+      }, F1OracleSql.sql.get("x64_domain_classifier")),
 
     Q("x50_dsir_score",
       (s, d) => Terms.dsirScore(Tables.documents(s, d), "doc_id", "text",

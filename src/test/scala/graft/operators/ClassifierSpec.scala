@@ -88,6 +88,63 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  // three-domain synthetic corpus: shared background word-salad plus a
+  // per-domain marker vocabulary — the separable structure a linear
+  // domain classifier exists to learn
+  private val domainMarkers = Map(
+    "code" -> " def class import return lambda compile module array",
+    "news" -> " reported officials announced minister government yesterday",
+    "wiki" -> " encyclopedia references category citation disambiguation")
+  private def domainCorpus(n: Int) = (0L until n.toLong).map { i =>
+    val dom = Seq("code", "news", "wiki")((i % 3).toInt)
+    (i, doc(i) + domainMarkers(dom), dom)
+  }.toDF("doc_id", "text", "domain")
+
+  test("softmax domains: held-out accuracy 100%, confident, bit-deterministic") {
+    val all = domainCorpus(90)
+    val train = all.filter(col("doc_id") % 2 === 0)
+    val holdout = all.filter(col("doc_id") % 2 === 1)
+    val model = Classifier.trainDomainSoftmax(train, "doc_id", "text",
+      "domain", dim = 2048, iters = 20, lr = 1600.0)
+    assert(model.labels.toSeq == Seq("code", "news", "wiki")) // sorted
+    val scored = Classifier.scoreDomains(holdout, "doc_id", "text", model)
+      .join(holdout.select(col("doc_id"), col("domain").as("_want")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    assert(scored.length == 45)
+    val wrong = scored.filter(r => r._2 != r._4)
+    assert(wrong.isEmpty, s"misclassified held-out docs: ${wrong.toSeq}")
+    // confident, not coin-flip argmax: every doc's winning class carries
+    // a clear majority of the softmax mass
+    assert(scored.forall(_._3 > 0.5),
+      s"low-confidence verdicts: ${scored.filter(_._3 <= 0.5).toSeq}")
+    // bit-deterministic retrain at different parallelism
+    val m2 = Classifier.trainDomainSoftmax(train.repartition(7), "doc_id",
+      "text", "domain", dim = 2048, iters = 20, lr = 1600.0)
+    assert(m2.bias.toSeq == model.bias.toSeq)
+    assert(m2.weights.map(_.toSeq).toSeq == model.weights.map(_.toSeq).toSeq)
+  }
+
+  test("softmax scoring is map-only; null text lands at the bias argmax") {
+    val model = Classifier.BowSoftmaxModel(Array("a", "b", "c"),
+      Array.fill(3)(Array.fill(256)(0.1)), Array(-0.2, 0.4, 0.1))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Classifier.scoreDomains(docs, "doc_id", "text", model)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("hashed_bow_margins"), plan)
+    // null text ⇒ all-zero margins ⇒ the bias decides: argmax b = class
+    // "b", confidence = softmax(bias)("b"), never a null verdict
+    val out = Classifier.scoreDomains(
+      Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", model).orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    val z = math.exp(-0.2 - 0.4) + 1.0 + math.exp(0.1 - 0.4)
+    val want = math.rint(1.0 / z * 1e4) / 1e4
+    assert(out.toSeq == Seq(("b", want), ("b", want)), out.toSeq.toString)
+  }
+
   test("degenerate inputs: empty text scores sigmoid(bias); empty training fails fast") {
     val model = Classifier.BowLrModel(Array.fill(64)(5.0), 0.4)
     val out = Classifier.score(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
