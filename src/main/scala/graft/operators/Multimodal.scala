@@ -422,19 +422,28 @@ object Multimodal {
     * exact counts → one division: bit-deterministic regardless of
     * partitioning.
     */
-  def imageFeatures(content: Array[Byte]): Array[Double] = {
+  def imageFeatures(content: Array[Byte]): Array[Double] =
+    imageFeaturesTagged(content)._1
+
+  /** [[imageFeatures]] plus the decode provenance tag: "png" (direct
+    * codec), "imageio" (JDK SPI), "empty", or "undecodable" (zero
+    * vector, not a crash) — the in-band flag [[extractFeatures]]
+    * surfaces so downstream gates can tell a real histogram from a
+    * degenerate one.
+    */
+  def imageFeaturesTagged(content: Array[Byte]): (Array[Double], String) = {
     val out = new Array[Double](featureDim)
-    if (content == null || content.isEmpty) return out
+    if (content == null || content.isEmpty) return (out, "empty")
     // truecolor PNG decodes without ImageIO's per-call SPI reader scan;
     // both paths reconstruct the same pixels, so features are unchanged
-    val (w, h, px) = decodePngFast(content) match {
-      case Some(dec) => dec
+    val (codec, (w, h, px)) = decodePngFast(content) match {
+      case Some(dec) => ("png", dec)
       case None =>
         val img = ImageIO.read(new ByteArrayInputStream(content))
-        if (img == null) return out // not a decodable image: zero-vector, not a crash
+        if (img == null) return (out, "undecodable")
         // bulk getRGB: one ColorModel pass over the raster, not one per pixel
-        (img.getWidth, img.getHeight,
-          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+        ("imageio", (img.getWidth, img.getHeight,
+          img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)))
     }
     val counts = new Array[Long](featureDim)
     var i0 = 0
@@ -452,7 +461,7 @@ object Multimodal {
       out(i) = math.rint(counts(i) / n * 1e6) / 1e6
       i += 1
     }
-    out
+    (out, codec)
   }
 
   /** REAL audio feature extraction: WAV/AIFF/AU decode via the JDK's
@@ -461,27 +470,37 @@ object Multimodal {
     * regardless of partitioning. Non-PCM-16-mono or undecodable payloads
     * fall back to the byte stub rather than crashing the batch.
     */
-  def audioFeatures(content: Array[Byte]): Array[Double] = {
+  def audioFeatures(content: Array[Byte]): Array[Double] =
+    audioFeaturesTagged(content)._1
+
+  /** [[audioFeatures]] plus the decode provenance tag: "pcm_wav"
+    * (direct RIFF parse), "jdk_audio" (javax.sound SPI), "empty", or
+    * "stub" — non-PCM-16-mono / undemuxable containers fall back to the
+    * deterministic byte stub AND say so in-band, so a real MP3 can
+    * never masquerade as decoded RMS energy downstream.
+    */
+  def audioFeaturesTagged(content: Array[Byte]): (Array[Double], String) = {
     val out = new Array[Double](featureDim)
-    if (content == null || content.isEmpty) return out
+    if (content == null || content.isEmpty) return (out, "empty")
     // canonical PCM WAV decodes without the AudioSystem SPI lookup (a
     // per-call synchronized registry scan that serializes parallel
     // extraction); everything else takes the general JDK decode
-    val (bytes, bigEndian) = pcm16MonoSamples(content) match {
-      case Some(samples) => (samples, false)
+    val (codec, bytes, bigEndian) = pcm16MonoSamples(content) match {
+      case Some(samples) => ("pcm_wav", samples, false)
       case None =>
         val ais =
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(content))
-          catch { case _: Exception => return decodeStub(content) }
+          catch { case _: Exception => return (decodeStub(content), "stub") }
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
-          ais.close(); return decodeStub(content)
+          ais.close(); return (decodeStub(content), "stub")
         }
-        (try ais.readAllBytes() finally ais.close(), fmt.isBigEndian)
+        ("jdk_audio", try ais.readAllBytes() finally ais.close(),
+          fmt.isBigEndian)
     }
     val n = bytes.length / 2
-    if (n == 0) return out
+    if (n == 0) return (out, codec)
     var w = 0
     while (w < featureDim) {
       val lo = w * n / featureDim
@@ -500,7 +519,7 @@ object Multimodal {
         if (hi > lo) math.rint(math.sqrt(acc / (hi - lo)) * 1e6) / 1e6 else 0.0
       w += 1
     }
-    out
+    (out, codec)
   }
 
   /** Video feature extraction: demux the PNG-frame container
@@ -509,10 +528,18 @@ object Multimodal {
     * ffmpeg/JNI demuxer plugs into.
     */
   def videoFeatures(content: Array[Byte]): Array[Double] =
+    videoFeaturesTagged(content)._1
+
+  /** [[videoFeatures]] plus the decode provenance tag: "gfv1" (the
+    * demuxable frame container) or "stub" — an MP4 this build can't
+    * demux yields deterministic fake features that are now FLAGGED
+    * in-band instead of indistinguishable from real frame luminance.
+    */
+  def videoFeaturesTagged(content: Array[Byte]): (Array[Double], String) =
     parseVideo(content) match {
       case Some((_, frames)) if frames.nonEmpty =>
-        imageFeatures(frames(frames.length / 2))
-      case _ => decodeStub(content)
+        (imageFeatures(frames(frames.length / 2)), "gfv1")
+      case _ => (decodeStub(content), "stub")
     }
 
   /** STUB byte-stream features — the fallback for media in containers
@@ -551,20 +578,28 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("media_type", StringType),
-      StructField("feature", ArrayType(DoubleType))))
+      StructField("feature", ArrayType(DoubleType)),
+      StructField("codec", StringType, nullable = false),
+      StructField("is_stub", BooleanType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     assets.select("asset_id", "media_type", "content")
       .mapPartitions { rows =>
         rows.map { r =>
           val mediaType = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val feature = mediaType match {
-            case "image" => imageFeatures(bytes)
-            case "audio" => audioFeatures(bytes)
-            case "video" => videoFeatures(bytes)
-            case _       => decodeStub(bytes)
+          val (feature, codec) = mediaType match {
+            case "image" => imageFeaturesTagged(bytes)
+            case "audio" => audioFeaturesTagged(bytes)
+            case "video" => videoFeaturesTagged(bytes)
+            case _       => (decodeStub(bytes), "stub")
           }
-          Row(r.getLong(0), mediaType, feature.toSeq)
+          // is_stub rides every row so a downstream gate (x23-style
+          // keep-chains) can filter fake-featured media without knowing
+          // the codec taxonomy; "undecodable"/"empty" zero-vectors count
+          // too — they are not real features either
+          val stub = codec == "stub" || codec == "undecodable" ||
+            codec == "empty"
+          Row(r.getLong(0), mediaType, feature.toSeq, codec, stub)
         }
       }(encoder)
   }

@@ -964,12 +964,17 @@ object ExtensionQueries {
 
     // ---- multimodal columns ----
 
+    // codec/is_stub ride the frozen oracle: the fixture's PNG/WAV/GFV1
+    // assets must ALL decode for real (any regression to the stub path
+    // flips is_stub and fails the hash), and the flag is the in-band
+    // contract letting gates filter fake-featured media.
     Q("x12_multimodal_features",
       (s, d) => Multimodal.extractFeatures(
         Multimodal.syntheticAssets(Tables.documents(s, d)))
         .select(col("asset_id"), col("media_type"),
           round(element_at(col("feature"), 1), 4).as("f0"),
-          round(element_at(col("feature"), 16), 4).as("f15"))
+          round(element_at(col("feature"), 16), 4).as("f15"),
+          col("codec"), col("is_stub"))
         .orderBy("asset_id"), F1OracleSql.sql.get("x12_multimodal_features")),
 
     // Checksum over the mapPartitions feature-extraction pass: pins the

@@ -1098,8 +1098,45 @@ class ExtensionOpsSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(assets).collect()
     assert(feats.length == 3)
     assert(feats.forall(_.getSeq[Double](2).length == 16))
+    // the fixture's WAV/GFV1/PNG all decode for REAL — no silent stubs
+    assert(feats.forall(!_.getBoolean(4)),
+      feats.map(r => (r.getLong(0), r.getString(3))).toSeq.toString)
+    assert(feats.map(r => (r.getString(1), r.getString(3))).toSet ==
+      Set(("audio", "pcm_wav"), ("video", "gfv1"), ("image", "png")))
     val stats = Multimodal.metadataStats(assets).collect()
     assert(stats.map(_.getLong(1)).sum == 3)
+  }
+
+  test("multimodal: unknown containers are stub-flagged in-band, filterable by gates") {
+    // a fake MP4 (ftyp box header + noise) and a fake MP3 (ID3 header):
+    // containers this build can't demux. Pre-round-11 these produced
+    // plausible-looking fake vectors indistinguishable from real
+    // features; now every row says what decoded it.
+    val mp4 = ("    ftypisom".getBytes("ISO-8859-1") ++
+      Array.tabulate(64)(i => (i * 7 + 3).toByte))
+    val mp3 = ("ID3 ".getBytes("ISO-8859-1") ++
+      Array.tabulate(64)(i => (i * 13 + 1).toByte))
+    val assets = Seq(
+      (1L, "video", mp4), (2L, "audio", mp3),
+      (3L, "image", Array.tabulate(32)(_.toByte)) // not a decodable image
+    ).toDF("asset_id", "media_type", "content")
+    val out = Multimodal.extractFeatures(assets)
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((1L, "stub", true), (2L, "stub", true),
+      (3L, "undecodable", true)), out.toSeq.toString)
+    // the gate contract: filtering on is_stub drops exactly the fakes
+    val mixed = Multimodal.syntheticAssets(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+      .select("asset_id", "media_type", "content")
+      .unionByName(assets.withColumn("asset_id", col("asset_id") + 100))
+    val kept = Multimodal.extractFeatures(mixed)
+      .filter(!col("is_stub")).select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+    // stub features remain deterministic (the frozen-fake contract)
+    val f1 = Multimodal.videoFeatures(mp4)
+    assert(f1.sameElements(Multimodal.videoFeatures(mp4.clone())))
   }
 
   test("multimodal: bilinear resize preserves solid color, honors dims, deterministic") {
