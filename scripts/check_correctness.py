@@ -8,6 +8,15 @@ row count, column names, and a canonical value hash — approximating
 CORRECTNESS_r{N}.json so mismatches surface before the round gate.
 
 Usage: python3 scripts/check_correctness.py <sfDir> <verifyOutDir>
+           [--live-only] [--json <artifact.json>]
+
+--live-only skips frozen `VALUES`-literal oracles (those pin outputs of
+deterministic fixture kernels AT THE GENERATION SF and are wrong at any
+other scale) and re-runs only the LIVE DuckDB SQL — the mode that
+re-verifies the registry at sf0.1 to catch SF-dependent divergence
+(overflow, tie-break density, approx-agg drift) the sf0.01 gate can't
+see. --json writes the per-query verdicts as a committed artifact
+(CORRECTNESS_SF01.json).
 """
 import hashlib
 import json
@@ -92,11 +101,17 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, live_only=False, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if live_only:
+        skipped = sorted(k for k, v in oracle.items() if "FROM (VALUES" in v)
+        oracle = {k: v for k, v in oracle.items() if "FROM (VALUES" not in v}
+        print(f"live-only: {len(oracle)} live oracles, "
+              f"{len(skipped)} frozen VALUES oracles skipped (SF-pinned)")
+    verdicts = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -106,6 +121,8 @@ def main(sf_dir, out_dir):
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            verdicts[name] = {"pass": False,
+                              "problems": [f"spark output unreadable: {e}"]}
             n_fail += 1
             continue
         try:
@@ -114,6 +131,8 @@ def main(sf_dir, out_dir):
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            verdicts[name] = {"pass": False,
+                              "problems": [f"oracle sql error: {e}"]}
             n_fail += 1
             continue
         problems = []
@@ -138,13 +157,27 @@ def main(sf_dir, out_dir):
                         break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            verdicts[name] = {"pass": False, "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got_rows)} rows)")
+            verdicts[name] = {"pass": True, "rows": len(got_rows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        art = {"sf_dir": sf_dir, "mode": "live-only" if live_only else "all",
+               "n_pass": n_pass, "n_fail": n_fail, "queries": verdicts}
+        with open(json_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True, default=str)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != json_out]
+    sys.exit(main(args[0], args[1], live_only="--live-only" in sys.argv,
+                  json_out=json_out))
