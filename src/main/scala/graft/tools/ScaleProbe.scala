@@ -643,6 +643,455 @@ object ScaleProbe {
     c1.unpersist(); c2.unpersist()
   }
 
+  /** Data-dominated-regime probe (round-11 directive #2): the 10×/20×
+    * curation probes showed near-flat walls — fixed overheads still
+    * dominated, so the claimed scaling exponents were untested where
+    * they matter. This mode pushes four families to corpus sizes where
+    * wall clearly grows with data (factor 100 ≈ 500k docs / 200k
+    * vectors off sf0.1) and is run at TWO factors so BASELINE.md can
+    * record measured exponents (log wall-ratio / log size-ratio).
+    * Quality invariants print alongside every wall so a fast-but-wrong
+    * scale-up can't read as a win.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 100 datadom"
+    *   sbt "runMain graft.tools.ScaleProbe 200 datadom"
+    */
+  private def datadomProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Classifier, Dedup}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    // ---- classifier: train is LABELED-SLICE-bound (fixed 10k docs at
+    // every factor — curation practice), score is the corpus-bound
+    // map-only half whose exponent this probe measures
+    val spamText = " click here buy now free offer limited prize winner " +
+      "cheap deal subscribe click here buy now free offer"
+    val labeled = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(spamText)))
+          .otherwise(col("text")).as("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0))
+          .as("label"))
+      .cache()
+    println(s"""{"probe":"corpus","factor":$factor,"docs":${labeled.count()}}""")
+    val trainSlice = labeled.filter(col("doc_id") < 10000)
+    val model = timed("dd_classifier_train_fixed_slice") {
+      Classifier.trainQualityLr(trainSlice, "doc_id", "text", "label",
+        dim = 2048, iters = 10, lr = 1600.0)
+    }
+    timed("dd_classifier_score_all") {
+      val scored = Classifier.score(labeled, "doc_id", "text", model)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      val sep = scored.filter(col("doc_id") >= 10000)
+        .groupBy("label")
+        .agg(min("quality_score").as("mn"), max("quality_score").as("mx"))
+        .orderBy("label").collect()
+      println(s"""{"probe":"dd_classifier_heldout","factor":$factor,"spam_max":${sep(0).getDouble(2)},"clean_min":${sep(1).getDouble(1)}}""")
+    }
+    // ---- containment decontamination: 100 benchmark prompts against
+    // the full replicated corpus; every replica must surface
+    timed("dd_containment_13gram") {
+      val bench = docs0.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 5000000L).as("bench_id"),
+        expr("substring(text, greatest(length(text) - 399, 1), 400)").as("prompt"))
+      val hits = Dedup.containmentDecontaminate(labeled.select("doc_id", "text"),
+        "doc_id", "text", bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
+      println(s"""{"probe":"dd_containment_pairs","factor":$factor,"n":${hits.count()},"expect_min":${100 * factor}}""")
+    }
+    labeled.unpersist()
+    docs.unpersist()
+    // ---- semDeDup: factor× EXACT copies of the base vectors — every
+    // base vector fans into a factor-sized identical group, so the
+    // clean invariant dropped ≈ n − n_base holds at any factor (modulo
+    // borderline base-vector pairs the 0.999 gate merges)
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nBase = emb0.count()
+    val emb = (0 until factor).map(i => emb0.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"dd_vectors","factor":$factor,"n":${emb.count()}}""")
+    timed("dd_semdedup") {
+      val out = Dedup.semDeDup(emb, "vec_id", "embedding",
+        nClusters = 64, minCos = 0.999, iters = 2)
+      val dropped = out.filter(!col("keep")).count()
+      println(s"""{"probe":"dd_semdedup_verdicts","factor":$factor,"dropped":$dropped,"expect_min":${(factor - 1) * nBase}}""")
+    }
+    // same corpus through the OVERSIZE-RECURSION path (round 11): a
+    // 2000-row cap forces every ~3125-row cluster to refine one level;
+    // identical copies always share a leaf, so the drop invariant must
+    // survive refinement — and the wall prices the recursion at scale
+    timed("dd_semdedup_recursive_cap2000") {
+      val out = Dedup.semDeDup(emb, "vec_id", "embedding",
+        nClusters = 64, minCos = 0.999, iters = 2, maxCluster = 2000,
+        refineBranch = 8, refineDepth = 3)
+      val dropped = out.filter(!col("keep")).count()
+      val unpaired = out.filter(!col("paired")).count()
+      println(s"""{"probe":"dd_semdedup_recursive_verdicts","factor":$factor,"dropped":$dropped,"unpaired":$unpaired,"expect_min":${(factor - 1) * nBase}}""")
+    }
+    emb.unpersist()
+    // ---- streaming dedup, dup-LIGHT (the web-corpus shape): unique
+    // word-salad docs with ~1% planted exact-dup pairs split across
+    // arrival batches — per-batch wall scales with the INCREMENT (the
+    // batch), not the accumulated state; run at two factors this
+    // measures the increment exponent, not the clique worst case the
+    // `dedup` probe deliberately stresses
+    val nDocs = factor * 5000L
+    val vocab = (0 until 1024).map(i => f"w$i%04d")
+    val synth = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 48).map(j =>
+        element_at(typedlit(vocab),
+          (pmod(xxhash64(
+            when(pmod(col("id"), lit(100)) === 99, col("id") - 99)
+              .otherwise(col("id")) * 48 + j), lit(1024)) + 1).cast("int"))): _*)
+        .as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd_synth_docs","factor":$factor,"n":${synth.count()}}""")
+    timed("dd_streaming_dedup_5_batches") {
+      val base = Files.createTempDirectory("ddprobe").toString
+      val src = s"$base/src"
+      new java.io.File(src).mkdirs()
+      def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("ddarr").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(s"$src/$name"))
+      }
+      val q = Dedup.streamingMinhashDedup(spark, src, synth.schema,
+        s"$base/state", s"$base/pairs", s"$base/ckpt", "doc_id", "text",
+        compactEvery = 4)
+      try {
+        (0 until 5).foreach { i =>
+          val b0 = System.nanoTime()
+          land(synth.filter(pmod(col("doc_id"), lit(5)) === i), f"a$i.parquet")
+          q.processAllAvailable()
+          println(f"""{"probe":"dd_streaming_batch","factor":$factor,"i":$i,"wall_sec":${(System.nanoTime() - b0) / 1e9}%.1f}""")
+        }
+      } finally q.stop()
+      // planted (k·100, k·100+99) pairs land in batches 0 and 4 — every
+      // one must cross the batch boundary through the persisted state
+      println(s"""{"probe":"dd_streaming_pairs","factor":$factor,"n":${
+        spark.read.parquet(s"$base/pairs").dropDuplicates("a_id", "b_id").count()},"expect_min":${nDocs / 100}}""")
+    }
+    synth.unpersist()
+  }
+
+  /** Index-lifecycle CHURN probe (round-11 directive #8): the annindex/
+    * lexindex probes run each lifecycle op once, in order — real ingest
+    * interleaves them. This mode drives both stores through
+    * add → delete → add → purge → add → delete → purge cycles at probe
+    * scale (factor 100 ⇒ 200k vectors + 1M docs) and pins SEARCH PARITY
+    * after EVERY step: the ANN side against a frozen-model in-memory
+    * re-encode of exactly the live rows (byte-equal results — the
+    * stored layout, tombstones, partial purges and meta are what's
+    * under test), the lexical side against the on-the-fly
+    * [[graft.operators.Terms.bm25TopK]] over the live corpus. Catches
+    * tombstone/meta drift that single-pass probes cannot.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 100 churn"
+    */
+  private def churnProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndexStore, LexIndexStore, Similarity, Terms}
+    import graft.operators.Similarity.{IvfIndex, PqModel}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+
+    // ---------- ANN half: factor× vectors (100 ⇒ 200k) ----------
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def annSlice(lo: Int, hi: Int) = (lo until hi).map(i => emb0.select(
+      (col("vec_id") + lit(i.toLong * 1000000L)).as("c_id"),
+      transform(col("embedding"), (x, j) =>
+        x * (lit(1.0f) + lit(0.002f * (i % 40)) *
+          when(pmod(j + lit(i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+        .as("c_vec")))
+      .reduce(_ unionByName _)
+    val queries = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val f6 = factor * 6 / 10; val f7 = factor * 75 / 100
+    val f8 = factor * 85 / 100
+    val annBase = annSlice(0, f6).repartition(par).cache()
+    println(s"""{"probe":"churn_ann_base","factor":$factor,"vectors":${annBase.count()}}""")
+    val dir = Files.createTempDirectory("churnann").toString
+    val (ivf, pq) = timed("churn_ann_build") {
+      (Similarity.buildIvf(annBase, "c_id", "c_vec", k = 16, iters = 2),
+        Similarity.buildPq(annBase, "c_id", "c_vec", m = 16, k = 16, iters = 2))
+    }
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    // live-set of record, mirrored through every churn step
+    var live = annBase
+    def annParity(step: String): Unit = timed(s"churn_ann_parity_$step") {
+      val loaded = AnnIndexStore.load(spark, dir)
+      val stored = AnnIndexStore.searchTopK(loaded, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)
+        .collect().map(_.toString).sorted.toSeq
+      // frozen-model re-encode of exactly the live rows — the reference
+      // the stored layout must reproduce byte-for-byte
+      val aRef = Similarity.assignCid(live.select(col("c_id"), col("c_vec")),
+        "c_vec", loaded.ivf.centroids)
+      val eRef = Similarity.pqEncode(live, "c_id", "c_vec",
+        loaded.pq.codebooks, loaded.pq.m, loaded.pq.k)
+      val ref = AnnIndexStore.PersistedAnnIndex(
+        IvfIndex(loaded.ivf.centroids, aRef),
+        PqModel(loaded.pq.codebooks, loaded.pq.m, loaded.pq.k, eRef),
+        eRef.join(aRef.select("c_id", "cid"), "c_id"))
+      val mem = AnnIndexStore.searchTopK(ref, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)
+        .collect().map(_.toString).sorted.toSeq
+      val ok = stored == mem
+      println(s"""{"probe":"churn_ann_parity","factor":$factor,"step":"$step","match":$ok,"rows":${stored.size}}""")
+      require(ok, s"ANN churn parity broke at step $step")
+    }
+    annParity("base")
+    // cycle 1: add, delete a mixed slice (oldest rows + some just-added)
+    val inc1 = annSlice(f6, f7).cache()
+    timed("churn_ann_add1")(AnnIndexStore.addVectors(spark, dir, inc1, "c_id", "c_vec"))
+    live = live.unionByName(inc1); annParity("add1")
+    val delPred1 = col("c_id") < 3L * 1000000L ||
+      (col("c_id") >= f6.toLong * 1000000L && col("c_id") < (f6 + 1).toLong * 1000000L)
+    timed("churn_ann_del1")(AnnIndexStore.deleteVectors(spark, dir,
+      live.filter(delPred1).select("c_id"), "c_id"))
+    live = live.filter(!delPred1).cache(); annParity("del1")
+    // cycle 2: add on top of tombstones, THEN purge, then delete again
+    val inc2 = annSlice(f7, f8).cache()
+    timed("churn_ann_add2")(AnnIndexStore.addVectors(spark, dir, inc2, "c_id", "c_vec"))
+    live = live.unionByName(inc2); annParity("add2")
+    timed("churn_ann_purge1")(AnnIndexStore.purgeDeleted(spark, dir))
+    annParity("purge1")
+    val delPred2 = col("c_id") >= f7.toLong * 1000000L &&
+      col("c_id") < (f7 + 2).toLong * 1000000L
+    timed("churn_ann_del2")(AnnIndexStore.deleteVectors(spark, dir,
+      live.filter(delPred2).select("c_id"), "c_id"))
+    live = live.filter(!delPred2).cache(); annParity("del2")
+    // cycle 3: add + final purge — adds over live tombstones, then none
+    val inc3 = annSlice(f8, factor).cache()
+    timed("churn_ann_add3")(AnnIndexStore.addVectors(spark, dir, inc3, "c_id", "c_vec"))
+    live = live.unionByName(inc3); annParity("add3")
+    timed("churn_ann_purge2")(AnnIndexStore.purgeDeleted(spark, dir))
+    annParity("purge2")
+    println(s"""{"probe":"churn_ann_final","factor":$factor,"live":${live.count()}}""")
+    annBase.unpersist(); inc1.unpersist(); inc2.unpersist(); inc3.unpersist()
+
+    // ---------- lexical half: 2×factor× docs (100 ⇒ 1M) ----------
+    val lf = factor * 2
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    def lexSlice(lo: Int, hi: Int) = (lo until hi).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+      (if (i == 0) col("text") else concat(col("text"), lit(" v" + i))).as("text")))
+      .reduce(_ unionByName _)
+    val lexQueries = spark.createDataFrame(Seq(
+      (1L, "hash join"), (2L, "window merge sort"),
+      (3L, "spark stream vector"), (4L, "customer zzzunseen")))
+      .toDF("query_id", "qtext")
+    val l6 = lf * 6 / 10; val l7 = lf * 75 / 100; val l8 = lf * 85 / 100
+    val lexBase = lexSlice(0, l6).repartition(par).cache()
+    println(s"""{"probe":"churn_lex_base","factor":$factor,"docs":${lexBase.count()}}""")
+    val ldir = Files.createTempDirectory("churnlex").toString
+    timed("churn_lex_build")(
+      LexIndexStore.build(spark, ldir, lexBase, "doc_id", "text", nBuckets = 64))
+    var liveDocs = lexBase
+    def lexParity(step: String): Unit = timed(s"churn_lex_parity_$step") {
+      val stored = LexIndexStore.searchTopK(spark, ldir, lexQueries,
+        "query_id", "qtext", k = 5).collect().map(_.toString).sorted.toSeq
+      val liveRes = Terms.bm25TopK(liveDocs, "doc_id", "text",
+        lexQueries, "query_id", "qtext", k = 5)
+        .collect().map(_.toString).sorted.toSeq
+      val ok = stored == liveRes
+      println(s"""{"probe":"churn_lex_parity","factor":$factor,"step":"$step","match":$ok,"rows":${stored.size}}""")
+      require(ok, s"lex churn parity broke at step $step")
+    }
+    lexParity("base")
+    val linc1 = lexSlice(l6, l7).cache()
+    timed("churn_lex_add1")(LexIndexStore.addDocuments(spark, ldir, linc1, "doc_id", "text"))
+    liveDocs = liveDocs.unionByName(linc1); lexParity("add1")
+    val ldelPred1 = col("doc_id") < 3L * 1000000L ||
+      (col("doc_id") >= l6.toLong * 1000000L && col("doc_id") < (l6 + 1).toLong * 1000000L)
+    timed("churn_lex_del1")(LexIndexStore.deleteDocuments(spark, ldir,
+      liveDocs.filter(ldelPred1).select("doc_id"), "doc_id"))
+    liveDocs = liveDocs.filter(!ldelPred1).cache(); lexParity("del1")
+    val linc2 = lexSlice(l7, l8).cache()
+    timed("churn_lex_add2")(LexIndexStore.addDocuments(spark, ldir, linc2, "doc_id", "text"))
+    liveDocs = liveDocs.unionByName(linc2); lexParity("add2")
+    timed("churn_lex_purge1")(LexIndexStore.purgeDeleted(spark, ldir))
+    lexParity("purge1")
+    val ldelPred2 = col("doc_id") >= l7.toLong * 1000000L &&
+      col("doc_id") < (l7 + 2).toLong * 1000000L
+    timed("churn_lex_del2")(LexIndexStore.deleteDocuments(spark, ldir,
+      liveDocs.filter(ldelPred2).select("doc_id"), "doc_id"))
+    liveDocs = liveDocs.filter(!ldelPred2).cache(); lexParity("del2")
+    val linc3 = lexSlice(l8, lf).cache()
+    timed("churn_lex_add3")(LexIndexStore.addDocuments(spark, ldir, linc3, "doc_id", "text"))
+    liveDocs = liveDocs.unionByName(linc3); lexParity("add3")
+    timed("churn_lex_purge2")(LexIndexStore.purgeDeleted(spark, ldir))
+    lexParity("purge2")
+    println(s"""{"probe":"churn_lex_final","factor":$factor,"live":${liveDocs.count()}}""")
+    lexBase.unpersist(); linc1.unpersist(); linc2.unpersist(); linc3.unpersist()
+  }
+
+  /** Anomaly isolation for the datadom findings: times classifier
+    * training on the SAME 5000-doc labeled slice materialized two ways —
+    * fresh from parquet vs filtered out of a factor×-cached corpus —
+    * and containment decontamination with the corpus as the only
+    * variable. Separates "operator is corpus-bound" from "operator
+    * inherits the corpus frame's scan/GC weight".
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 trainmicro"
+    */
+  private def trainmicroProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Classifier, Dedup}
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val spamText = " click here buy now free offer limited prize winner " +
+      "cheap deal subscribe click here buy now free offer"
+    def label(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(spamText)))
+        .otherwise(col("text")).as("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0))
+        .as("label"))
+    // (a) slice fresh from parquet — no big frame anywhere in the plan
+    val fresh = label(docs0).filter(col("doc_id") < 10000).cache()
+    println(s"""{"probe":"tm_fresh_slice","n":${fresh.count()}}""")
+    timed("tm_train_fresh_slice") {
+      Classifier.trainQualityLr(fresh, "doc_id", "text", "label",
+        dim = 2048, iters = 10, lr = 1600.0)
+    }
+    // (b) identical slice filtered from the factor×-cached corpus (the
+    // datadom shape)
+    val corpus = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par)
+    val labeled = label(corpus).cache()
+    println(s"""{"probe":"tm_cached_corpus","n":${labeled.count()}}""")
+    timed("tm_train_slice_of_cached_corpus") {
+      Classifier.trainQualityLr(labeled.filter(col("doc_id") < 10000),
+        "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+    }
+    // (c) slice PRE-MATERIALIZED out of the cached corpus (checkpoint
+    // cuts the corpus out of the training plan entirely)
+    val cut = labeled.filter(col("doc_id") < 10000).localCheckpoint(true)
+    timed("tm_train_checkpointed_slice") {
+      Classifier.trainQualityLr(cut, "doc_id", "text", "label",
+        dim = 2048, iters = 10, lr = 1600.0)
+    }
+    Dedup.releaseLocalCheckpoint(cut)
+    // (d) PURE map-only scoring over the corpus — the datadom stage
+    // also paid a corpus×corpus eval join; this is the operator alone
+    val model = Classifier.trainQualityLr(fresh, "doc_id", "text", "label",
+      dim = 2048, iters = 2, lr = 1600.0)
+    timed("tm_score_pure_maponly") {
+      Classifier.score(labeled, "doc_id", "text", model)
+        .agg(sum(col("quality_score"))).collect()
+    }
+    // (e) containment with the big corpus, fresh JVM state (no other
+    // caches resident): does the factor-200 bend reproduce?
+    timed("tm_containment_13gram") {
+      val bench = docs0.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 5000000L).as("bench_id"),
+        expr("substring(text, greatest(length(text) - 399, 1), 400)").as("prompt"))
+      val hits = Dedup.containmentDecontaminate(labeled.select("doc_id", "text"),
+        "doc_id", "text", bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
+      println(s"""{"probe":"tm_containment_pairs","n":${hits.count()}}""")
+    }
+  }
+
+  /** Containment-decontamination isolation: the operator alone against
+    * a factor× corpus, timed COLD then WARM (×2) in a fresh JVM, with
+    * the join strategies of the executed plan printed — separates
+    * algorithmic growth from JVM warmup and broadcast-vs-merge drift.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 contmicro"
+    */
+  private def contmicroProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"cm_corpus","factor":$factor,"n":${corpus.count()}}""")
+    val bench = docs0.filter(col("doc_id") < 100).select(
+      (col("doc_id") + 5000000L).as("bench_id"),
+      expr("substring(text, greatest(length(text) - 399, 1), 400)").as("prompt"))
+    val out = Dedup.containmentDecontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
+    (1 to 2).foreach { i =>
+      timed(s"cm_containment_run$i") {
+        println(s"""{"probe":"cm_pairs","n":${out.count()}}""")
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    println(s"""{"probe":"cm_plan","broadcast_joins":$bhj,"merge_joins":$smj}""")
+    corpus.unpersist()
+  }
+
+  /** Pure map-only classifier scoring at factor× corpus — codegen
+    * warmed by a 2-iter throwaway train first, then ×2 timed passes.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 scoremicro"
+    */
+  private def scoremicroProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Classifier
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      r
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = (0 until factor).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"sm_corpus","factor":$factor,"n":${corpus.count()}}""")
+    val labeled = docs0.select(col("doc_id"), col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(0.0)).otherwise(lit(1.0)).as("label"))
+    val model = Classifier.trainQualityLr(labeled, "doc_id", "text", "label",
+      dim = 2048, iters = 2, lr = 1600.0) // warms the kernel codegen
+    (1 to 2).foreach { i =>
+      timed(s"sm_score_run$i") {
+        Classifier.score(corpus, "doc_id", "text", model)
+          .agg(sum(col("quality_score"))).collect()
+      }
+    }
+    corpus.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(240000)
     val mode = args.lift(1).getOrElse("unified")
@@ -660,6 +1109,26 @@ object ScaleProbe {
     }
     if (mode == "curation") {
       try curationProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom") {
+      try datadomProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "churn") {
+      try churnProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "trainmicro") {
+      try trainmicroProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "contmicro") {
+      try contmicroProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "scoremicro") {
+      try scoremicroProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "annindex") {

@@ -283,6 +283,64 @@ class AnnIndexStoreSpec extends SparkSpec {
       (0L until 320L).count(_ % 3 == 1))
   }
 
+  test("interleaved churn (add/delete/add/purge/delete/add/purge) keeps exact search parity") {
+    import graft.operators.Similarity.{IvfIndex, PqModel}
+    val all = corpusOf(500)
+    val base = all.filter(col("c_id") < 250)
+    val ivf = Similarity.buildIvf(base, "c_id", "c_vec", k = 8, iters = 2)
+    val pq = Similarity.buildPq(base, "c_id", "c_vec", m = 16, k = 8, iters = 2)
+    val dir = tmpIndex()
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    var live = base
+    // parity oracle: frozen-model re-encode of exactly the live rows —
+    // the stored layout (appends, tombstones, partial purges, meta)
+    // must reproduce it byte-for-byte after EVERY lifecycle step, not
+    // just after each op tested once in isolation
+    def parity(step: String): Unit = {
+      val loaded = AnnIndexStore.load(spark, dir)
+      val stored = AnnIndexStore.searchTopK(loaded, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 30)
+        .collect().map(_.toString).sorted.toSeq
+      val aRef = Similarity.assignCid(live.select(col("c_id"), col("c_vec")),
+        "c_vec", loaded.ivf.centroids)
+      val eRef = Similarity.pqEncode(live, "c_id", "c_vec",
+        loaded.pq.codebooks, loaded.pq.m, loaded.pq.k)
+      val ref = AnnIndexStore.PersistedAnnIndex(
+        IvfIndex(loaded.ivf.centroids, aRef),
+        PqModel(loaded.pq.codebooks, loaded.pq.m, loaded.pq.k, eRef),
+        eRef.join(aRef.select("c_id", "cid"), "c_id"))
+      val mem = AnnIndexStore.searchTopK(ref, queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 30)
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored == mem, s"churn parity broke at $step")
+    }
+    parity("base")
+    // add, then delete a MIX of old and just-added ids
+    AnnIndexStore.addVectors(spark, dir,
+      all.filter(col("c_id") >= 250 && col("c_id") < 350), "c_id", "c_vec")
+    live = all.filter(col("c_id") < 350); parity("add1")
+    val del1 = col("c_id") < 20 || (col("c_id") >= 250 && col("c_id") < 270)
+    AnnIndexStore.deleteVectors(spark, dir, live.filter(del1).select("c_id"), "c_id")
+    live = live.filter(!del1); parity("del1")
+    // add on top of LIVE tombstones, then purge under the new rows
+    AnnIndexStore.addVectors(spark, dir,
+      all.filter(col("c_id") >= 350 && col("c_id") < 420), "c_id", "c_vec")
+    live = live.unionByName(all.filter(col("c_id") >= 350 && col("c_id") < 420))
+    parity("add2")
+    AnnIndexStore.purgeDeleted(spark, dir); parity("purge1")
+    // delete again (rows that survived purge AND rows added after it)
+    val del2 = (col("c_id") >= 100 && col("c_id") < 110) ||
+      (col("c_id") >= 350 && col("c_id") < 360)
+    AnnIndexStore.deleteVectors(spark, dir, live.filter(del2).select("c_id"), "c_id")
+    live = live.filter(!del2); parity("del2")
+    AnnIndexStore.addVectors(spark, dir,
+      all.filter(col("c_id") >= 420), "c_id", "c_vec")
+    live = live.unionByName(all.filter(col("c_id") >= 420)); parity("add3")
+    AnnIndexStore.purgeDeleted(spark, dir); parity("purge2")
+    // and the physical state is clean: no tombstones, no deleted rows
+    assert(AnnIndexStore.load(spark, dir).ivf.assigned.count() == live.count())
+  }
+
   test("metadata must cover every id exactly once, at save AND at increment") {
     val corpus = corpusOf(200)
     val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 8, iters = 2)

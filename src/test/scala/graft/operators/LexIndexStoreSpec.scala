@@ -277,6 +277,53 @@ class LexIndexStoreSpec extends SparkSpec {
         queryBatch, "query_id", "qtext", k = 5)))
   }
 
+  test("interleaved churn (add/delete/add/purge/delete/add/purge) keeps exact search parity") {
+    val all = docs(500)
+    val dir = tmpIndex()
+    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 250),
+      "doc_id", "text", nBuckets = 16, engine = engine)
+    var live = all.filter(col("doc_id") < 250)
+    // parity oracle after EVERY step: the on-the-fly scorer over exactly
+    // the live docs — stored postings/doclens/meta/tombstones must keep
+    // reproducing it through interleaved lifecycle ops, not just each op
+    // tested once in isolation
+    def parity(step: String): Unit =
+      assert(rows(LexIndexStore.searchTopK(spark, dir, queryBatch,
+        "query_id", "qtext", k = 5, engine = engine)) ==
+        rows(Terms.bm25TopK(live, "doc_id", "text",
+          queryBatch, "query_id", "qtext", k = 5)),
+        s"churn parity broke at $step")
+    parity("base")
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 250 && col("doc_id") < 350),
+      "doc_id", "text", engine = engine)
+    live = all.filter(col("doc_id") < 350); parity("add1")
+    val del1 = col("doc_id") < 20 ||
+      (col("doc_id") >= 250 && col("doc_id") < 270)
+    LexIndexStore.deleteDocuments(spark, dir,
+      live.filter(del1).select("doc_id"), "doc_id", engine = engine)
+    live = live.filter(!del1); parity("del1")
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 350 && col("doc_id") < 420),
+      "doc_id", "text", engine = engine)
+    live = live.unionByName(all.filter(col("doc_id") >= 350 && col("doc_id") < 420))
+    parity("add2")
+    LexIndexStore.purgeDeleted(spark, dir, engine = engine); parity("purge1")
+    val del2 = (col("doc_id") >= 100 && col("doc_id") < 110) ||
+      (col("doc_id") >= 350 && col("doc_id") < 360)
+    LexIndexStore.deleteDocuments(spark, dir,
+      live.filter(del2).select("doc_id"), "doc_id", engine = engine)
+    live = live.filter(!del2); parity("del2")
+    LexIndexStore.addDocuments(spark, dir, all.filter(col("doc_id") >= 420),
+      "doc_id", "text", engine = engine)
+    live = live.unionByName(all.filter(col("doc_id") >= 420)); parity("add3")
+    LexIndexStore.purgeDeleted(spark, dir, engine = engine); parity("purge2")
+    // physical state is clean after the final purge: meta matches the
+    // live doc count, no tombstones remain
+    assert(meta(dir).getLong(0) == live.count())
+    assert(engine.read(spark, s"$dir/deleted").get.isEmpty)
+  }
+
   test("metadata must cover every id exactly once; id column name persisted in meta") {
     val corpus = docs(100)
     // a metadata frame MISSING some doc ids refuses loudly — the inner
