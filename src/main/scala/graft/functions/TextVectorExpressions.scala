@@ -711,6 +711,35 @@ object TextVectorKernels {
     acc / n
   }
 
+  /** WordPiece MaxMatch: greedy longest-match-first segmentation of one
+    * pre-token against a frozen vocabulary (word-initial pieces bare,
+    * continuation pieces "##"-prefixed), `["[UNK]"]` when some position
+    * matches no piece — the BERT encoding contract. Fixed per-row loop,
+    * vocabulary probed through a prebuilt hash set: deterministic at
+    * any parallelism, zero shuffles.
+    */
+  def wordpieceEncode(word: UTF8String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int): ArrayData = {
+    val s = word.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var pos = 0
+    while (pos < s.length) {
+      var end = math.min(s.length, pos + maxPieceLen)
+      var found: String = null
+      while (found == null && end > pos) {
+        val sub = s.substring(pos, end)
+        val cand = if (pos == 0) sub else "##" + sub
+        if (vocab.contains(cand)) found = cand else end -= 1
+      }
+      if (found == null)
+        return new GenericArrayData(Array[Any](UTF8String.fromString("[UNK]")))
+      out += UTF8String.fromString(found)
+      pos = end
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Multi-class mean feature weights under a frozen ROW-MAJOR weight
     * matrix (`weights.length = nClasses * dim`): one margin per class
     * over the SAME [[hashedBowIds]] enumeration, ids hashed once and
@@ -1017,6 +1046,40 @@ case class HashedBowMarginsExpr(child: Expression, weights: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): HashedBowMarginsExpr =
     copy(child = newChild)
   override def prettyName: String = "hashed_bow_margins"
+}
+
+/** WordPiece MaxMatch encoding of one pre-token under a frozen
+  * vocabulary riding the expression — see
+  * [[TextVectorKernels.wordpieceEncode]]. The hash set and max piece
+  * length derive lazily from the vocab array once per executor.
+  */
+case class WordPieceEncodeExpr(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPieceLen: Int =
+    vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && vocab.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode requires STRING and a non-empty vocab, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.wordpieceEncode(input.asInstanceOf[UTF8String],
+      vocabSet, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceEncodeExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "wordpiece_encode"
 }
 
 /** Verbatim word-n-gram extraction at a token position — see
@@ -1491,6 +1554,8 @@ object TextVectorExpressions {
     Registry.registerOnce(spark, "hashed_bow_margins")(
       exprs => HashedBowMarginsExpr(exprs(0), foldableDoubles(exprs(1)),
         litInt(exprs(2))))
+    Registry.registerOnce(spark, "wordpiece_encode")(
+      exprs => WordPieceEncodeExpr(exprs(0), foldableStrings(exprs(1))))
   }
 
   def hashed_bow_ids(c: Column, dim: Int): Column = {
@@ -1510,5 +1575,11 @@ object TextVectorExpressions {
     call_function("hashed_bow_margins", c,
       org.apache.spark.sql.functions.typedlit(weights.flatten.toSeq),
       lit(weights.length))
+  }
+  /** MaxMatch WordPiece encoding under a frozen vocabulary. */
+  def wordpiece_encode(c: Column, vocab: Array[String]): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("wordpiece_encode", c,
+      org.apache.spark.sql.functions.typedlit(vocab.toSeq))
   }
 }

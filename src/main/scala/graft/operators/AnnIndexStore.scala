@@ -253,6 +253,12 @@ object AnnIndexStore {
   def deleteVectors(spark: SparkSession, indexPath: String, ids: DataFrame,
       corpusId: String,
       engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+    // the tombstone table is (corpusId, cid) by construction and load/
+    // purge recover the id column as "the non-cid one" — an id column
+    // literally named "cid" would silently mis-key every later
+    // anti-join, so refuse it loudly here
+    require(corpusId != "cid",
+      "id column may not be named 'cid' (reserved for the list id)")
     val assigned = engine.read(spark, assignedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no index at $indexPath"))
     val tomb = assigned.select(col(corpusId), col("cid"))

@@ -264,6 +264,60 @@ object Classifier {
     } finally Dedup.releaseLocalCheckpoint(base)
   }
 
+  /** Persist a trained softmax model through the engine seam — the
+    * [[saveModel]] lifecycle for the domain labeler: `classes` (cid,
+    * label, bias — one row per class, class order frozen) + `weights`
+    * (cid, idx, w). Both tables are model-sized (nClasses × dim rows).
+    */
+  def saveSoftmaxModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: BowSoftmaxModel,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : Unit = {
+    require(engine.read(spark, s"$path/classes").isEmpty,
+      s"model already exists at $path — retrains go to a new path")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cSchema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("label", StringType, nullable = false),
+      StructField("bias", DoubleType, nullable = false)))
+    val cRows = model.labels.indices.map(i =>
+      Row(i, model.labels(i), model.bias(i)))
+    engine.append(s"$path/classes", spark.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), cSchema).coalesce(1))
+    val wSchema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("w", DoubleType, nullable = false)))
+    val wRows = for {
+      c <- model.weights.indices
+      i <- model.weights(c).indices
+    } yield Row(c, i, model.weights(c)(i))
+    engine.append(s"$path/weights", spark.createDataFrame(
+      java.util.Arrays.asList(wRows: _*), wSchema).coalesce(1))
+  }
+
+  /** Load a persisted softmax model — bit-identical to what
+    * [[saveSoftmaxModel]] stored, class order included.
+    */
+  def loadSoftmaxModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      engine: graft.sinks.MergeEngine = new graft.sinks.ManifestMergeEngine())
+      : BowSoftmaxModel = {
+    val classes = engine.read(spark, s"$path/classes")
+      .getOrElse(throw new IllegalStateException(s"no model at $path"))
+      .select("cid", "label", "bias").collect()
+      .sortBy(_.getInt(0))
+    val labels = classes.map(_.getString(1))
+    val bias = classes.map(_.getDouble(2))
+    val wRows = engine.read(spark, s"$path/weights")
+      .getOrElse(throw new IllegalStateException(s"no weights at $path"))
+      .select("cid", "idx", "w").collect()
+    val dim = wRows.map(_.getInt(1)).max + 1
+    val weights = Array.fill(labels.length)(new Array[Double](dim))
+    wRows.foreach(r => weights(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    BowSoftmaxModel(labels, weights, bias)
+  }
+
   /** Map-only domain inference under a frozen softmax model: (doc_id,
     * domain, confidence) with domain = argmax class (first index on
     * exact ties — deterministic) and confidence = its softmax

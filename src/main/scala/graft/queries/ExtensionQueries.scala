@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps, UnigramLm}
+import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps, UnigramLm, WordPiece}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -1279,6 +1279,45 @@ object ExtensionQueries {
               count(lit(1)).cast("double"), 4).as("subwords_per_word"))
       },
       F1OracleSql.sql.get("x44b_bpe_roundtrip")),
+
+    // WordPiece vocab training (Schuster & Nakajima 2012 / BERT — the
+    // third mainstream tokenizer family, closing the BPE(x44)/
+    // unigram(x47) suite): merges chosen by LIKELIHOOD score
+    // pair_n/(left_n*right_n), not raw frequency, continuation pieces
+    // "##"-prefixed. Same 100 TB shape as BPE — word-frequency table,
+    // two vocab-sized aggs per round, bounded winner pool to the
+    // driver. Frozen oracle pins the merge sequence AND scores.
+    Q("x65_wordpiece_vocab",
+      (s, d) => WordPiece.train(Tables.documents(s, d), "text",
+        numMerges = 48, mergesPerRound = 8, minPairCount = 2L)
+        .merges.withColumn("score", round(col("score"), 10))
+        .orderBy("rank"),
+      F1OracleSql.sql.get("x65_wordpiece_vocab")),
+
+    // MaxMatch round-trip over the training corpus: encoding is MAP-ONLY
+    // (the vocab rides the codegen'd kernel — no join, unlike x44b's
+    // word-table join), trained words never degrade to [UNK], and glued
+    // pieces reproduce every word byte-for-byte. Compression + UNK +
+    // mismatch invariants frozen.
+    Q("x65b_wordpiece_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = WordPiece.train(docs, "text",
+          numMerges = 48, mergesPerRound = 8, minPairCount = 2L)
+        WordPiece.encode(docs, "doc_id", "text", model)
+          .withColumn("glued", array_join(transform(col("pieces"),
+            p => regexp_replace(p, "^##", "")), ""))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(size(col("pieces"))).as("n_pieces"),
+            sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk"),
+            sum(when(col("glued") =!= col("word") && !col("unk"), 1L)
+              .otherwise(0L)).as("n_mismatch"),
+            sum(length(col("word"))).cast("long").as("n_chars"),
+            round(sum(size(col("pieces"))).cast("double") /
+              count(lit(1)).cast("double"), 4).as("pieces_per_word"))
+      },
+      F1OracleSql.sql.get("x65b_wordpiece_roundtrip")),
 
     // Unigram-LM vocab training (Kudo 2018 — the OTHER mainstream
     // tokenizer family next to x44's BPE): seed pieces from

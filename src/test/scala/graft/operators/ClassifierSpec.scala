@@ -125,6 +125,27 @@ class ClassifierSpec extends SparkSpec {
     assert(m2.weights.map(_.toSeq).toSeq == model.weights.map(_.toSeq).toSeq)
   }
 
+  test("softmax model persistence: save/load round-trip bit-identical, re-save refused") {
+    val train = domainCorpus(60)
+    val m1 = Classifier.trainDomainSoftmax(train, "doc_id", "text", "domain",
+      dim = 512, iters = 5, lr = 1600.0)
+    val path = java.nio.file.Files.createTempDirectory("bowsm_spec").toString
+    Classifier.saveSoftmaxModel(spark, path, m1)
+    val m2 = Classifier.loadSoftmaxModel(spark, path)
+    assert(m2.labels.toSeq == m1.labels.toSeq)
+    assert(m2.bias.toSeq == m1.bias.toSeq)
+    assert(m2.weights.map(_.toSeq).toSeq == m1.weights.map(_.toSeq).toSeq)
+    val docs = domainCorpus(20).select("doc_id", "text")
+    val s1 = Classifier.scoreDomains(docs, "doc_id", "text", m1)
+      .collect().map(_.toString).sorted.toSeq
+    val s2 = Classifier.scoreDomains(docs, "doc_id", "text", m2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(s1 == s2)
+    intercept[IllegalArgumentException] {
+      Classifier.saveSoftmaxModel(spark, path, m1)
+    }
+  }
+
   test("softmax scoring is map-only; null text lands at the bias argmax") {
     val model = Classifier.BowSoftmaxModel(Array("a", "b", "c"),
       Array.fill(3)(Array.fill(256)(0.1)), Array(-0.2, 0.4, 0.1))
