@@ -103,4 +103,55 @@ object Skew {
     else saltedJoinAuto(big, small, key, bigStatsPath,
       targetRowsPerSalt, maxSalts, joinType)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of an item column,
+    * built as ONE partial-aggregated exchange: each item explodes into
+    * `depth` (row, col) cells — col = xxhash64(item, row) mod `width`,
+    * the row index doubling as the per-row hash seed — and the groupBy
+    * map-side-combines, so the exchange carries at most depth×width
+    * rows PER PARTITION regardless of corpus size. The sketch IS the
+    * (r, c, n) cell table (≤ depth×width rows, model-sized,
+    * broadcastable), and cell-wise addition of two sketches is the
+    * paper's merge — which is exactly what the partial aggregation
+    * already does across partitions, so the sketch is
+    * executor-count-invariant by construction (integer adds commute;
+    * spec-pinned under repartition).
+    *
+    * Where HLL (x32) answers "how many DISTINCT" and approx_percentile
+    * (x33) answers "what quantile", count-min answers "how often is
+    * ITEM x" in bounded memory with a one-sided guarantee:
+    * est ≥ true always, est ≤ true + εN with ε = e/width at the
+    * standard depth ≈ ln(1/δ). The monitoring fit is token/key
+    * frequency over streams where the exact vocabulary-sized groupBy
+    * is the thing you cannot afford.
+    */
+  def countMin(df: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth ($depth) must be in [1, 16]")
+    require(width >= 2, s"width ($width) must be >= 2")
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
+            .cast("int").as("c"))): _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-frequency estimates for `items` under a built sketch:
+    * min over the item's `depth` cells (absent cell = 0 — the item was
+    * never seen on that row). The sketch broadcasts (≤ depth×width
+    * rows); the probe is one broadcast join + one bounded groupBy, so
+    * estimating any batch of items never touches the original corpus.
+    * Output: (itemCol, est_n).
+    */
+  def countMinEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    items.select(col(itemCol), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
+            .cast("int").as("c"))): _*)).as("cell"))
+      .join(broadcast(sketch),
+        col("cell.r") === col("r") && col("cell.c") === col("c"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
 }

@@ -756,6 +756,39 @@ object ExtensionQueries {
     // data (register merge is order-independent), so the estimates freeze
     // as a VALUES oracle; the 5%-of-exact accuracy bound is pinned in
     // ExtensionOpsSpec against the true distinct counts.
+    // Count-min sketch point-frequency estimation (Cormode &
+    // Muthukrishnan 2005) — completes the sketch suite next to HLL
+    // (x32, distinct) and KLL quantiles (x33): "how often is item x"
+    // in depth×width bounded memory, one partial-aggregated exchange
+    // to build (the map-side combine IS the paper's cell-wise merge —
+    // executor-count-invariant, spec-pinned), broadcast probe joins to
+    // estimate. Probes = every token with true count ≥ 200 plus a
+    // never-seen ghost; frozen oracle pins est ≥ true one-sidedness
+    // and the exact overcounts.
+    Q("x66_countmin_freq",
+      (s, d) => {
+        val toks = Terms.tokens(Tables.documents(s, d), "doc_id", "text")
+          .select("token")
+        val sketch = Skew.countMin(toks, "token", depth = 4, width = 2048)
+        val truth = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
+        val probes = truth.filter(col("true_n") >= 200)
+          .unionByName(s.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row("zzz_never_seen_zzz", 0L)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("token",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("true_n",
+                org.apache.spark.sql.types.LongType, nullable = false)))))
+        Skew.countMinEstimate(sketch, probes.select("token"), "token",
+          depth = 4, width = 2048)
+          .join(probes, "token")
+          .select(col("token"), col("true_n"), col("est_n"),
+            (col("est_n") - col("true_n")).as("overcount"))
+          .orderBy("token")
+      },
+      F1OracleSql.sql.get("x66_countmin_freq")),
+
     Q("x32_distinct_sketch",
       (s, d) => {
         val per = Tables.events(s, d).groupBy("event_type")
