@@ -659,15 +659,19 @@ object Dedup {
         benchWin.select(col("benchmark_id"), col("h"),
           token_gram(col("_btext"), n, col("b_pos")).as("_gram"))
       else benchWin.select(col("benchmark_id"), col("h"))).distinct()
-    val hits = docWin.join(benchKeys, Seq("h"))
+    val hits0 = docWin.join(benchKeys, Seq("h"))
     val okHits =
       if (verify) {
+        // two consumers below would each replay the corpus-sized window
+        // explode — pin the O(matched) frame so the corpus scans once
+        // (released by the ContextCleaner with the returned plan)
+        val hits = hits0.localCheckpoint(true)
         val matchedText = docs
           .select(col(docIdCol).as("doc_id"), col(docTextCol).as("_text"))
           .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         hits.join(matchedText, Seq("doc_id"))
           .filter(token_gram(col("_text"), n, col("pos")) === col("_gram"))
-      } else hits
+      } else hits0
     val spans = okHits.select(col("doc_id"), col("benchmark_id"),
       col("pos").as("start"), (col("pos") + lit(n - 1)).as("end"))
     mergeSpanWindows(spans, Seq("doc_id", "benchmark_id"))
@@ -849,7 +853,13 @@ object Dedup {
       .agg(countDistinct("_gram").as("n_bench_grams"))
     val docWin = docs.select(col(docIdCol).as("doc_id"),
       posexplode(shingle_hash_seq(col(docTextCol), n)).as(Seq("pos", "h")))
-    val hits = docWin.join(benchKeys, Seq("h"))
+    // hits has TWO consumers (the matched-doc semi-join and the verify
+    // join); unpinned, EACH would replay the corpus-sized window explode
+    // — two full corpus passes at 100 TB. Pin the matched-windows-sized
+    // frame (O(matched), bench-bounded) so the corpus is scanned ONCE;
+    // the ContextCleaner drops the pin when the returned plan is GC'd
+    // (the connectedComponents per-round precedent).
+    val hits = docWin.join(benchKeys, Seq("h")).localCheckpoint(true)
     // verbatim gate: only matched docs ship text (semi-join), and only
     // matched windows' grams enter the count
     val matchedText = docs

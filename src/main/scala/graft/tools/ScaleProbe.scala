@@ -1044,14 +1044,16 @@ object ScaleProbe {
     val bench = docs0.filter(col("doc_id") < 100).select(
       (col("doc_id") + 5000000L).as("bench_id"),
       expr("substring(text, greatest(length(text) - 399, 1), 400)").as("prompt"))
-    val out = Dedup.containmentDecontaminate(corpus, "doc_id", "text",
+    // construct INSIDE the timer: the operator pins its matched-windows
+    // frame eagerly, and that corpus pass must be part of the wall
+    def build() = Dedup.containmentDecontaminate(corpus, "doc_id", "text",
       bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
     (1 to 2).foreach { i =>
       timed(s"cm_containment_run$i") {
-        println(s"""{"probe":"cm_pairs","n":${out.count()}}""")
+        println(s"""{"probe":"cm_pairs","n":${build().count()}}""")
       }
     }
-    val plan = out.queryExecution.executedPlan.toString
+    val plan = build().queryExecution.executedPlan.toString
     val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
     val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
     println(s"""{"probe":"cm_plan","broadcast_joins":$bhj,"merge_joins":$smj}""")
