@@ -1529,6 +1529,31 @@ object ExtensionQueries {
           .orderBy("doc_id")
       }, F1OracleSql.sql.get("x64_domain_classifier")),
 
+    // CLASSIFIER-DRIVEN mixing — the composition x64 exists for (the
+    // CCNet recipe): the softmax domain labeler assigns every doc a
+    // PREDICTED domain, and the deterministic mixture sampler (x28's
+    // id-pure machinery) keeps each doc at its predicted domain's
+    // target rate. Domain assignment is map-only (the weight matrix
+    // rides the kernel), the mix decision is map-only (id-hash), so
+    // the whole chain is one scan-side pass — no shuffle until the
+    // reporting groupBy. Frozen oracle pins per-domain kept counts.
+    Q("x67_domain_mix",
+      (s, d) => {
+        val docs = plantDomains(Tables.documents(s, d))
+        val model = graft.operators.Classifier.trainDomainSoftmax(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", "domain", dim = 1024, iters = 12, lr = 3200.0)
+        val labeled = graft.operators.Classifier.scoreDomains(
+          docs, "doc_id", "text", model)
+        TextOps.mixSample(labeled.select(col("doc_id"), col("domain")),
+          "doc_id", "domain",
+          Map("code" -> 1.0, "news" -> 0.5, "wiki" -> 0.25))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("domain")
+      }, F1OracleSql.sql.get("x67_domain_mix")),
+
     Q("x50_dsir_score",
       (s, d) => Terms.dsirScore(Tables.documents(s, d), "doc_id", "text",
         pmod(col("doc_id"), lit(7)) === 3, alpha = 0.5)
