@@ -16,9 +16,16 @@ import org.apache.spark.sql.SparkSession
   * exceeds max(1.5× its BENCH_COLDWARM cold stamp, stamp+0.5 s) is
   * automatically re-run (≤2 extra samples); the MINIMUM is reported and
   * every sample is logged under `"reruns"` so the artifact shows both
-  * the noise and the adjudication. A real regression exceeds the stamp
-  * on every sample and still surfaces — the rerun only filters
-  * one-off scheduler noise, it cannot hide a slow query.
+  * the noise and the adjudication. Scope of the guarantee, precisely:
+  * a WARM-path regression (the work that scales with data) exceeds the
+  * stamp on every sample and still surfaces; a COLD-ONLY regression
+  * (codegen compile / first-touch classloading) can be absorbed,
+  * because reruns execute warm in the same JVM — that is accepted by
+  * design (the cold tax amortizes to zero at 100 TB) and the per-round
+  * serial ColdWarmBench stamp still measures colds explicitly, so a
+  * cold blowup is caught there, not here. A rerun'd query's reported
+  * value is therefore min-of-samples, not strictly a cold wall —
+  * `"reruns"` makes that visible per query.
   */
 object Bench {
 

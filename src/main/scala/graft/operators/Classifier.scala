@@ -197,8 +197,15 @@ object Classifier {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(lr > 0 && biasLr > 0, s"lr ($lr) and biasLr ($biasLr) must be > 0")
     import graft.functions.TextVectorExpressions.hashed_bow_ids
-    val labels: Array[String] = docs.select(col(labelCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val labelsRaw: Array[String] = docs.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    // a null label would NPE the sort here and — worse, had it survived
+    // — array_position would map it to a null class index treated as
+    // all-class-negative in the gradient; refuse it loudly instead
+    require(!labelsRaw.contains(null),
+      s"label column '$labelCol' contains nulls — every training row " +
+        "must carry a domain label")
+    val labels = labelsRaw.sorted
     require(labels.length >= 2 && labels.length <= 1024,
       s"need 2..1024 distinct labels, got ${labels.length}")
     val nC = labels.length

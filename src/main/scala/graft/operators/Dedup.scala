@@ -770,6 +770,11 @@ object Dedup {
         .agg(count(lit(1)).as("psz"))
         .filter(col("psz") > maxCluster)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        // a partition already declared terminal must NOT re-enter the
+        // frontier at deeper levels (its parent has left parentSize, so
+        // the no-progress test below would misclassify it as splittable
+        // and re-train the unsplittable mass every remaining level)
+        .filterNot { case (p, _) => terminal.contains(p) }
       // no-progress guard: a child exactly as big as its trained parent
       // will never split (a > cap mass of identical vectors) — stop
       // burning Lloyd passes on it; it lands paired=false below

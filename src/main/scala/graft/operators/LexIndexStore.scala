@@ -81,10 +81,17 @@ object LexIndexStore {
 
   private def readMeta(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Meta = {
-    val r = engine.read(spark, metaPath(indexPath))
+    val metaDf = engine.read(spark, metaPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no lexical index at $indexPath"))
-      .select("n_docs", "total_dl", "n_buckets", "id_col").head()
+    // loud refusal for pre-id_col indexes instead of an opaque
+    // UNRESOLVED_COLUMN from deep inside the select
+    if (!metaDf.columns.contains("id_col"))
+      throw new IllegalStateException(
+        s"index at $indexPath predates the id_col meta format — rebuild " +
+          "it (rebuilds go to a new path); positional id inference was " +
+          "removed because metadata denormalization made it unsafe")
+    val r = metaDf.select("n_docs", "total_dl", "n_buckets", "id_col").head()
     Meta(r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
   }
 

@@ -500,7 +500,9 @@ object Multimodal {
           fmt.isBigEndian)
     }
     val n = bytes.length / 2
-    if (n == 0) return (out, codec)
+    // decoded but SAMPLE-LESS: the zero vector is not a real RMS
+    // profile, so the tag says so and is_stub rides true downstream
+    if (n == 0) return (out, "empty")
     var w = 0
     while (w < featureDim) {
       val lo = w * n / featureDim
@@ -538,7 +540,12 @@ object Multimodal {
   def videoFeaturesTagged(content: Array[Byte]): (Array[Double], String) =
     parseVideo(content) match {
       case Some((_, frames)) if frames.nonEmpty =>
-        (imageFeatures(frames(frames.length / 2)), "gfv1")
+        // propagate the INNER frame-decode verdict: a demuxable
+        // container whose selected frame fails pixel decode yields a
+        // zero vector, which must not masquerade as real luminance
+        val (f, inner) = imageFeaturesTagged(frames(frames.length / 2))
+        (f, if (inner == "undecodable" || inner == "empty") "gfv1_bad_frame"
+        else "gfv1")
       case _ => (decodeStub(content), "stub")
     }
 
@@ -595,10 +602,11 @@ object Multimodal {
           }
           // is_stub rides every row so a downstream gate (x23-style
           // keep-chains) can filter fake-featured media without knowing
-          // the codec taxonomy; "undecodable"/"empty" zero-vectors count
-          // too — they are not real features either
+          // the codec taxonomy; "undecodable"/"empty" zero-vectors and
+          // demuxed-but-bad-frame containers count too — none of those
+          // are real features either
           val stub = codec == "stub" || codec == "undecodable" ||
-            codec == "empty"
+            codec == "empty" || codec == "gfv1_bad_frame"
           Row(r.getLong(0), mediaType, feature.toSeq, codec, stub)
         }
       }(encoder)

@@ -125,16 +125,27 @@ object Skew {
     * frequency over streams where the exact vocabulary-sized groupBy
     * is the thing you cannot afford.
     */
+  /** A built count-min sketch: the cell table PLUS the (depth, width)
+    * it was hashed with. The params ride the model so an estimate can
+    * never probe with a different modulus than the build — a silent
+    * mismatch would produce UNDER-estimates from the operator whose
+    * headline contract is est ≥ true.
+    */
+  final case class CmSketch(cells: DataFrame, depth: Int, width: Int)
+
+  private def cmCells(itemCol: String, depth: Int, width: Int) =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
+          .cast("int").as("c"))): _*)).as("cell")
+
   def countMin(df: DataFrame, itemCol: String, depth: Int = 4,
-      width: Int = 1024): DataFrame = {
+      width: Int = 1024): CmSketch = {
     require(depth >= 1 && depth <= 16, s"depth ($depth) must be in [1, 16]")
     require(width >= 2, s"width ($width) must be >= 2")
-    df.select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"),
-          pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
-            .cast("int").as("c"))): _*)).as("cell"))
+    CmSketch(df.select(cmCells(itemCol, depth, width))
       .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), depth, width)
   }
 
   /** Point-frequency estimates for `items` under a built sketch:
@@ -142,15 +153,13 @@ object Skew {
     * never seen on that row). The sketch broadcasts (≤ depth×width
     * rows); the probe is one broadcast join + one bounded groupBy, so
     * estimating any batch of items never touches the original corpus.
+    * Hash params come from the sketch itself — mismatch impossible.
     * Output: (itemCol, est_n).
     */
-  def countMinEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame =
-    items.select(col(itemCol), explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"),
-          pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
-            .cast("int").as("c"))): _*)).as("cell"))
-      .join(broadcast(sketch),
+  def countMinEstimate(sketch: CmSketch, items: DataFrame,
+      itemCol: String): DataFrame =
+    items.select(col(itemCol), cmCells(itemCol, sketch.depth, sketch.width))
+      .join(broadcast(sketch.cells),
         col("cell.r") === col("r") && col("cell.c") === col("c"), "left")
       .groupBy(itemCol)
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))

@@ -780,8 +780,7 @@ object ExtensionQueries {
                 org.apache.spark.sql.types.StringType, nullable = false),
               org.apache.spark.sql.types.StructField("true_n",
                 org.apache.spark.sql.types.LongType, nullable = false)))))
-        Skew.countMinEstimate(sketch, probes.select("token"), "token",
-          depth = 4, width = 2048)
+        Skew.countMinEstimate(sketch, probes.select("token"), "token")
           .join(probes, "token")
           .select(col("token"), col("true_n"), col("est_n"),
             (col("est_n") - col("true_n")).as("overcount"))

@@ -643,6 +643,16 @@ object ScaleProbe {
     c1.unpersist(); c2.unpersist()
   }
 
+  /** Shared probe timer for the round-11 probe modes: one JSON line
+    * per stage, factor carried so multi-factor runs are self-labeling.
+    */
+  private def timedJson[T](name: String, factor: Int)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    r
+  }
+
   /** Data-dominated-regime probe (round-11 directive #2): the 10×/20×
     * curation probes showed near-flat walls — fixed overheads still
     * dominated, so the claimed scaling exponents were untested where
@@ -659,12 +669,7 @@ object ScaleProbe {
   private def datadomProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Classifier, Dedup}
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
-      r
-    }
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
@@ -804,12 +809,7 @@ object ScaleProbe {
     import org.apache.spark.sql.functions._
     import graft.operators.{AnnIndexStore, LexIndexStore, Similarity, Terms}
     import graft.operators.Similarity.{IvfIndex, PqModel}
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-      r
-    }
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
 
     // ---------- ANN half: factor× vectors (100 ⇒ 200k) ----------
@@ -956,12 +956,7 @@ object ScaleProbe {
   private def trainmicroProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Classifier, Dedup}
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
-      r
-    }
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
@@ -1028,12 +1023,7 @@ object ScaleProbe {
   private def contmicroProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
-      r
-    }
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
@@ -1068,12 +1058,7 @@ object ScaleProbe {
   private def scoremicroProbe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.Classifier
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"probe":"$name","factor":$factor,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
-      r
-    }
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")

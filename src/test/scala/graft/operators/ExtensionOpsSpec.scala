@@ -1137,6 +1137,48 @@ class ExtensionOpsSpec extends SparkSpec {
     // stub features remain deterministic (the frozen-fake contract)
     val f1 = Multimodal.videoFeatures(mp4)
     assert(f1.sameElements(Multimodal.videoFeatures(mp4.clone())))
+    // a DEMUXABLE GFV1 container whose frame fails pixel decode must
+    // not masquerade as real luminance: inner verdict propagates
+    val badFrame = {
+      val garbage = Array.tabulate(16)(i => (i * 31 + 7).toByte)
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 + garbage.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GFV1".getBytes("US-ASCII")).putInt(1).putInt(100)
+      bb.putInt(garbage.length); bb.put(garbage)
+      bb.array()
+    }
+    val (bf, btag) = Multimodal.videoFeaturesTagged(badFrame)
+    assert(btag == "gfv1_bad_frame", btag)
+    assert(bf.forall(_ == 0.0))
+    val badOut = Multimodal.extractFeatures(
+      Seq((9L, "video", badFrame)).toDF("asset_id", "media_type", "content"))
+      .head()
+    assert(badOut.getString(3) == "gfv1_bad_frame" && badOut.getBoolean(4))
+  }
+
+  test("semDeDup: an unsplittable over-cap identical mass goes terminal, stays visible, never blocks siblings") {
+    // 12 identical vectors (unsplittable by ANY quantizer) over a cap of
+    // 4, next to a SPLITTABLE oversize cluster of distinct directions
+    // with one planted exact-dup pair. The mass must land paired=false
+    // (visible skip, all keep); the splittable sibling must still refine
+    // and catch its planted pair.
+    val mass = (0 until 12).map(i => (300L + i, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+    val spread = (0 until 12).map { i =>
+      val a = 0.15 * i
+      (100L + i, Seq(math.cos(a).toFloat, math.sin(a).toFloat, 0.0f, 0.0f))
+    }
+    val emb = (mass ++ spread :+ (200L, spread(3)._2)).toDF("id", "v")
+    val out = Dedup.semDeDup(emb, "id", "v", nClusters = 2, minCos = 0.99,
+        iters = 2, maxCluster = 4, refineBranch = 3, refineDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5)))
+      .toSeq
+    val massRows = out.filter(r => r._1 >= 300L)
+    assert(massRows.size == 12)
+    assert(massRows.forall(r => r._2 && !r._3),
+      s"identical mass must keep and read paired=false: $massRows")
+    // the splittable sibling refined: its planted copy was caught
+    val planted = out.find(_._1 == 200L).get
+    assert(!planted._2 && planted._3, s"planted dup not caught: $planted")
   }
 
   test("multimodal: bilinear resize preserves solid color, honors dims, deterministic") {

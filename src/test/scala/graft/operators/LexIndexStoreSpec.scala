@@ -358,6 +358,15 @@ class LexIndexStoreSpec extends SparkSpec {
         "id", "text", engine = engine)
     }
     assert(e3.getMessage.contains("id column"), e3.getMessage)
+    // a legacy index whose meta predates id_col refuses LOUDLY with a
+    // rebuild instruction, not an opaque unresolved-column error
+    engine.overwrite(spark, s"$dir/meta",
+      engine.read(spark, s"$dir/meta").get.drop("id_col"))
+    val e4 = intercept[IllegalStateException] {
+      LexIndexStore.searchTopK(spark, dir, queryBatch,
+        "query_id", "qtext", k = 5, engine = engine)
+    }
+    assert(e4.getMessage.contains("predates"), e4.getMessage)
   }
 
   test("interrupted add (doclens landed, postings lost) degrades, never corrupts") {

@@ -127,12 +127,12 @@ class SkewSpec extends SparkSpec {
     val truth = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
       .localCheckpoint(true)
     val n = toks.count()
-    val sketch = Skew.countMin(toks, "token", depth = 4, width = 2048)
-      .localCheckpoint(true)
+    val cm = Skew.countMin(toks, "token", depth = 4, width = 2048)
+    val sketch = cm.cells.localCheckpoint(true)
     // every estimate >= truth (the one-sided contract), and the
     // overcount stays under the eps*N bound with big margin
-    val est = Skew.countMinEstimate(sketch, truth.select("token"), "token",
-      depth = 4, width = 2048)
+    val est = Skew.countMinEstimate(cm.copy(cells = sketch),
+      truth.select("token"), "token")
       .join(truth, "token")
     assert(est.filter(col("est_n") < col("true_n")).isEmpty,
       "count-min UNDER-estimated - the one-sided guarantee is broken")
@@ -140,13 +140,13 @@ class SkewSpec extends SparkSpec {
     val bound = math.ceil(math.E / 2048.0 * n).toLong * 4
     assert(maxOver <= bound, s"overcount $maxOver exceeds 4x the eps*N bound $bound")
     // a never-seen item estimates near zero (at most collision noise)
-    val ghost = Skew.countMinEstimate(sketch,
-      Seq("zzznevertokenzzz").toDF("token"), "token", depth = 4, width = 2048)
+    val ghost = Skew.countMinEstimate(cm.copy(cells = sketch),
+      Seq("zzznevertokenzzz").toDF("token"), "token")
       .head().getLong(1)
     assert(ghost <= bound, ghost.toString)
     // executor-count invariance: same sketch at any parallelism (the
     // partial agg IS the paper's cell-wise merge)
-    val s2 = Skew.countMin(toks.repartition(13), "token", depth = 4, width = 2048)
+    val s2 = Skew.countMin(toks.repartition(13), "token", depth = 4, width = 2048).cells
     assert(s2.join(sketch, Seq("r", "c"), "full")
       .filter(s2("n") =!= sketch("n") ||
         s2("n").isNull || sketch("n").isNull).isEmpty,
@@ -155,15 +155,15 @@ class SkewSpec extends SparkSpec {
     // sketch(A) + sketch(B)
     val a = toks.filter(xxhash64(col("token")) % 2 === 0)
     val b = toks.filter(xxhash64(col("token")) % 2 =!= 0)
-    val merged = Skew.countMin(a, "token", 4, 2048)
-      .unionByName(Skew.countMin(b, "token", 4, 2048))
+    val merged = Skew.countMin(a, "token", 4, 2048).cells
+      .unionByName(Skew.countMin(b, "token", 4, 2048).cells)
       .groupBy("r", "c").agg(sum("n").as("n"))
     assert(merged.join(sketch, Seq("r", "c"), "full")
       .filter(merged("n") =!= sketch("n") ||
         merged("n").isNull || sketch("n").isNull).isEmpty,
       "cell-wise merge differs from the union sketch")
     // plan shape: building the sketch is ONE partial-aggregated exchange
-    val plan = Skew.countMin(toks, "token", 4, 2048)
+    val plan = Skew.countMin(toks, "token", 4, 2048).cells
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
     Dedup.releaseLocalCheckpoint(truth)
