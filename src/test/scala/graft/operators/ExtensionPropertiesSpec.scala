@@ -109,4 +109,106 @@ class ExtensionPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("hashed_bow_margins property: class c of the matrix kernel == the binary kernel on row c") {
+    // the multi-class kernel must be EXACTLY per-class applications of
+    // the binary kernel (features hashed once and reused is an
+    // optimization, never a semantic change)
+    val caseGen = for {
+      nC <- Gen.choose(2, 5)
+      dim <- Gen.oneOf(8, 64, 256)
+      nWords <- Gen.choose(0, 12)
+    } yield (nC, dim, nWords)
+    sample(caseGen, 30).zipWithIndex.foreach { case ((nC, dim, nWords), i) =>
+      val rnd = new scala.util.Random(7000L + i)
+      val text = Seq.fill(nWords)(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+      val w = Array.fill(nC)(Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+      val multi = Seq(text).toDF("t").select(
+        graft.functions.TextVectorExpressions
+          .hashed_bow_margins(col("t"), w).as("m"))
+        .head().getSeq[Double](0)
+      assert(multi.size == nC)
+      (0 until nC).foreach { c =>
+        val single = Seq(text).toDF("t").select(
+          graft.functions.TextVectorExpressions
+            .hashed_bow_margin(col("t"), w(c)).as("m"))
+          .head().getDouble(0)
+        assert(multi(c) == single,
+          s"class $c: matrix=${multi(c)} binary=$single dim=$dim text='$text'")
+      }
+    }
+  }
+
+  test("wordpiece_encode property: every non-UNK encoding glues back to the word exactly") {
+    // vocab = random pieces + guaranteed per-char fallbacks for half the
+    // alphabet: words over covered chars must round-trip, words touching
+    // uncovered chars must degrade to [UNK] — never a silently wrong
+    // segmentation
+    val covered = "abcdefghijklm"
+    val caseGen = for {
+      nPieces <- Gen.choose(0, 20)
+      nWords <- Gen.choose(1, 10)
+    } yield (nPieces, nWords)
+    sample(caseGen, 30).zipWithIndex.foreach { case ((nPieces, nWords), i) =>
+      val rnd = new scala.util.Random(9000L + i)
+      def piece(len: Int) =
+        Seq.fill(len)(covered(rnd.nextInt(covered.length))).mkString
+      val vocab = (covered.map(_.toString) ++ covered.map("##" + _) ++
+        Seq.fill(nPieces) {
+          val p = piece(2 + rnd.nextInt(4))
+          if (rnd.nextBoolean()) p else "##" + p
+        }).distinct.toArray
+      val words = Seq.fill(nWords) {
+        val onAlphabet = rnd.nextInt(4) > 0
+        val letters = if (onAlphabet) covered else "abcdefghijklmnopqrstuvwxyz"
+        Seq.fill(1 + rnd.nextInt(10))(letters(rnd.nextInt(letters.length))).mkString
+      }
+      val out = words.toDF("w").select(col("w"),
+        graft.functions.TextVectorExpressions
+          .wordpiece_encode(col("w"), vocab).as("p"))
+        .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+      out.foreach { case (word, pieces) =>
+        if (pieces == Seq("[UNK]")) {
+          // only legal when some char is genuinely uncovered
+          assert(word.exists(c => !covered.contains(c)),
+            s"'$word' went UNK despite full char coverage (vocab=${vocab.toSeq})")
+        } else {
+          val glued = pieces.map(_.stripPrefix("##")).mkString
+          assert(glued == word, s"glue mismatch: '$word' -> $pieces")
+          // continuation discipline: first piece bare, rest ##-prefixed
+          assert(!pieces.head.startsWith("##"), pieces.toString)
+          assert(pieces.tail.forall(_.startsWith("##")), pieces.toString)
+        }
+      }
+    }
+  }
+
+  test("count-min property: est >= true for arbitrary item multisets at any shape") {
+    val caseGen = for {
+      depth <- Gen.choose(1, 5)
+      width <- Gen.oneOf(2, 8, 64)
+      nItems <- Gen.choose(1, 200)
+      alphabet <- Gen.choose(1, 30)
+    } yield (depth, width, nItems, alphabet)
+    sample(caseGen, 25).zipWithIndex.foreach { case ((d, w, n, a), i) =>
+      val rnd = new scala.util.Random(11000L + i)
+      val items = Seq.fill(n)(s"it${rnd.nextInt(a)}")
+      val df = items.toDF("item")
+      val sketch = Skew.countMin(df, "item", depth = d, width = w)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Skew.countMinEstimate(sketch, truth.keys.toSeq.toDF("item"), "item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (item, t) =>
+        assert(est(item) >= t,
+          s"UNDER-estimate: $item true=$t est=${est(item)} d=$d w=$w")
+      }
+      // total mass conservation per sketch row: sum of any row's cells == n
+      val rows = sketch.cells.groupBy("r").agg(sum("n")).collect()
+        .map(r => r.getLong(1))
+      assert(rows.length == d && rows.forall(_ == n.toLong),
+        s"row mass != $n: ${rows.toSeq}")
+    }
+  }
 }
