@@ -89,5 +89,79 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (exprs: Seq[Expression]) => PqAdcExpr(exprs(0), exprs(1), litInt(exprs(2)))))
+
+    // the post-round-7 kernel set — keep this installer in lockstep with
+    // every Registry.registerOnce site (the session-extension path is
+    // the contract a cluster admin installs ONCE; a kernel reachable
+    // only through the lazy Column-wrapper registration would silently
+    // be missing from plain spark.sql sessions)
+    def litDouble(e: Expression): Double =
+      graft.functions.TextVectorExpressions.litDouble(e)
+    def foldableMatrix(e: Expression): Array[Array[Double]] =
+      graft.functions.TextVectorExpressions.foldableMatrix(e)
+    def foldableDoubles(e: Expression): Array[Double] =
+      graft.functions.TextVectorExpressions.foldableDoubles(e)
+    def foldableStrings(e: Expression): Array[String] =
+      graft.functions.TextVectorExpressions.foldableStrings(e)
+    import graft.functions.{AdaptiveNearestCentroids, HashedBowIdsExpr, HashedBowMarginExpr, HashedBowMarginsExpr, PiiScanExpr, RepetitionStatsExpr, Sq8DotExpr, Sq8EncodeExpr, Sq8NormExpr, TokenGramExpr, UnigramViterbiExpr, WordPieceEncodeExpr}
+    ext.injectFunction((
+      FunctionIdentifier("adaptive_nearest_centroids"),
+      new ExpressionInfo(classOf[AdaptiveNearestCentroids].getName, "adaptive_nearest_centroids"),
+      (exprs: Seq[Expression]) => AdaptiveNearestCentroids(exprs(0),
+        foldableMatrix(exprs(1)), litInt(exprs(2)), litInt(exprs(3)),
+        litDouble(exprs(4)))))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[Sq8EncodeExpr].getName, "sq8_encode"),
+      (exprs: Seq[Expression]) => Sq8EncodeExpr(exprs(0),
+        foldableDoubles(exprs(1)), foldableDoubles(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_dot"),
+      new ExpressionInfo(classOf[Sq8DotExpr].getName, "sq8_dot"),
+      (exprs: Seq[Expression]) => Sq8DotExpr(exprs(0), exprs(1),
+        foldableDoubles(exprs(2)), foldableDoubles(exprs(3)))))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_norm"),
+      new ExpressionInfo(classOf[Sq8NormExpr].getName, "sq8_norm"),
+      (exprs: Seq[Expression]) => Sq8NormExpr(exprs(0),
+        foldableDoubles(exprs(1)), foldableDoubles(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("unigram_viterbi"),
+      new ExpressionInfo(classOf[UnigramViterbiExpr].getName, "unigram_viterbi"),
+      (exprs: Seq[Expression]) => UnigramViterbiExpr(exprs(0),
+        foldableStrings(exprs(1)), foldableDoubles(exprs(2)),
+        litInt(exprs(3)), litDouble(exprs(4)))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_bow_ids"),
+      new ExpressionInfo(classOf[HashedBowIdsExpr].getName, "hashed_bow_ids"),
+      (exprs: Seq[Expression]) => HashedBowIdsExpr(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_bow_margin"),
+      new ExpressionInfo(classOf[HashedBowMarginExpr].getName, "hashed_bow_margin"),
+      (exprs: Seq[Expression]) => HashedBowMarginExpr(exprs(0),
+        foldableDoubles(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_bow_margins"),
+      new ExpressionInfo(classOf[HashedBowMarginsExpr].getName, "hashed_bow_margins"),
+      (exprs: Seq[Expression]) => HashedBowMarginsExpr(exprs(0),
+        foldableDoubles(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordPieceEncodeExpr].getName, "wordpiece_encode"),
+      (exprs: Seq[Expression]) => WordPieceEncodeExpr(exprs(0),
+        foldableStrings(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
+      (exprs: Seq[Expression]) => PiiScanExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStatsExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("token_gram"),
+      new ExpressionInfo(classOf[TokenGramExpr].getName, "token_gram"),
+      (exprs: Seq[Expression]) => TokenGramExpr(exprs(0), exprs(2),
+        litInt(exprs(1)))))
   }
 }
