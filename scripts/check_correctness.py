@@ -174,10 +174,15 @@ def main(sf_dir, out_dir, live_only=False, json_out=None):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != json_out]
-    sys.exit(main(args[0], args[1], live_only="--live-only" in sys.argv,
-                  json_out=json_out))
+    import argparse
+    p = argparse.ArgumentParser(
+        description="DuckDB oracle gate over a graft.Verify output dir")
+    p.add_argument("sf_dir", help="testdata SF dir the Verify run read")
+    p.add_argument("out_dir", help="graft.Verify output dir")
+    p.add_argument("--live-only", action="store_true",
+                   help="skip VALUES-frozen oracles (SF-pinned)")
+    p.add_argument("--json", dest="json_out", metavar="PATH",
+                   help="also write the verdicts as a JSON artifact")
+    a = p.parse_args()
+    sys.exit(main(a.sf_dir, a.out_dir, live_only=a.live_only,
+                  json_out=a.json_out))

@@ -48,7 +48,15 @@ object Bench {
         else if (v.isNumber) b += e.getKey -> v.asDouble()
       }
       b.result()
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      // a malformed stamp file silently disabling the rerun noise
+      // protocol would be invisible in the artifact — say so on stderr
+      // (stdout must stay one parseable JSON line for the driver)
+      System.err.println(
+        s"[bench] WARNING: BENCH_COLDWARM.json unreadable (${e.getMessage}) " +
+          "— rerun noise protocol inactive this run")
+      Map.empty
+    }
   }
 
   def main(args: Array[String]): Unit = {

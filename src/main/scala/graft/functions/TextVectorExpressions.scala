@@ -740,6 +740,46 @@ object TextVectorKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** One greedy left-to-right pass applying a batch of symbol-disjoint
+    * tokenizer merges to a symbol array — the shared re-segmentation
+    * step of BPE ([[graft.operators.Bpe.train]]) and WordPiece
+    * ([[graft.operators.WordPiece.train]]) training rounds. Whenever
+    * (last output symbol, next symbol) is one of the batch pairs
+    * (`pairKeys` holds them NUL-joined), the last output symbol is
+    * replaced by the fusion: plain concatenation for BPE;
+    * `left + right-minus-its-"##"` when `wordpieceFusion` (the right
+    * side of an adjacent pair is always a continuation symbol by the
+    * training invariant). Bit-equal to the Catalyst-HOF fold both
+    * trainers used through round 11 (parity-pinned in
+    * ExtensionPropertiesSpec) — but a HOF lambda evaluates INTERPRETED
+    * per element (the round-11 negative result in BASELINE.md), and
+    * this pass runs every training round over the word table, so the
+    * fold is now a codegen'd kernel like every other hot loop.
+    */
+  def mergeFold(syms: ArrayData, pairKeys: java.util.HashSet[String],
+      wordpieceFusion: Boolean): ArrayData = {
+    val n = syms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val x = syms.getUTF8String(i).toString
+      val last =
+        if (out.isEmpty) null
+        else out(out.length - 1).asInstanceOf[UTF8String].toString
+      if (last != null && pairKeys.contains(last + "\u0000" + x)) {
+        // the WordPiece strip mirrors the HOF's substring(x, 3): the
+        // first two chars go unconditionally (the matched right side is
+        // always "##"-prefixed by construction)
+        val fused =
+          if (wordpieceFusion) last + x.substring(math.min(2, x.length))
+          else last + x
+        out(out.length - 1) = UTF8String.fromString(fused)
+      } else out += UTF8String.fromString(x)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Multi-class mean feature weights under a frozen ROW-MAJOR weight
     * matrix (`weights.length = nClasses * dim`): one margin per class
     * over the SAME [[hashedBowIds]] enumeration, ids hashed once and
@@ -1080,6 +1120,46 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Array[String])
   override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeExpr =
     copy(child = newChild)
   override def prettyName: String = "wordpiece_encode"
+}
+
+/** One batched tokenizer-merge pass over a symbol array under a frozen
+  * pair batch riding the expression — see
+  * [[TextVectorKernels.mergeFold]]. `pairs` is the batch flattened
+  * (l0, r0, l1, r1, …); the join key separator is NUL, which can
+  * never appear inside a symbol. SQL: merge_fold(syms, pairs, wordpiece).
+  */
+case class MergeFoldExpr(child: Expression, pairs: Array[String],
+    wordpieceFusion: Boolean) extends UnaryExpression {
+  @transient private lazy val pairKeys: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pairs.length)
+    var i = 0
+    while (i + 1 < pairs.length) {
+      s.add(pairs(i) + "\u0000" + pairs(i + 1))
+      i += 2
+    }
+    s
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(StringType, containsNull = false) ||
+      child.dataType == ArrayType(StringType, containsNull = true))
+      if (pairs.length % 2 == 0 && pairs.nonEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"merge_fold requires a non-empty even-length flattened pair array, got ${pairs.length}")
+    else TypeCheckResult.TypeCheckFailure(
+      s"merge_fold requires ARRAY<STRING>, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.mergeFold(input.asInstanceOf[ArrayData], pairKeys,
+      wordpieceFusion)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mergeFoldExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.nullSafeEval($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergeFoldExpr =
+    copy(child = newChild)
+  override def prettyName: String = "merge_fold"
 }
 
 /** Verbatim word-n-gram extraction at a token position — see
@@ -1556,7 +1636,17 @@ object TextVectorExpressions {
         litInt(exprs(2))))
     Registry.registerOnce(spark, "wordpiece_encode")(
       exprs => WordPieceEncodeExpr(exprs(0), foldableStrings(exprs(1))))
+    Registry.registerOnce(spark, "merge_fold")(
+      exprs => MergeFoldExpr(exprs(0), foldableStrings(exprs(1)),
+        litBoolean(exprs(2))))
   }
+
+  private[graft] def litBoolean(e: Expression): Boolean =
+    e.eval(null) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"expected boolean literal, got $other")
+    }
 
   def hashed_bow_ids(c: Column, dim: Int): Column = {
     registerHashedBow(SparkSession.active)
@@ -1572,6 +1662,11 @@ object TextVectorExpressions {
     */
   def hashed_bow_margins(c: Column, weights: Array[Array[Double]]): Column = {
     registerHashedBow(SparkSession.active)
+    // a ragged matrix whose total length happens to divide by nClasses
+    // would silently misalign every class's weight row after flattening
+    require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+      s"hashed_bow_margins requires a rectangular weight matrix; got row " +
+        s"lengths ${weights.map(_.length).distinct.mkString(",")}")
     call_function("hashed_bow_margins", c,
       org.apache.spark.sql.functions.typedlit(weights.flatten.toSeq),
       lit(weights.length))
@@ -1581,5 +1676,16 @@ object TextVectorExpressions {
     registerHashedBow(SparkSession.active)
     call_function("wordpiece_encode", c,
       org.apache.spark.sql.functions.typedlit(vocab.toSeq))
+  }
+  /** One batched tokenizer-merge pass (BPE / WordPiece fusion) under a
+    * frozen symbol-disjoint pair batch.
+    */
+  def merge_fold(c: Column, pairs: Seq[(String, String)],
+      wordpiece: Boolean): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("merge_fold", c,
+      org.apache.spark.sql.functions.typedlit(
+        pairs.flatMap(p => Seq(p._1, p._2))),
+      lit(wordpiece))
   }
 }

@@ -58,34 +58,23 @@ object Bpe {
         lit(TextOps.BpeTokenPattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** Merge-key separator for the batch-membership probe: NUL, which can
-    * never appear inside a symbol (alphanumeric pre-tokens are ASCII
-    * word chars by the pre-tokenizer regex; single-char pre-tokens are
-    * non-whitespace printables).
-    */
-  private val Sep = "\u0000"
-
   /** One greedy left-to-right pass applying a batch of symbol-disjoint
     * merge pairs: fold the symbol array, and whenever (last accumulated
     * symbol, next symbol) is one of the batch pairs, replace the last
     * with their concatenation. A merged symbol is never re-merged within
     * the pass unless the batch contains the longer pair too — exactly
-    * BPE's greedy application order.
+    * BPE's greedy application order. The fold is the codegen'd
+    * [[graft.functions.MergeFoldExpr]] kernel shared with
+    * [[WordPiece.applyMerges]] — the Catalyst-HOF form both trainers
+    * used through round 11 evaluates its lambda interpreted per element
+    * (the BASELINE.md negative result), and this pass runs every
+    * training round over the word table; bit-parity with the HOF form
+    * is pinned in ExtensionPropertiesSpec.
     */
   private[operators] def applyMerges(syms: Column,
-      pairs: Seq[(String, String)]): Column = {
-    val keys = pairs.map { case (l, r) => l + Sep + r }
-    aggregate(syms, typedLit(Seq.empty[String]), (acc, x) => {
-      val last = element_at(acc, -1)
-      // size guard first: And short-circuits, so element_at never runs
-      // on the empty initial accumulator (ANSI mode throws there)
-      val hit = (size(acc) > lit(0)) &&
-        concat(last, lit(Sep), x).isin(keys: _*)
-      when(hit, concat(slice(acc, lit(1), size(acc) - 1),
-        array(concat(last, x))))
-        .otherwise(concat(acc, array(x)))
-    })
-  }
+      pairs: Seq[(String, String)]): Column =
+    graft.functions.TextVectorExpressions.merge_fold(syms, pairs,
+      wordpiece = false)
 
   /** Learn up to `numMerges` merges over `docs(textCol)`. Stops early
     * when no remaining adjacent pair reaches `minPairCount` occurrences

@@ -133,18 +133,22 @@ object Skew {
     */
   final case class CmSketch(cells: DataFrame, depth: Int, width: Int)
 
+  // sketch-internal names are _cm_-prefixed (round-11 advisor): an
+  // itemCol named plain "r"/"c"/"n"/"cell" used to hit ambiguous-
+  // reference analysis errors (or silent mis-resolution) in the probe
+  // join/groupBy below
   private def cmCells(itemCol: String, depth: Int, width: Int) =
     explode(array((0 until depth).map(r =>
-      struct(lit(r).as("r"),
+      struct(lit(r).as("_cm_r"),
         pmod(xxhash64(col(itemCol), lit(r)), lit(width.toLong))
-          .cast("int").as("c"))): _*)).as("cell")
+          .cast("int").as("_cm_c"))): _*)).as("_cm_cell")
 
   def countMin(df: DataFrame, itemCol: String, depth: Int = 4,
       width: Int = 1024): CmSketch = {
     require(depth >= 1 && depth <= 16, s"depth ($depth) must be in [1, 16]")
     require(width >= 2, s"width ($width) must be >= 2")
     CmSketch(df.select(cmCells(itemCol, depth, width))
-      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .groupBy(col("_cm_cell._cm_r").as("r"), col("_cm_cell._cm_c").as("c"))
       .agg(count(lit(1)).as("n")), depth, width)
   }
 
@@ -157,10 +161,19 @@ object Skew {
     * Output: (itemCol, est_n).
     */
   def countMinEstimate(sketch: CmSketch, items: DataFrame,
-      itemCol: String): DataFrame =
+      itemCol: String): DataFrame = {
+    // the cells side renames onto the same _cm_ prefix before the join,
+    // so an itemCol named "r"/"c"/"n" can never collide with the
+    // sketch's public (r, c, n) schema
+    require(!itemCol.startsWith("_cm_"),
+      s"itemCol ($itemCol) collides with the sketch-internal _cm_ prefix")
+    val cells = sketch.cells.select(col("r").as("_cm_sr"),
+      col("c").as("_cm_sc"), col("n").as("_cm_sn"))
     items.select(col(itemCol), cmCells(itemCol, sketch.depth, sketch.width))
-      .join(broadcast(sketch.cells),
-        col("cell.r") === col("r") && col("cell.c") === col("c"), "left")
+      .join(broadcast(cells),
+        col("_cm_cell._cm_r") === col("_cm_sr") &&
+          col("_cm_cell._cm_c") === col("_cm_sc"), "left")
       .groupBy(itemCol)
-      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+      .agg(min(coalesce(col("_cm_sn"), lit(0L))).as("est_n"))
+  }
 }

@@ -49,8 +49,6 @@ object WordPiece {
   final case class WordPieceModel(merges: DataFrame, vocab: DataFrame,
       wordSegs: DataFrame)
 
-  private val Sep = "\u0000"
-
   /** Initial segmentation: first char bare, rest "##"-prefixed. */
   private def initialSyms(word: Column): Column =
     transform(split(word, ""), (c, i) =>
@@ -61,19 +59,14 @@ object WordPiece {
     * symbol is `left + right-without-its-"##"` (the right side of an
     * adjacent pair is always a continuation symbol by construction, and
     * the fusion keeps the LEFT side's initial/continuation status).
+    * Shares the codegen'd [[graft.functions.MergeFoldExpr]] kernel with
+    * BPE (round-12 unification — the HOF form evaluated interpreted);
+    * bit-parity with the HOF form is pinned in ExtensionPropertiesSpec.
     */
   private[operators] def applyMerges(syms: Column,
-      pairs: Seq[(String, String)]): Column = {
-    val keys = pairs.map { case (l, r) => l + Sep + r }
-    aggregate(syms, typedLit(Seq.empty[String]), (acc, x) => {
-      val last = element_at(acc, -1)
-      val hit = (size(acc) > lit(0)) &&
-        concat(last, lit(Sep), x).isin(keys: _*)
-      when(hit, concat(slice(acc, lit(1), size(acc) - 1),
-        array(concat(last, substring(x, 3, Int.MaxValue)))))
-        .otherwise(concat(acc, array(x)))
-    })
-  }
+      pairs: Seq[(String, String)]): Column =
+    graft.functions.TextVectorExpressions.merge_fold(syms, pairs,
+      wordpiece = true)
 
   /** Learn up to `numMerges` likelihood-scored merges. Stops early when
     * no remaining pair reaches `minPairCount` weighted occurrences.
@@ -115,17 +108,28 @@ object WordPiece {
         .limit(want * 8)
         .collect()
       val usedSyms = scala.collection.mutable.Set.empty[String]
+      // chain-fuse guard (round-11 advisor): in one greedy pass a FUSED
+      // symbol can only ever re-match as the LEFT of a later adjacency,
+      // so a batch is sequential-exact iff no pair's left equals another
+      // pair's merged output (either pick order — the pass is one scan).
+      // Without this, existing symbol 'ab' plus batch pairs (a,##b) and
+      // (ab,##c) would apply the second merge to an occurrence created
+      // by the first IN THE SAME pass, drifting from mergesPerRound=1.
+      val pickedLefts = scala.collection.mutable.Set.empty[String]
+      val pickedMerged = scala.collection.mutable.Set.empty[String]
       val batch = ArrayBuffer.empty[(String, String)]
       val it = top.iterator
       while (batch.size < want && it.hasNext) {
         val row = it.next()
         val (r0, l0) = (row.getString(0), row.getString(1)) // (r, l) join order
         val (pn, score) = (row.getLong(2), row.getDouble(5))
-        if (!usedSyms.contains(l0) && !usedSyms.contains(r0)) {
+        val merged = l0 + r0.stripPrefix("##")
+        if (!usedSyms.contains(l0) && !usedSyms.contains(r0) &&
+          !pickedMerged.contains(l0) && !pickedLefts.contains(merged)) {
           usedSyms += l0; usedSyms += r0
+          pickedLefts += l0; pickedMerged += merged
           batch += ((l0, r0))
-          learned += ((learned.size.toLong, l0, r0,
-            l0 + r0.stripPrefix("##"), pn, score))
+          learned += ((learned.size.toLong, l0, r0, merged, pn, score))
         }
       }
       if (batch.isEmpty) exhausted = true

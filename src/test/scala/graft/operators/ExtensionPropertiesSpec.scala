@@ -211,4 +211,50 @@ class ExtensionPropertiesSpec extends SparkSpec {
         s"row mass != $n: ${rows.toSeq}")
     }
   }
+
+  test("merge_fold kernel property: bit-parity with the Catalyst-HOF fold, both fusion modes") {
+    // the round-11 HOF form both trainers used, kept here verbatim as
+    // the independent reference the codegen'd kernel must equal
+    def hofFold(syms: org.apache.spark.sql.Column,
+        pairs: Seq[(String, String)], wp: Boolean): org.apache.spark.sql.Column = {
+      val sep = "\u0000"
+      val keys = pairs.map { case (l, r) => l + sep + r }
+      aggregate(syms, typedLit(Seq.empty[String]), (acc, x) => {
+        val last = element_at(acc, -1)
+        val hit = (size(acc) > lit(0)) &&
+          concat(last, lit(sep), x).isin(keys: _*)
+        val fused = if (wp) concat(last, substring(x, 3, Int.MaxValue))
+          else concat(last, x)
+        when(hit, concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+          .otherwise(concat(acc, array(x)))
+      })
+    }
+    val alphabet = Seq("a", "b", "c", "ab", "bc", "abc")
+    val caseGen = for {
+      wp <- Gen.oneOf(false, true)
+      nSyms <- Gen.choose(0, 12)
+      symIdx <- Gen.listOfN(nSyms, Gen.choose(0, alphabet.length - 1))
+      nPairs <- Gen.choose(1, 4)
+      pairIdx <- Gen.listOfN(nPairs,
+        Gen.zip(Gen.choose(0, alphabet.length - 1), Gen.choose(0, alphabet.length - 1)))
+    } yield (wp, symIdx, pairIdx)
+    sample(caseGen, 60).zipWithIndex.foreach { case ((wp, symIdx, pairIdx), i) =>
+      // wordpiece mode: non-initial symbols and pair rights carry "##"
+      // (the training invariant the kernel's unconditional strip assumes)
+      val syms = symIdx.zipWithIndex.map { case (s, j) =>
+        if (wp && j > 0) "##" + alphabet(s) else alphabet(s)
+      }
+      val pairs = pairIdx.map { case (l, r) =>
+        (if (wp && (l + r) % 2 == 0) "##" + alphabet(l)
+         else alphabet(l)) -> (if (wp) "##" + alphabet(r) else alphabet(r))
+      }.distinct
+      val df = Seq(Tuple1(syms)).toDF("syms")
+      val viaKernel = df.select(graft.functions.TextVectorExpressions
+        .merge_fold(col("syms"), pairs, wp).as("o")).head().getSeq[String](0)
+      val viaHof = df.select(hofFold(col("syms"), pairs, wp).as("o"))
+        .head().getSeq[String](0)
+      assert(viaKernel == viaHof,
+        s"case $i wp=$wp syms=$syms pairs=$pairs kernel=$viaKernel hof=$viaHof")
+    }
+  }
 }

@@ -169,4 +169,20 @@ class SkewSpec extends SparkSpec {
     Dedup.releaseLocalCheckpoint(truth)
     Dedup.releaseLocalCheckpoint(sketch)
   }
+
+  test("count-min: item columns named r/c/n/cell don't collide with sketch internals") {
+    // round-11 advisor: unprefixed internal names made these ambiguous
+    Seq("r", "c", "n", "cell").foreach { name =>
+      val df = Seq("x", "y", "x").toDF(name)
+      val cm = Skew.countMin(df, name, depth = 2, width = 64)
+      val est = Skew.countMinEstimate(cm, Seq("x", "zz").toDF(name), name)
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      assert(est("x") >= 2L, s"col $name: $est")
+      assert(est.contains("zz"), s"col $name: $est")
+    }
+    // and the internal prefix itself is refused loudly
+    val cm = Skew.countMin(Seq("x").toDF("_cm_r"), "_cm_r")
+    intercept[IllegalArgumentException](
+      Skew.countMinEstimate(cm, Seq("x").toDF("_cm_r"), "_cm_r"))
+  }
 }
