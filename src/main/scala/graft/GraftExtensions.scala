@@ -103,7 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.TextVectorExpressions.foldableDoubles(e)
     def foldableStrings(e: Expression): Array[String] =
       graft.functions.TextVectorExpressions.foldableStrings(e)
-    import graft.functions.{AdaptiveNearestCentroids, HashedBowIdsExpr, HashedBowMarginExpr, HashedBowMarginsExpr, PiiScanExpr, RepetitionStatsExpr, Sq8DotExpr, Sq8EncodeExpr, Sq8NormExpr, TokenGramExpr, UnigramViterbiExpr, WordPieceEncodeExpr}
+    import graft.functions.{AdaptiveNearestCentroids, HashedBowIdsExpr, HashedBowMarginExpr, HashedBowMarginsExpr, MergeFoldExpr, PiiScanExpr, RepetitionStatsExpr, Sq8DotExpr, Sq8EncodeExpr, Sq8NormExpr, TokenGramExpr, UnigramViterbiExpr, WordPieceEncodeExpr}
     ext.injectFunction((
       FunctionIdentifier("adaptive_nearest_centroids"),
       new ExpressionInfo(classOf[AdaptiveNearestCentroids].getName, "adaptive_nearest_centroids"),
@@ -146,6 +146,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => HashedBowMarginsExpr(exprs(0),
         foldableDoubles(exprs(1)), litInt(exprs(2)))))
     ext.injectFunction((
+      FunctionIdentifier("merge_fold"),
+      new ExpressionInfo(classOf[MergeFoldExpr].getName, "merge_fold"),
+      (exprs: Seq[Expression]) => MergeFoldExpr(exprs(0),
+        foldableStrings(exprs(1)),
+        graft.functions.TextVectorExpressions.litBoolean(exprs(2)))))
+    ext.injectFunction((
       FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordPieceEncodeExpr].getName, "wordpiece_encode"),
       (exprs: Seq[Expression]) => WordPieceEncodeExpr(exprs(0),
@@ -163,5 +169,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenGramExpr].getName, "token_gram"),
       (exprs: Seq[Expression]) => TokenGramExpr(exprs(0), exprs(2),
         litInt(exprs(1)))))
+
+    // table-valued entry points for the flagship operator FAMILIES (ANN
+    // search, BM25 search, dedup verdicts) — the scalar kernels above
+    // cover expressions, these cover whole-operator semantics so a plain
+    // SQL session can run the search/dedup lifecycle end to end
+    // (graft.sql.TableFunctions scaladoc; x68/x69/x70 run these under
+    // the driver's DuckDB gate as pure spark.sql strings)
+    import graft.sql.TableFunctions
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_topk"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "ann_topk"),
+      (exprs: Seq[Expression]) => TableFunctions.annTopK(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "bm25_topk"),
+      (exprs: Seq[Expression]) => TableFunctions.bm25TopK(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("dedup_keep"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "dedup_keep"),
+      (exprs: Seq[Expression]) => TableFunctions.dedupKeep(exprs)))
   }
 }

@@ -15,6 +15,12 @@ object Harness {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the cluster-admin install path: scalar kernels AND the
+      // table-valued entry points (ann_topk/bm25_topk/dedup_keep) are
+      // session-registered exactly as a production deploy would, so the
+      // x68/x69/x70 pure-SQL registry entries resolve under the driver
+      // gate with zero Scala-side registration
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

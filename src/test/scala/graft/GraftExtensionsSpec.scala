@@ -86,6 +86,23 @@ class GraftExtensionsSpec extends SparkSpec {
         .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "##b"))
       assert(one("unigram_viterbi('ab', array('a', 'b'), array(-1.0D, -1.0D), 1, -10.0D)")
         != null)
+      assert(one("merge_fold(array('a', 'b', 'c'), array('a', 'b'), false)")
+        .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab", "c"))
+      assert(one("merge_fold(array('a', '##b'), array('a', '##b'), true)")
+        .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab"))
+    }
+  }
+
+  test("table-valued functions are installed: wrong-arity call names the contract") {
+    withExtSession { s =>
+      // existence + arg validation without index setup: the builder must
+      // be reached (an uninstalled TVF fails with unresolved-routine)
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM ann_topk('nope')").collect())
+      assert(e.getMessage.contains("7 or 8 arguments"))
+      val e2 = intercept[Exception](
+        s.sql("SELECT * FROM dedup_keep('nope')").collect())
+      assert(e2.getMessage.contains("7 arguments"))
     }
   }
 }

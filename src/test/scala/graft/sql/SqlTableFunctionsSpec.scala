@@ -1,0 +1,120 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.operators.{AnnIndexStore, Dedup, LexIndexStore, Similarity}
+import graft.tables.Tables
+
+/** The SQL-surface contract for the operator FAMILIES: a session built
+  * with the extensions installed must answer ANN search, BM25 search, and
+  * dedup keep-verdict queries from plain `spark.sql` strings, and those
+  * answers must be ROW-IDENTICAL to the Scala API the TVFs wrap — the
+  * TVF layer is a calling convention, never a second implementation.
+  */
+class SqlTableFunctionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val master = spark.sparkContext.master
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    assert(ext ne spark, "builder returned the suite session — extensions untested")
+    try f(ext)
+    finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] = df.collect().toSeq
+
+  test("ann_topk TVF ≡ AnnIndexStore.searchTopK (persisted index, rerank path)") {
+    withExtSession { s =>
+      val emb = Tables.embeddings(s, sf)
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 4, iters = 2)
+      val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 8, k = 8, iters = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvf_ann").toString + "/idx"
+      AnnIndexStore.save(s, dir, ivf, pq)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      queries.createOrReplaceTempView("tvf_ann_q")
+      val viaSql = rows(s.sql(
+        s"SELECT query_id, neighbor_id, cos, rank FROM ann_topk('$dir', " +
+          "'tvf_ann_q', 'c_id', 'c_vec', 'q_id', 'q_vec', 3, 20) " +
+          "ORDER BY query_id, rank"))
+      val viaScala = rows(AnnIndexStore.searchTopK(
+        AnnIndexStore.load(s, dir), queries,
+        "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("bm25_topk TVF ≡ LexIndexStore.searchTopK (persisted inverted index)") {
+    withExtSession { s =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_tvf_lex").toString + "/idx"
+      LexIndexStore.build(s, dir, Tables.documents(s, sf), "doc_id", "text",
+        nBuckets = 16)
+      val q = s.createDataFrame(Seq((1L, "hash join"), (2L, "window merge sort")))
+        .toDF("query_id", "qtext")
+      q.createOrReplaceTempView("tvf_bm25_q")
+      val viaSql = rows(s.sql(
+        s"SELECT * FROM bm25_topk('$dir', 'tvf_bm25_q', 'query_id', 'qtext', 4) " +
+          "ORDER BY query_id, rank"))
+      val viaScala = rows(LexIndexStore.searchTopK(s, dir, q,
+        "query_id", "qtext", k = 4).orderBy("query_id", "rank"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("dedup_keep TVF ≡ minhashLsh → keepDecisions, keepers load-bearing") {
+    withExtSession { s =>
+      val docs = graft.queries.ExtensionQueries.plantTextDups(
+        Tables.documents(s, sf))
+      docs.createOrReplaceTempView("tvf_dedup_docs")
+      val viaSql = rows(s.sql(
+        "SELECT doc_id, cluster_id, keep FROM dedup_keep('tvf_dedup_docs', " +
+          "'doc_id', 'text', 3, 32, 8, 0.5) ORDER BY doc_id"))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      val viaScala = rows(Dedup.keepDecisions(docs, "doc_id", pairs)
+        .select("doc_id", "cluster_id", "keep").orderBy("doc_id"))
+      assert(viaSql == viaScala)
+      // the planted copies (id ≥ 1,000,000) must all be dropped in favor
+      // of their lower-id originals — keep=false rows are load-bearing
+      val planted = viaSql.filter(_.getLong(0) >= 1000000L)
+      assert(planted.nonEmpty && planted.forall(!_.getBoolean(2)))
+    }
+  }
+
+  test("registerOnce: TVFs opt in on a plain session (no extensions), idempotently") {
+    // the suite session was built WITHOUT the extensions — the
+    // imperative path must make the TVFs resolvable there too
+    TableFunctions.registerOnce(spark)
+    TableFunctions.registerOnce(spark) // idempotent, no replace-warning churn
+    val docs = Tables.documents(spark, sf)
+    docs.select("doc_id", "text").createOrReplaceTempView("plain_docs")
+    val out = spark.sql(
+      "SELECT count(*) FROM dedup_keep('plain_docs', 'doc_id', 'text', 3, 16, 4, 0.5)")
+      .head().getLong(0)
+    assert(out == docs.count())
+  }
+
+  test("TVF arity errors surface as analysis-time failures, not wrong results") {
+    withExtSession { s =>
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM bm25_topk('x', 'y', 3)").collect())
+      assert(e.getMessage.contains("5 arguments"))
+    }
+  }
+}
