@@ -1156,6 +1156,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(badOut.getString(3) == "gfv1_bad_frame" && badOut.getBoolean(4))
   }
 
+  test("multimodal: MediaCodec seam — an external decoder claims stub containers, flips is_stub, built-ins untouched") {
+    // test-double for the documented ffmpeg/JNI slot: claims fake-MP4
+    // video containers (ftyp magic at offset 4), leaves everything else
+    val double = new Multimodal.MediaCodec {
+      def decode(mediaType: String, content: Array[Byte]) =
+        if (mediaType == "video" && content != null && content.length >= 12 &&
+          new String(content, 4, 7, "ISO-8859-1") == "ftypiso")
+          Some((Array.tabulate(Multimodal.featureDim)(_ * 0.5), "ext_mp4"))
+        else None
+    }
+    val mp4 = ("    ftypisom".getBytes("ISO-8859-1") ++
+      Array.tabulate(64)(i => (i * 7 + 3).toByte))
+    val mp3 = ("ID3 ".getBytes("ISO-8859-1") ++
+      Array.tabulate(64)(i => (i * 13 + 1).toByte))
+    val real = Multimodal.syntheticAssets(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+      .select("asset_id", "media_type", "content")
+    val assets = real.unionByName(Seq(
+      (101L, "video", mp4), (102L, "audio", mp3)
+    ).toDF("asset_id", "media_type", "content"))
+    val out = Multimodal.extractFeatures(assets, Some(double))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getString(3), r.getBoolean(4))).toMap
+    // the claimed container carries the external tag with is_stub off
+    assert(out(101L) == ("ext_mp4", false), out(101L).toString)
+    // an unclaimed container stays a flagged stub
+    assert(out(102L) == ("stub", true), out(102L).toString)
+    // built-in decodes never consult the codec: same rows as codec-less
+    val base = Multimodal.extractFeatures(real)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getBoolean(4),
+        r.getSeq[Double](2))).toSet
+    val withCodec = Multimodal.extractFeatures(real, Some(double))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getBoolean(4),
+        r.getSeq[Double](2))).toSet
+    assert(base == withCodec)
+    // and the claimed features are the double's, verbatim
+    val feats = Multimodal.extractFeatures(assets, Some(double))
+      .filter(col("asset_id") === 101L).head().getSeq[Double](2)
+    assert(feats == Array.tabulate(Multimodal.featureDim)(_ * 0.5).toSeq)
+  }
+
   test("semDeDup: an unsplittable over-cap identical mass goes terminal, stays visible, never blocks siblings") {
     // 12 identical vectors (unsplittable by ANY quantizer) over a cap of
     // 4, next to a SPLITTABLE oversize cluster of distinct directions
