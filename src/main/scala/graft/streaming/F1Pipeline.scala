@@ -303,10 +303,20 @@ object F1Pipeline {
     * processes. Race control gets the watermarked streaming dedup (A2).
     * `maxFilesPerTrigger` paces each query's replay independently (ST1).
     */
+  /** The four monitor topics, in the reference's launch order
+    * (`orchestrator-simple.py:26-31` script_map). */
+  val MonitorTopics: Seq[String] =
+    Seq("weather", "telemetry", "car_positions", "race_control")
+
   def startPerTopic(spark: SparkSession, sourceDir: String, tablesDir: String,
       checkpointRoot: String, format: WireFormat = WireFormat.PyList,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
-      maxFilesPerTrigger: Option[Int] = None): Seq[StreamingQuery] = {
+      maxFilesPerTrigger: Option[Int] = None,
+      topics: Seq[String] = MonitorTopics): Seq[StreamingQuery] = {
+    val unknown = topics.filterNot(MonitorTopics.contains)
+    require(unknown.isEmpty,
+      s"unknown monitor topic(s) ${unknown.mkString(",")} — " +
+        s"valid: ${MonitorTopics.mkString(",")}")
 
     def sink(name: String)(build: DataFrame => DataFrame): StreamingQuery =
       build(Metrics.observed(
@@ -320,15 +330,16 @@ object F1Pipeline {
         .outputMode("append")
         .start()
 
-    Seq(
-      sink("weather")(e => F1Transforms.weather(e).drop("line_id")),
-      sink("telemetry")(F1Transforms.telemetry),
-      sink("car_positions")(F1Transforms.carPositions),
+    val builders: Map[String, () => StreamingQuery] = Map(
+      "weather" -> (() => sink("weather")(e => F1Transforms.weather(e).drop("line_id"))),
+      "telemetry" -> (() => sink("telemetry")(F1Transforms.telemetry)),
+      "car_positions" -> (() => sink("car_positions")(F1Transforms.carPositions)),
       // A2: drop duplicate message ids across batches; watermark bounds the
       // dedup state (the reference's `processed_ids` set grows forever).
-      sink("race_control")(e =>
+      "race_control" -> (() => sink("race_control")(e =>
         F1Transforms.raceControl(e).drop("line_id")
           .withWatermark("timestamp", "10 minutes")
-          .dropDuplicatesWithinWatermark("msg_id")))
+          .dropDuplicatesWithinWatermark("msg_id"))))
+    MonitorTopics.filter(topics.contains).map(t => builders(t)())
   }
 }

@@ -1,0 +1,46 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.f1.Fixtures
+
+/** End-to-end orchestrator parity (`orchestrator-simple.py:24-111`): one
+  * entry point launches the monitors against a paced chunked replay,
+  * polls the dashboard, drains, and returns the landed table counts —
+  * previously only assembled piecewise inside F1PipelineSpec.
+  */
+class OrchestrateSpec extends SparkSpec {
+
+  private def writeWire(): String = {
+    val f = Files.createTempFile("graft_wire", ".txt")
+    Files.write(f, Fixtures.pyLines.mkString("\n").getBytes)
+    f.toString
+  }
+
+  test("orchestrate: all four monitors drain a paced replay, dashboard polls, counts match the fixture") {
+    val panel = new scala.collection.mutable.ArrayBuffer[String]
+    val counts = Orchestrate.run(spark, writeWire(),
+      Files.createTempDirectory("graft_orch").toString,
+      pollRounds = 1, paceMs = 10L, chunks = 3, out = panel.append(_))
+    // the fixture's known per-topic yield (same pins as F1PipelineSpec's
+    // per-topic test, race_control deduped by the watermarked A2 path)
+    assert(counts == Map("weather" -> 3L, "telemetry" -> 5L,
+      "car_positions" -> 5L, "race_control" -> 2L), counts.toString)
+    assert(panel.exists(_.contains("dashboard poll")), panel.mkString("\n"))
+    assert(panel.exists(_.contains("race_control")), panel.mkString("\n"))
+  }
+
+  test("orchestrate: a topic subset launches only those monitors; unknown topics refuse") {
+    val panel = new scala.collection.mutable.ArrayBuffer[String]
+    val counts = Orchestrate.run(spark, writeWire(),
+      Files.createTempDirectory("graft_orch2").toString,
+      topics = Seq("weather", "race_control"),
+      pollRounds = 1, paceMs = 0L, chunks = 1, out = panel.append(_))
+    assert(counts == Map("weather" -> 3L, "race_control" -> 2L), counts.toString)
+    intercept[IllegalArgumentException](
+      Orchestrate.run(spark, writeWire(),
+        Files.createTempDirectory("graft_orch3").toString,
+        topics = Seq("weather", "nope")))
+  }
+}
