@@ -791,6 +791,94 @@ object ScaleProbe {
     synth.unpersist()
   }
 
+  /** Data-dominated probe, round 12 (verdict directive #3): BM25 and the
+    * tokenizers were the two major families still measured only in the
+    * overhead-bound regime (lexindex ran at ≤1M docs near-flat; bpe at
+    * 24 merges). This mode prices (a) the persisted-index lexical
+    * lifecycle at MILLIONS of docs — build, batch search, rare-term
+    * search with an exact-surfacing invariant, and a 1%-increment
+    * addDocuments — and (b) tokenizer training at 10× the vocabulary
+    * (24 → 240 merges, fixed corpus), which isolates the
+    * rounds-priced-by-vocabulary exponent in a single run. Run at two
+    * factors for the corpus-side exponents:
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 1000 datadom2"   // 5M docs
+    *   sbt "runMain graft.tools.ScaleProbe 2000 datadom2"   // 10M docs
+    */
+  private def datadom2Probe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Bpe, LexIndexStore, WordPiece}
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    // word-salad corpus with a rare term planted in EXACTLY 20 known
+    // docs (ids ≡ 7 mod nDocs/20): the retrieval invariant — top-k for
+    // that term must surface only planted ids — rides every wall
+    val nDocs = factor * 5000L
+    val spacing = nDocs / 20
+    val vocab = (0 until 1024).map(i => f"w$i%04d")
+    val body = (0 until 48).map(j => element_at(typedlit(vocab),
+      (pmod(xxhash64(col("id") * 48 + j), lit(1024)) + 1).cast("int")))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", body :+
+        when(pmod(col("id"), lit(spacing)) === 7, lit("zzrareterm"))
+          .otherwise(lit("")): _*).as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd2_corpus","factor":$factor,"docs":${docs.count()}}""")
+    val base = Files.createTempDirectory("dd2probe").toString
+    val dir = s"$base/lexidx"
+    timed("dd2_lex_build") {
+      LexIndexStore.build(spark, dir, docs, "doc_id", "text", nBuckets = 64)
+    }
+    val queries = spark.createDataFrame(Seq(
+      (1L, s"${vocab(17)} ${vocab(901)}"), (2L, s"${vocab(3)} ${vocab(512)} ${vocab(777)}"),
+      (3L, vocab(256)), (4L, s"${vocab(64)} zzabsent"))).toDF("query_id", "qtext")
+    timed("dd2_lex_search_batch") {
+      val n = LexIndexStore.searchTopK(spark, dir, queries,
+        "query_id", "qtext", k = 10).count()
+      println(s"""{"probe":"dd2_lex_search_rows","factor":$factor,"n":$n}""")
+    }
+    timed("dd2_lex_search_rare") {
+      val rare = spark.createDataFrame(Seq((9L, "zzrareterm")))
+        .toDF("query_id", "qtext")
+      val got = LexIndexStore.searchTopK(spark, dir, rare,
+        "query_id", "qtext", k = 20)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val ok = got.size == 20 && got.forall(_ % spacing == 7)
+      println(s"""{"probe":"dd2_lex_rare_invariant","factor":$factor,"n":${got.size},"all_planted":$ok}""")
+      require(ok, s"rare-term search missed planted docs: $got")
+    }
+    timed("dd2_lex_add_1pct") {
+      val inc = spark.range(nDocs, nDocs + nDocs / 100).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", body: _*).as("text"))
+      LexIndexStore.addDocuments(spark, dir, inc, "doc_id", "text")
+    }
+    docs.unpersist()
+    // ---- tokenizer vocabulary scaling on a FIXED real-text corpus
+    // (sf0.1 docs ×50 ≈ 250k): 24 vs 240 merges in one run — the
+    // between-the-two-walls ratio IS the vocabulary exponent, with the
+    // corpus-side pre-tokenize pass held constant
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val tcorpus = (0 until 50).map(i => docs0.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).repartition(par).cache()
+    println(s"""{"probe":"dd2_tok_corpus","factor":$factor,"docs":${tcorpus.count()}}""")
+    Seq(24, 240).foreach { m =>
+      timed(s"dd2_bpe_train_$m") {
+        val merges = Bpe.train(tcorpus, "text", numMerges = m,
+          mergesPerRound = 8).merges.collect()
+        println(s"""{"probe":"dd2_bpe_merges","factor":$factor,"want":$m,"got":${merges.length}}""")
+      }
+      timed(s"dd2_wp_train_$m") {
+        val model = WordPiece.train(tcorpus, "text", numMerges = m,
+          mergesPerRound = 8)
+        println(s"""{"probe":"dd2_wp_merges","factor":$factor,"want":$m,"got":${model.merges.count()},"vocab":${model.vocab.count()}}""")
+      }
+    }
+    tcorpus.unpersist()
+  }
+
   /** Index-lifecycle CHURN probe (round-11 directive #8): the annindex/
     * lexindex probes run each lifecycle op once, in order — real ingest
     * interleaves them. This mode drives both stores through
@@ -1100,6 +1188,10 @@ object ScaleProbe {
     }
     if (mode == "datadom") {
       try datadomProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom2") {
+      try datadom2Probe(spark, n) finally spark.stop()
       return
     }
     if (mode == "churn") {
