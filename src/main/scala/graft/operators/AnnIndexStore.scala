@@ -347,9 +347,12 @@ object AnnIndexStore {
             s"no index at $indexPath — build and save it before streaming growth"))
         val fresh = batch.select(col(corpusId), col(corpusVec))
           .dropDuplicates(corpusId)
-          .join(existing.select(corpusId), Seq(corpusId), "left_anti")
-          // materialize BEFORE the appends: the anti-join reads the table
-          // the first append writes to
+          // broadcast-semi probe, not a corpus-shuffling anti-join
+          // ([[Dedup.presentIds]] — the batch is small, the index huge)
+          .join(broadcast(Dedup.presentIds(existing, batch, corpusId)),
+            Seq(corpusId), "left_anti")
+          // materialize BEFORE the appends: the probe join reads the
+          // table the first append writes to
           .localCheckpoint(true)
         try {
           if (!fresh.isEmpty)

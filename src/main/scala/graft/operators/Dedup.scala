@@ -255,6 +255,26 @@ object Dedup {
       case _ => ()
     }
 
+  /** Which of `increment`'s ids are already present in `corpus` — the
+    * incremental-ingest identity probe, shaped for a SMALL increment
+    * against a HUGE corpus. The naive
+    * `increment.join(corpusIds, "left_anti")` cannot broadcast (only an
+    * anti-join's RIGHT side broadcasts, and that side is the corpus), so
+    * Spark shuffles the entire corpus id column on every ingest batch —
+    * the round-12 datadom2 probe measured the lexical add path growing
+    * super-linearly in the increment from exactly this (7.3 → 20.4 s
+    * when the CORPUS doubled under a doubled increment). Flipped, the
+    * corpus side is one map-only scan under a broadcast left-semi (the
+    * increment's distinct ids are batch-sized by contract), and the
+    * result — ids that need dropping — is at most increment-sized, so
+    * the caller's final anti-join broadcasts too. Zero corpus shuffle.
+    */
+  private[graft] def presentIds(corpus: DataFrame, increment: DataFrame,
+      idCol: String): DataFrame =
+    corpus.select(col(idCol)).join(
+      broadcast(increment.select(col(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+
   /** Incremental LSH dedup as a running Structured Streaming query: each
     * arriving micro-batch of (idCol, textCol) documents is shingled and
     * signed ONCE, scored against the accumulated signature state plus

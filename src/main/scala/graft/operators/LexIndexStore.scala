@@ -204,9 +204,10 @@ object LexIndexStore {
         s"no lexical index at $indexPath"))
     val fresh = docs.select(col(idCol), col(textCol))
       .dropDuplicates(idCol)
-      .join(existing.select(idCol), Seq(idCol), "left_anti")
-      // materialize BEFORE the appends: the anti-join reads the table the
-      // doclens append writes to
+      .join(broadcast(Dedup.presentIds(existing, docs, idCol)),
+        Seq(idCol), "left_anti")
+      // materialize BEFORE the appends: the probe join reads the table
+      // the doclens append writes to
       .localCheckpoint(true)
     try {
       if (!fresh.isEmpty) {

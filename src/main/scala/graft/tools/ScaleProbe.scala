@@ -876,6 +876,22 @@ object ScaleProbe {
         println(s"""{"probe":"dd2_wp_merges","factor":$factor,"want":$m,"got":${model.merges.count()},"vocab":${model.vocab.count()}}""")
       }
     }
+    // the batched walls above are dominated by the FIXED pre-tokenize
+    // pass (the factor-1000 run measured 240-merge ≈ 24-merge wall) —
+    // which is itself the headline claim confirmed (corpus-sized work
+    // is one pass). Sequential mode (one pair-count round per merge)
+    // isolates the per-ROUND cost the vocabulary prices: 24 vs 88
+    // rounds (88 stays under this corpus's ~90-merge pair exhaustion)
+    Seq(24, 88).foreach { m =>
+      timed(s"dd2_bpe_seq_$m") {
+        Bpe.train(tcorpus, "text", numMerges = m, mergesPerRound = 1)
+          .merges.count()
+      }
+      timed(s"dd2_wp_seq_$m") {
+        WordPiece.train(tcorpus, "text", numMerges = m, mergesPerRound = 1)
+          .merges.count()
+      }
+    }
     tcorpus.unpersist()
   }
 

@@ -400,4 +400,34 @@ class LexIndexStoreSpec extends SparkSpec {
     val dl = engine.read(spark, s"$dir/doclens").get
     assert(m.getLong(0) == dl.count())
   }
+
+  test("increment identity probe never shuffles the corpus (broadcast-semi flip)") {
+    // the round-12 datadom2 finding: increment.join(corpusIds, anti)
+    // can't broadcast (only an anti-join's RIGHT side broadcasts), so
+    // it shuffled the whole corpus id column per ingest batch. The
+    // flipped probe + final anti must plan as broadcast joins only —
+    // zero hash-partition exchanges anywhere in the dedup path.
+    import spark.implicits._
+    val corpus = spark.range(0, 100000).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id")).as("text"))
+    val inc = Seq((5L, "a"), (99999L, "b"), (200000L, "c"))
+      .toDF("doc_id", "text")
+    val fresh = inc.dropDuplicates("doc_id")
+      .join(broadcast(Dedup.presentIds(corpus, inc, "doc_id")),
+        Seq("doc_id"), "left_anti")
+    val plan = fresh.queryExecution.executedPlan
+    // increment-sized dedup aggregates may shuffle (tiny); the CORPUS
+    // scan must never sit under a hash-partition exchange — it enters
+    // only as the streamed side of broadcast joins
+    val shuffledCorpus = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.toString.contains("Range (0, 100000") => e
+    }
+    assert(shuffledCorpus.isEmpty, plan.toString)
+    assert(plan.toString.contains("LeftSemi, BuildRight"), plan.toString)
+    assert(plan.toString.contains("LeftAnti, BuildRight"), plan.toString)
+    // and the identity semantics are unchanged: only the unseen id lands
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(200000L))
+  }
 }
