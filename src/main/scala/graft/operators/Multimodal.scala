@@ -417,6 +417,206 @@ object Multimodal {
   // external decoder must emit vectors of exactly this length)
   private[graft] val featureDim = 16
 
+  /** Container-level probe result (the ffprobe-style metadata record):
+    * every field except `container` is family-specific and null where
+    * inapplicable. `container` ∈ png | wav | gfv1 | isobmff | mp3 |
+    * unknown | empty.
+    */
+  final case class ContainerInfo(container: String,
+      width: Option[Int], height: Option[Int],
+      sampleRate: Option[Int], nFrames: Option[Int],
+      durationMs: Option[Long], brand: Option[String],
+      nVideoTracks: Option[Int], nAudioTracks: Option[Int])
+
+  /** ffprobe-style container inspection WITHOUT content decode — the
+    * metadata half of multimodal curation (format census, corrupt-file
+    * triage, codec routing) that must run cheaply over every asset at
+    * 100 TB. Reads only headers/box structure:
+    *
+    *  - PNG: signature + IHDR dims (no pixel decode)
+    *  - RIFF/WAVE: fmt chunk (rate) + data size → duration
+    *  - GFV1: frame count × frame interval
+    *  - ISO-BMFF (MP4/MOV — the REAL container family [[decodeStub]]
+    *    can't demux): top-level box walk — ftyp major brand, moov/mvhd
+    *    timescale+duration, per-trak mdia/hdlr handler census. The box
+    *    grammar is the public ISO 14496-12 structure, so this probes
+    *    real MP4s even though frame DECODE stays behind the
+    *    [[MediaCodec]] seam.
+    *  - ID3v2: tagged as mp3 (header-only)
+    *
+    * Any structural lie (sizes past the buffer, truncation) degrades to
+    * "unknown" — a probe must never fail the task.
+    */
+  def probeContainer(content: Array[Byte]): ContainerInfo = {
+    val none = ContainerInfo("unknown", None, None, None, None, None, None, None, None)
+    if (content == null || content.length == 0) return none.copy(container = "empty")
+    try probeUnsafe(content).getOrElse(none)
+    catch { case _: Exception => none }
+  }
+
+  private def probeUnsafe(c: Array[Byte]): Option[ContainerInfo] = {
+    val none = ContainerInfo("unknown", None, None, None, None, None, None, None, None)
+    // PNG: 8-byte signature, IHDR is always the first chunk (offset 8:
+    // len+type, width/height big-endian at 16/20)
+    if (c.length >= 24 && (c(0) & 0xFF) == 0x89 && c(1) == 'P' && c(2) == 'N' &&
+      c(3) == 'G') {
+      val bb = java.nio.ByteBuffer.wrap(c, 16, 8)
+      return Some(none.copy(container = "png",
+        width = Some(bb.getInt), height = Some(bb.getInt)))
+    }
+    // RIFF/WAVE: reuse the fmt/data walk, header fields only
+    if (c.length >= 44 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(c, 8, 4, "US-ASCII") == "WAVE") {
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(12)
+      var rate = 0; var channels = 0; var bits = 0; var dataBytes = -1L
+      while (bb.remaining() >= 8 && (rate == 0 || dataBytes < 0)) {
+        val id = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+        val size = bb.getInt
+        if (size < 0 || size > bb.remaining()) return Some(none)
+        if (id == "fmt ") {
+          val end = bb.position() + size
+          bb.getShort // codec
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort
+          bits = bb.getShort
+          bb.position(end + (size & 1))
+        } else {
+          if (id == "data") dataBytes = size
+          bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      val dur =
+        if (rate > 0 && channels > 0 && bits > 0 && dataBytes >= 0)
+          Some(dataBytes * 8000L / (rate.toLong * channels * bits))
+        else None
+      return Some(none.copy(container = "wav",
+        sampleRate = if (rate > 0) Some(rate) else None, durationMs = dur))
+    }
+    // GFV1 (the synthetic frame container)
+    if (c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "GFV1") {
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(4)
+      val n = bb.getInt; val frameMs = bb.getInt
+      if (n > 0 && n <= (1 << 16) && frameMs > 0)
+        return Some(none.copy(container = "gfv1", nFrames = Some(n),
+          durationMs = Some(n.toLong * frameMs)))
+      return Some(none)
+    }
+    // ISO-BMFF: size+type box stream; 'ftyp' within the first boxes
+    if (c.length >= 12 && new String(c, 4, 4, "US-ASCII") == "ftyp") {
+      var brand: Option[String] = None
+      var durMs: Option[Long] = None
+      var nVideo = 0; var nAudio = 0
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val size = java.nio.ByteBuffer.wrap(c, pos, 4).getInt
+          if (size < 8 || pos + size > to) return
+          val typ = new String(c, pos + 4, 4, "US-ASCII")
+          typ match {
+            case "ftyp" if pos + 12 <= to =>
+              brand = Some(new String(c, pos + 8, 4, "US-ASCII").trim)
+            case "mvhd" if pos + 8 + 4 <= to =>
+              val v = c(pos + 8) & 0xFF
+              val bb = java.nio.ByteBuffer.wrap(c, pos + 12, size - 12)
+              if (v == 1) { bb.getLong; bb.getLong
+                val ts = bb.getInt; val d = bb.getLong
+                if (ts > 0) durMs = Some(d * 1000L / ts)
+              } else { bb.getInt; bb.getInt
+                val ts = bb.getInt; val d = bb.getInt.toLong & 0xFFFFFFFFL
+                if (ts > 0) durMs = Some(d * 1000L / ts)
+              }
+            case "hdlr" if pos + 24 <= to =>
+              new String(c, pos + 16, 4, "US-ASCII") match {
+                case "vide" => nVideo += 1
+                case "soun" => nAudio += 1
+                case _ => ()
+              }
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 8 =>
+              walk(pos + 8, pos + size, depth + 1)
+            case _ => ()
+          }
+          pos += size
+        }
+      }
+      walk(0, c.length, 0)
+      return Some(none.copy(container = "isobmff", brand = brand,
+        durationMs = durMs, nVideoTracks = Some(nVideo),
+        nAudioTracks = Some(nAudio)))
+    }
+    if (c.length >= 10 && new String(c, 0, 3, "US-ASCII") == "ID3")
+      return Some(none.copy(container = "mp3"))
+    Some(none)
+  }
+
+  /** Minimal valid ISO-BMFF writer (ftyp + moov(mvhd + per-track
+    * trak/mdia/hdlr)) — deterministic fixture material for
+    * [[probeContainer]]'s real-container path. Writes the public box
+    * grammar; no media data (a metadata probe never reads mdat anyway).
+    */
+  def makeIsoBmff(brand: String, durationMs: Long, nVideo: Int,
+      nAudio: Int): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4cc")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val timescale = 1000
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 4 + 4)
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // ctime mtime
+      bb.putInt(timescale).putInt(durationMs.toInt)
+      bb.array()
+    })
+    def trak(handler: String): Array[Byte] =
+      box("trak", box("mdia", box("hdlr",
+        Array[Byte](0, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++
+          handler.getBytes("US-ASCII") ++ new Array[Byte](12))))
+    val traks = Array.fill(nVideo)(trak("vide")) ++ Array.fill(nAudio)(trak("soun"))
+    ftyp ++ box("moov", mvhd ++ traks.flatten)
+  }
+
+  /** Partition-parallel container census over an asset table — the x13
+    * metadata scan's sibling that reads the BYTES' OWN headers instead
+    * of trusting carried metadata columns (a curation pipeline needs
+    * both: carried metadata lies exactly when files are corrupt).
+    * Output one row per asset: `(asset_id, media_type, container,
+    * width, height, sample_rate, n_frames, duration_ms, brand,
+    * n_video_tracks, n_audio_tracks)`.
+    */
+  def containerProbe(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("container", StringType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("brand", StringType),
+      StructField("n_video_tracks", IntegerType),
+      StructField("n_audio_tracks", IntegerType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "media_type", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val i = probeContainer(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getString(1), i.container,
+            i.width.map(Int.box).orNull, i.height.map(Int.box).orNull,
+            i.sampleRate.map(Int.box).orNull, i.nFrames.map(Int.box).orNull,
+            i.durationMs.map(Long.box).orNull, i.brand.orNull,
+            i.nVideoTracks.map(Int.box).orNull,
+            i.nAudioTracks.map(Int.box).orNull)
+        }
+      }(encoder)
+  }
+
   /** REAL image feature extraction: pixel decode ([[decodePngFast]] for
     * truecolor PNG, ImageIO for PNG-palette/JPEG/…) → 16-bin luminance
     * histogram, each bin the fraction

@@ -148,6 +148,47 @@ object TextOps {
         round(col("_r.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
         repetitive(col("_r")).as("repetitive"))
 
+  /** Cross-document LINE deduplication — the C4/CCNet boilerplate
+    * remover that per-doc repetition profiling (x27) cannot express: a
+    * nav bar or cookie banner appearing ONCE per page is invisible to
+    * any within-doc statistic, but lights up across documents. A line
+    * (exact match, whitespace-only lines exempt) occurring in at least
+    * `minDocs` DISTINCT documents is removed from EVERY document; the
+    * survivors reassemble in original order.
+    *
+    * Shape at 100 TB: one posexplode pass, one distinct + count
+    * aggregation over (line) — the same partial-agg heavy-hitter
+    * exchange every dedup family runs — and one equi-join of the line
+    * stream against the heavy set. The heavy set is bounded by lines
+    * crossing the threshold (template/boilerplate mass — tiny vs the
+    * corpus; Zipf guarantees the join's build side stays small relative
+    * to the stream, and AQE picks broadcast when it fits). Reassembly is
+    * the per-doc groupBy that any per-doc output needs. Output:
+    * `(doc_id, n_lines, n_kept, text_clean)` with `text_clean` the
+    * surviving lines joined by newline ("" when everything was
+    * boilerplate — never null).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 3L): DataFrame = {
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2 — at 1 every line is boilerplate")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val heavy = lines.filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("line"), lit(true).as("_dup"))
+    lines.join(heavy, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls, so the when() keeps only surviving
+        // lines; array_sort on (line_no, line) restores document order
+        concat_ws("\n", transform(array_sort(collect_list(
+            when(col("_dup").isNull, struct(col("line_no"), col("line"))))),
+          x => x.getField("line"))).as("text_clean"))
+  }
+
   /** Word n-gram shingles of the lowercased text — the declarative
     * reference semantics for [[graft.functions.ShingleHashes]] (which the
     * dedup/fingerprint operators use; this Column form re-evaluates the

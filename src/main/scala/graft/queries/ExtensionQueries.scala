@@ -1921,6 +1921,48 @@ object ExtensionQueries {
       },
       Some(bm25OracleSql)),
 
+    // Container census WITHOUT decode — the ffprobe-style metadata scan
+    // a 100 TB multimodal corpus runs before any feature extraction:
+    // header/box-structure-only probes of every asset (PNG dims,
+    // RIFF/WAVE rate+duration, GFV1 frame count, ISO-BMFF brand/
+    // duration/track census via the public 14496-12 box grammar, ID3)
+    // plus planted REAL-family MP4/M4A containers, a garbage blob and
+    // an empty blob — carried metadata lies exactly when files are
+    // corrupt, so the census reads the bytes' own headers. Frozen
+    // oracle pins every probed field.
+    Q("x73_media_probe",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (5000001L, "video", Multimodal.makeIsoBmff("isom", 90000L, 1, 1)),
+          (5000002L, "audio", Multimodal.makeIsoBmff("M4A ", 30000L, 0, 1)),
+          (5000003L, "audio", "ID3 junkheader".getBytes("ISO-8859-1") ++
+            Array.tabulate(32)(i => (i * 13 + 1).toByte)),
+          (5000004L, "video", Array.tabulate(64)(i => (i * 7 + 3).toByte)),
+          (5000005L, "image", Array.emptyByteArray)
+        ).toDF("asset_id", "media_type", "content")
+        Multimodal.containerProbe(
+          Multimodal.syntheticAssets(Tables.documents(s, d))
+            .select("asset_id", "media_type", "content")
+            .unionByName(planted))
+          .orderBy("asset_id")
+      }, F1OracleSql.sql.get("x73_media_probe")),
+
+    // Cross-document LINE dedup — the C4/CCNet boilerplate remover:
+    // within-doc repetition (x27) can't see a nav bar that appears once
+    // per page; counting DISTINCT docs per exact line across the corpus
+    // can. Planted template pages (doc_id ≡ 7 mod 100) carry the same
+    // nav/footer lines, which cross the minDocs=3 bar and are removed
+    // from every page, original line order preserved. LIVE oracle: the
+    // planting, the heavy-line set, and the ordered reassembly all
+    // re-derived independently in DuckDB.
+    Q("x72_line_dedup",
+      (s, d) => TextOps.lineDedup(
+        plantBoilerplate(Tables.documents(s, d).select(col("doc_id"), col("text"))),
+        "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id"),
+      Some(lineDedupOracleSql)),
+
     // STREAMING lexical-index growth under the oracle gate (round-12
     // verdict ask #6, the x48 posture): the index is BUILT on the
     // even-id half of the corpus, the odd-id half arrives over a real
@@ -2050,6 +2092,34 @@ object ExtensionQueries {
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored) r " +
         "WHERE rank <= 5 ORDER BY query_id, rank")
+
+  /** x72's live oracle: replant the boilerplate (same concat as
+    * [[plantBoilerplate]], chr(10) = \n), split to ordinal lines, count
+    * DISTINCT docs per non-blank line, drop lines at >= 3 docs from
+    * every doc, and reassemble in line order. coalesce('') matches
+    * Spark's concat_ws on an all-boilerplate doc; sums cast to BIGINT
+    * (DuckDB integer sums type HUGEINT).
+    */
+  private lazy val lineDedupOracleSql: String =
+    ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN " +
+      "concat('home | about | products | contact', chr(10), " +
+      "'home | about | products | contact', chr(10), text, chr(10), " +
+      "'copyright 2024 example corp all rights reserved', chr(10), " +
+      "'copyright 2024 example corp all rights reserved', chr(10), " +
+      "'home | about | products | contact') ELSE text END AS text " +
+      "FROM documents), " +
+      "arr AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS a FROM d), " +
+      "lines AS (SELECT doc_id, CAST(i AS INT) AS line_no, " +
+      "a[CAST(i AS INT) + 1] AS line " +
+      "FROM arr, unnest(range(len(a))) AS t(i)), " +
+      "heavy AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd " +
+      "FROM lines WHERE trim(line) <> '' GROUP BY 1) WHERE nd >= 3) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+      "coalesce(CAST(sum(CASE WHEN line IN (SELECT line FROM heavy) " +
+      "THEN 0 ELSE 1 END) AS BIGINT), 0) AS n_kept, " +
+      "coalesce(string_agg(CASE WHEN line IN (SELECT line FROM heavy) " +
+      "THEN NULL ELSE line END, chr(10) ORDER BY line_no), '') AS text_clean " +
+      "FROM lines GROUP BY doc_id ORDER BY doc_id")
 
   private def bm25Oracle(docFilter: String): String =
     ("WITH q(query_id, qtext) AS (VALUES " +

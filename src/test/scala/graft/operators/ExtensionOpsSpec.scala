@@ -1320,4 +1320,69 @@ class ExtensionOpsSpec extends SparkSpec {
     // tf dominance with equal dl terms: doc 2 (tf=3) outranks doc 1 (tf=1)
     assert(hits.find(_.getLong(4) == 1L).get.getLong(1) == 2L)
   }
+
+  test("probeContainer: header-only census across families; structural lies degrade, never throw") {
+    import graft.operators.Multimodal.{makeIsoBmff, probeContainer}
+    // PNG dims without pixel decode
+    val png = probeContainer(Multimodal.makePng(7L, 36, 20))
+    assert(png.container == "png" && png.width.contains(36) && png.height.contains(20))
+    // WAV rate + duration from fmt/data headers
+    val wav = probeContainer(Multimodal.makeWav(7L))
+    assert(wav.container == "wav" && wav.sampleRate.exists(_ > 0) &&
+      wav.durationMs.exists(_ > 0))
+    // GFV1 frame census
+    val vid = probeContainer(Multimodal.makeVideo(7L, 1200))
+    assert(vid.container == "gfv1" && vid.nFrames.contains(4) &&
+      vid.durationMs.contains(1200L))
+    // ISO-BMFF: brand, mvhd duration, per-trak handler census
+    val mp4 = probeContainer(makeIsoBmff("isom", 45000L, 2, 1))
+    assert(mp4.container == "isobmff" && mp4.brand.contains("isom") &&
+      mp4.durationMs.contains(45000L) && mp4.nVideoTracks.contains(2) &&
+      mp4.nAudioTracks.contains(1))
+    // truncation mid-moov: still isobmff, walk stops at the lie
+    val whole = makeIsoBmff("mp42", 1000L, 1, 0)
+    val cut = probeContainer(whole.take(whole.length - 6))
+    assert(cut.container == "isobmff" && cut.brand.contains("mp42"))
+    // a box size pointing past the buffer must not throw
+    val lying = whole.clone(); lying(0) = 0x7F.toByte
+    probeContainer(lying)
+    // unknown / empty / null
+    assert(probeContainer(Array.tabulate(16)(_.toByte)).container == "unknown")
+    assert(probeContainer(Array.emptyByteArray).container == "empty")
+    assert(probeContainer(null).container == "empty")
+  }
+
+  test("lineDedup: cross-doc boilerplate lines removed everywhere, order kept, within-doc repeats exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar\nunique alpha\nfooter line"),
+      (2L, "nav bar\nunique beta\nfooter line"),
+      (3L, "nav bar\nunique gamma\nfooter line"),
+      // within-doc repetition alone must NOT cross the distinct-doc bar
+      (4L, "solo line\nsolo line\nsolo line\nunique delta"),
+      // all-boilerplate page collapses to empty, never null
+      (5L, "nav bar\nfooter line"),
+      // blank lines are exempt from heavy candidacy
+      (6L, "\nunique epsilon\n")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((3L, 1L, "unique alpha")))
+    assert(out(2L) == ((3L, 1L, "unique beta")))
+    assert(out(3L) == ((3L, 1L, "unique gamma")))
+    assert(out(4L) == ((4L, 4L, "solo line\nsolo line\nsolo line\nunique delta")))
+    assert(out(5L) == ((2L, 0L, "")))
+    assert(out(6L) == ((3L, 3L, "\nunique epsilon\n")))
+    // order preservation under interleaved removals
+    val mixed = Seq(
+      (10L, "keep one\nnav x\nkeep two\nnav x\nkeep three"),
+      (11L, "nav x\na"), (12L, "nav x\nb")).toDF("doc_id", "text")
+    val m = TextOps.lineDedup(mixed, "doc_id", "text", minDocs = 3)
+      .filter(col("doc_id") === 10L).head()
+    assert(m.getString(3) == "keep one\nkeep two\nkeep three")
+    intercept[IllegalArgumentException](
+      TextOps.lineDedup(docs, "doc_id", "text", minDocs = 1))
+  }
 }
