@@ -176,4 +176,99 @@ object Skew {
       .groupBy(itemCol)
       .agg(min(coalesce(col("_cm_sn"), lit(0L))).as("est_n"))
   }
+
+  /** Bloom-filter membership sketch (Bloom 1970) in relational form: the
+    * filter IS the distinct set of set-bit positions — each key lights
+    * `k` positions, position_i = xxhash64(key, i) mod `mBits` — built as
+    * one explode + partial-aggregated distinct, so the exchange carries
+    * at most min(k·n, mBits) position rows total regardless of corpus
+    * size, and the sketch persists/reuses as a plain table (THE point vs
+    * re-shuffling the seen corpus's keys on every increment). Guarantee:
+    * a key whose k positions are all set is MAYBE present (false
+    * positives at rate ≈ (1 − e^(−k·n/m))^k); any missing position means
+    * DEFINITELY absent — zero false negatives, which is what lets a
+    * prefilter preserve exact semantics ([[bloomNewIds]]).
+    *
+    * Representation note: one row per set bit costs ~8 bytes where a
+    * packed bitmap costs 1 bit, but it stays declarative (distinct is
+    * map-side-combined, AQE-splittable, mergeable by union+distinct) and
+    * at the design point — mBits sized for single-digit-% FP — the
+    * sketch is orders of magnitude under the key set it summarizes.
+    * Completes the sketch family: HLL = how many distinct (x32),
+    * quantile sketch = what value at rank (x33), count-min = how often
+    * (x66), Bloom = have I seen THIS (x74).
+    */
+  final case class BloomSketch(bits: DataFrame, mBits: Long, k: Int)
+
+  // _bf_-prefixed internals for the same reason as _cm_ above
+  private def bfPositions(keyCol: String, mBits: Long, k: Int) =
+    explode(array((0 until k).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(mBits))): _*)).as("_bf_pos")
+
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Long = 1L << 22,
+      k: Int = 5): BloomSketch = {
+    require(mBits >= 64, s"mBits ($mBits) must be >= 64")
+    require(k >= 1 && k <= 16, s"k ($k) must be in [1, 16]")
+    require(!keyCol.startsWith("_bf_"),
+      s"keyCol ($keyCol) collides with the sketch-internal _bf_ prefix")
+    BloomSketch(df.select(bfPositions(keyCol, mBits, k))
+      .distinct().toDF("pos"), mBits, k)
+  }
+
+  /** Per-row membership verdicts for `items` under a built sketch:
+    * `bloom_maybe` = all k of the row's positions are set (absent
+    * position row = bit unset). Output: (idCol, keyCol, bloom_maybe).
+    * Hash params come from the sketch itself — probing with a different
+    * modulus than the build would forfeit the no-false-negative
+    * contract, so the mismatch is made impossible. The bits side
+    * broadcasts when it fits (AQE's call); the probe never touches the
+    * corpus the sketch was built from.
+    */
+  def bloomMaybe(sketch: BloomSketch, items: DataFrame, idCol: String,
+      keyCol: String): DataFrame = {
+    require(!idCol.startsWith("_bf_") && !keyCol.startsWith("_bf_"),
+      s"column ($idCol, $keyCol) collides with the sketch-internal _bf_ prefix")
+    val bits = sketch.bits.select(col("pos").as("_bf_setpos"),
+      lit(true).as("_bf_hit"))
+    items.select(col(idCol), col(keyCol),
+        bfPositions(keyCol, sketch.mBits, sketch.k))
+      .join(bits, col("_bf_pos") === col("_bf_setpos"), "left")
+      .groupBy(col(idCol), col(keyCol))
+      .agg((count(col("_bf_hit")) === sketch.k).as("bloom_maybe"))
+  }
+
+  /** Bloom-prefiltered incremental new-key detection with EXACT
+    * semantics — the 100 TB ingest-dedup shape: is each increment row's
+    * key already in the seen corpus?
+    *
+    * The naive exact form anti-joins the increment against ALL seen
+    * keys — a full-corpus shuffle per increment. Here the corpus is
+    * summarized ONCE into a [[BloomSketch]] (reusable across
+    * increments); rows the sketch rules out are new with NO exact check
+    * (no false negatives), and only the `bloom_maybe` candidates — true
+    * duplicates plus the FP-rate sliver, tiny when increments are mostly
+    * novel — reach the exact confirmation. That confirmation runs in the
+    * scan-stays-put direction (the round-12 ingest-anti-join finding):
+    * the seen corpus is SEMI-JOINED against the broadcast candidate-key
+    * set — one map-side-filtered scan emitting at most |candidates|
+    * keys — and the surviving keys broadcast back onto the verdicts. No
+    * step shuffles the corpus; both broadcasts are candidate-bounded.
+    *
+    * Output: (idCol, keyCol, bloom_maybe, is_new) — `is_new` exact by
+    * construction (spec-pinned against the plain anti-join, including
+    * under a deliberately undersized, FP-dense sketch).
+    */
+  def bloomNewIds(seen: DataFrame, increment: DataFrame, idCol: String,
+      keyCol: String, mBits: Long = 1L << 22, k: Int = 5): DataFrame = {
+    val sketch = bloomBuild(seen.select(col(keyCol)), keyCol, mBits, k)
+    val probed = bloomMaybe(sketch, increment, idCol, keyCol)
+    val candidates = probed.filter(col("bloom_maybe"))
+      .select(col(keyCol)).distinct()
+    val confirmed = seen.select(col(keyCol))
+      .join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .distinct().withColumn("_bf_dup", lit(true))
+    probed.join(broadcast(confirmed), Seq(keyCol), "left")
+      .select(col(idCol), col(keyCol), col("bloom_maybe"),
+        not(coalesce(col("_bf_dup"), lit(false))).as("is_new"))
+  }
 }

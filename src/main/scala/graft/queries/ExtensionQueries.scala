@@ -1963,6 +1963,35 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(lineDedupOracleSql)),
 
+    // Bloom-prefiltered incremental ingest dedup with EXACT semantics —
+    // the fourth sketch (HLL x32 / quantiles x33 / count-min x66 /
+    // Bloom x74): the seen corpus (even ids) is summarized once into a
+    // reusable position-set sketch; the increment (odd ids plus planted
+    // EXACT copies of seen texts at id+2,000,000) probes it, rows the
+    // sketch rules out are new with no exact check (no false
+    // negatives), and only bloom_maybe candidates reach a
+    // corpus-stays-put semi-join confirmation. LIVE oracle: is_new
+    // re-derived in DuckDB as the plain anti-join the prefilter
+    // replaces — the sketch must change the PLAN, never the answer.
+    Q("x74_bloom_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val seen = docs.filter(col("doc_id") % 2 === 0)
+        val increment = docs.filter(col("doc_id") % 2 === 1).unionByName(
+          seen.filter(col("doc_id") < 40).select(
+            (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Skew.bloomNewIds(seen, increment, "doc_id", "text",
+            mBits = 1L << 20, k = 5)
+          .select(col("doc_id"), col("is_new"))
+          .orderBy("doc_id")
+      },
+      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
+        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
+        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
+        "FROM inc ORDER BY doc_id")),
+
     // STREAMING lexical-index growth under the oracle gate (round-12
     // verdict ask #6, the x48 posture): the index is BUILT on the
     // even-id half of the corpus, the odd-id half arrives over a real

@@ -185,4 +185,61 @@ class SkewSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Skew.countMinEstimate(cm, Seq("x").toDF("_cm_r"), "_cm_r"))
   }
+
+  private lazy val seenKeys = (0 until 500).map(i => s"key$i")
+  private lazy val seenDf = seenKeys.toDF("text")
+  // 300 novel keys + 50 exact dups of seen keys
+  private lazy val incDf =
+    ((0 until 300).map(i => (i.toLong, s"new$i")) ++
+      (0 until 50).map(i => (1000L + i, s"key${i * 7}"))).toDF("id", "text")
+
+  test("bloom: no false negatives, exact is_new parity, real pruning at sane sizing") {
+    val out = Skew.bloomNewIds(seenDf, incDf, "id", "text",
+      mBits = 1L << 20, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.size == 350)
+    // the hard guarantee: every true duplicate is flagged maybe (a false
+    // negative here means the prefilter silently drops a dup)
+    (0 until 50).foreach { i =>
+      assert(out(1000L + i) == ((true, false)), s"dup $i: ${out(1000L + i)}")
+    }
+    // exact parity with the plain anti-join semantics
+    (0 until 300).foreach(i => assert(out(i.toLong)._2, s"new$i not new"))
+    // and the sketch actually prunes: at m=2^20 over 500 keys FP≈0, so
+    // (nearly) every novel row skips the exact confirmation entirely
+    val pruned = out.collect { case (id, (false, _)) => id }
+    assert(pruned.size >= 295, s"only ${pruned.size} rows pruned")
+  }
+
+  test("bloom: an undersized FP-dense sketch changes the plan, never the answer") {
+    // 64 bits for 500 keys: nearly every bit set, maybe≈always true —
+    // the prefilter degrades to the plain join but stays exact
+    val out = Skew.bloomNewIds(seenDf, incDf, "id", "text",
+      mBits = 64, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val truth = incDf.join(seenDf, Seq("text"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, isNew) =>
+      assert(isNew == truth.contains(id), s"id $id: $isNew vs ${truth.contains(id)}")
+    }
+    assert(truth.size == 300)
+  }
+
+  test("bloom: corpus-stays-put confirmation (candidate-bounded broadcasts) and guards") {
+    // both exact-confirmation joins ride forced candidate-bounded
+    // broadcasts — the seen corpus is never shuffled
+    val plan = Skew.bloomNewIds(seenDf, incDf, "id", "text",
+      mBits = 1L << 20, k = 5).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, plan)
+    intercept[IllegalArgumentException](
+      Skew.bloomBuild(seenDf, "text", mBits = 32))
+    intercept[IllegalArgumentException](
+      Skew.bloomBuild(seenDf, "text", k = 0))
+    intercept[IllegalArgumentException](
+      Skew.bloomBuild(seenDf.select(col("text").as("_bf_x")), "_bf_x"))
+    val sk = Skew.bloomBuild(seenDf, "text")
+    intercept[IllegalArgumentException](
+      Skew.bloomMaybe(sk, incDf.select(col("id").as("_bf_id"), col("text")),
+        "_bf_id", "text"))
+  }
 }
