@@ -189,5 +189,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dedup_keep"),
       new ExpressionInfo(TableFunctions.getClass.getName, "dedup_keep"),
       (exprs: Seq[Expression]) => TableFunctions.dedupKeep(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("line_dedup"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "line_dedup"),
+      (exprs: Seq[Expression]) => TableFunctions.lineDedup(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("bloom_new_ids"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "bloom_new_ids"),
+      (exprs: Seq[Expression]) => TableFunctions.bloomNewIds(exprs)))
   }
 }

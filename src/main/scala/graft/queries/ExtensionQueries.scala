@@ -1992,6 +1992,42 @@ object ExtensionQueries {
         "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
         "FROM inc ORDER BY doc_id")),
 
+    // x72 through the SQL surface: same planted corpus, same LIVE
+    // oracle, but the engine-side body is one pure spark.sql string
+    // over the line_dedup TVF — the round-12 SQL-entry-point posture
+    // (x68/x69/x70) extended to the round's new families.
+    Q("x72b_sql_line_dedup",
+      (s, d) => {
+        plantBoilerplate(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .createOrReplaceTempView("x72b_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, n_lines, n_kept, text_clean " +
+          "FROM line_dedup('x72b_docs', 'doc_id', 'text', 3) ORDER BY doc_id")
+      }, Some(lineDedupOracleSql)),
+
+    // x74 through the SQL surface (same LIVE anti-join oracle; the
+    // mBits literal is deliberately 2^33 — past Int range — pinning the
+    // BIGINT-argument path a 100 TB-sized sketch actually needs).
+    Q("x74b_sql_bloom_ingest",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .createOrReplaceTempView("x74b_seen")
+        docs.filter(col("doc_id") % 2 === 1).unionByName(
+            docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40).select(
+              (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .createOrReplaceTempView("x74b_inc")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, is_new FROM bloom_new_ids('x74b_seen', " +
+          "'x74b_inc', 'doc_id', 'text', 8589934592, 5) ORDER BY doc_id")
+      },
+      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
+        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
+        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
+        "FROM inc ORDER BY doc_id")),
+
     // STREAMING lexical-index growth under the oracle gate (round-12
     // verdict ask #6, the x48 posture): the index is BUILT on the
     // even-id half of the corpus, the odd-id half arrives over a real

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.TextVectorExpressions.{litDouble, litInt}
-import graft.operators.{AnnIndexStore, Dedup, LexIndexStore}
+import graft.operators.{AnnIndexStore, Dedup, LexIndexStore, Skew, TextOps}
 
 /** SQL-callable table functions for the engine's flagship operator
   * families — ANN search, BM25 search, near-dup keep verdicts. The
@@ -51,6 +51,8 @@ object TableFunctions {
     reg("ann_topk", annTopK)
     reg("bm25_topk", bm25TopK)
     reg("dedup_keep", dedupKeep)
+    reg("line_dedup", lineDedup)
+    reg("bloom_new_ids", bloomNewIds)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -126,5 +128,49 @@ object TableFunctions {
       shingleN = litInt(exprs(3)), numHashes = litInt(exprs(4)),
       bands = litInt(exprs(5)), minJaccard = litDouble(exprs(6)))
     Dedup.keepDecisions(docs, idCol, pairs).queryExecution.logical
+  }
+
+  // int-or-long literal (mBits is a bit-space size — a 100 TB sketch
+  // wants 2^37, past Int range, and SQL integer literals that size
+  // arrive as BIGINT)
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  /** `line_dedup(docsView, idCol, textCol, minDocs)` →
+    * (doc_id, n_lines, n_kept, text_clean).
+    *
+    * Cross-document boilerplate-line removal ([[TextOps.lineDedup]]
+    * verbatim: a non-blank line in >= minDocs DISTINCT docs is dropped
+    * from every doc, survivors reassemble in original order) — the
+    * C4/CCNet cleaning step, now one SQL statement.
+    */
+  def lineDedup(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "line_dedup(docsView, idCol, textCol, minDocs) takes 4 arguments, " +
+        s"got ${exprs.length}")
+    TextOps.lineDedup(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)), minDocs = litLong(exprs(3)))
+      .queryExecution.logical
+  }
+
+  /** `bloom_new_ids(seenView, incrementView, idCol, keyCol, mBits, k)` →
+    * (idCol, keyCol, bloom_maybe, is_new).
+    *
+    * Bloom-prefiltered incremental new-key detection with exact
+    * semantics ([[graft.operators.Skew.bloomNewIds]] verbatim) — the
+    * ingest-dedup verdict as one SQL statement.
+    */
+  def bloomNewIds(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6,
+      "bloom_new_ids(seenView, incrementView, idCol, keyCol, mBits, k) " +
+        s"takes 6 arguments, got ${exprs.length}")
+    Skew.bloomNewIds(table(litString(exprs(0))), table(litString(exprs(1))),
+      litString(exprs(2)), litString(exprs(3)),
+      mBits = litLong(exprs(4)), k = litInt(exprs(5)))
+      .queryExecution.logical
   }
 }

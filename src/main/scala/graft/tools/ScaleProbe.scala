@@ -1048,6 +1048,95 @@ object ScaleProbe {
     lexBase.unpersist(); linc1.unpersist(); linc2.unpersist(); linc3.unpersist()
   }
 
+  /** Data-dominated probe for the round-12 additions — cross-document
+    * line dedup (x72) and the Bloom ingest prefilter (x74) — at corpus
+    * sizes where wall clearly grows with data, two factors per family so
+    * BASELINE.md records measured exponents. Quality invariants ride
+    * every wall (a fast-but-wrong scale-up must not read as a win):
+    *
+    *  - lineDedup: every doc keeps EXACTLY its 10 unique body lines —
+    *    planted nav/footer boilerplate (1% of docs) and the 10-doc group
+    *    banner cross the minDocs=3 bar and vanish everywhere, unique
+    *    lines all survive, in order. Checked as exact aggregate counts
+    *    over the full output, not a sample.
+    *  - bloom: the planted dup set comes back EXACTLY (zero false
+    *    negatives — the contract that makes the prefilter sound), novel
+    *    keys all new, and the pruned (bloom_maybe=false) fraction is
+    *    reported so the sketch's actual selectivity is on the record.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 200 datadom3"   // 1M docs
+    *   sbt "runMain graft.tools.ScaleProbe 400 datadom3"   // 2M docs
+    */
+  private def datadom3Probe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Skew, TextOps}
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    val nDocs = factor * 5000L
+    // ---- line-structured corpus: 10 body lines unique to each doc
+    // (doc_id baked in), one banner shared by each run of 10 docs
+    // (crosses minDocs=3), nav+footer planted on docs ≡ 7 (mod 100).
+    // concat_ws skips nulls, so unplanted docs simply lack those lines.
+    val planted = pmod(col("id"), lit(100)) === 7
+    val lineCols: Seq[Column] =
+      when(planted, lit("nav | home | about | products")).otherwise(lit(null)) +:
+      (0 until 10).map(j =>
+        concat(lit(s"body line $j of document "), col("id"),
+          lit(" lorem ipsum dolor sit amet"))) :+
+      concat(lit("shared banner of group "), (col("id") / 10).cast("long")) :+
+      when(planted, lit("copyright 2024 example corp")).otherwise(lit(null))
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws("\n", lineCols: _*).as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd3_corpus","factor":$factor,"docs":${docs.count()}}""")
+    timed("dd3_line_dedup") {
+      val out = TextOps.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      val bad = out.filter(col("n_kept") =!= 10 ||
+        (col("n_lines") =!= when(pmod(col("doc_id"), lit(100)) === 7, 13)
+          .otherwise(11))).count()
+      val docsOut = out.count()
+      println(s"""{"probe":"dd3_line_dedup_invariant","factor":$factor,"docs":$docsOut,"bad":$bad}""")
+      require(bad == 0 && docsOut == nDocs, s"line-dedup invariant broke: bad=$bad")
+    }
+    docs.unpersist()
+    // ---- bloom: corpus-sized key set, fixed-RATE 1% increment with a
+    // 0.1% planted-dup tail. Build is the one-time corpus-sized summary;
+    // the end-to-end ingest verdict (build + probe + confirm) is what an
+    // increment actually pays today (a persisted-bits deployment pays
+    // only the probe half — the build wall is reported separately so
+    // both deployments are priced).
+    val seen = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(lit("document content number "), col("id"),
+        lit(" with enough padding text to look like a real key")).as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd3_seen","factor":$factor,"keys":${seen.count()}}""")
+    val mBits = 16L * nDocs
+    timed("dd3_bloom_build") {
+      val n = Skew.bloomBuild(seen, "text", mBits = mBits, k = 5).bits.count()
+      println(s"""{"probe":"dd3_bloom_bits","factor":$factor,"set_bits":$n}""")
+    }
+    val nInc = nDocs / 100
+    val nDup = nDocs / 1000
+    val increment = spark.range(nDocs, nDocs + nInc - nDup).select(
+        col("id").as("doc_id"),
+        concat(lit("novel content number "), col("id")).as("text"))
+      .unionByName(seen.filter(col("doc_id") % 97 === 0).limit(nDup.toInt)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    timed("dd3_bloom_ingest_e2e") {
+      val out = Skew.bloomNewIds(seen, increment, "doc_id", "text",
+        mBits = mBits, k = 5).cache()
+      val dupsFound = out.filter(!col("is_new")).count()
+      val pruned = out.filter(!col("bloom_maybe")).count()
+      val total = out.count()
+      out.unpersist()
+      println(s"""{"probe":"dd3_bloom_invariant","factor":$factor,"rows":$total,"dups":$dupsFound,"expected_dups":$nDup,"pruned":$pruned}""")
+      require(dupsFound == nDup && total == nInc,
+        s"bloom verdicts broke: dups=$dupsFound expected=$nDup total=$total")
+    }
+    seen.unpersist()
+  }
+
   /** Anomaly isolation for the datadom findings: times classifier
     * training on the SAME 5000-doc labeled slice materialized two ways —
     * fresh from parquet vs filtered out of a factor×-cached corpus —
@@ -1212,6 +1301,10 @@ object ScaleProbe {
     }
     if (mode == "churn") {
       try churnProbe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom3") {
+      try datadom3Probe(spark, n) finally spark.stop()
       return
     }
     if (mode == "trainmicro") {

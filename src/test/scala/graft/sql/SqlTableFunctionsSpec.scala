@@ -117,4 +117,42 @@ class SqlTableFunctionsSpec extends SparkSpec {
       assert(e.getMessage.contains("5 arguments"))
     }
   }
+
+  test("line_dedup TVF ≡ TextOps.lineDedup, boilerplate load-bearing") {
+    withExtSession { s =>
+      val docs = graft.queries.ExtensionQueries.plantBoilerplate(
+        Tables.documents(s, sf).select(col("doc_id"), col("text")))
+      docs.createOrReplaceTempView("tvf_line_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM line_dedup('tvf_line_docs', 'doc_id', 'text', 3) " +
+          "ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.TextOps
+        .lineDedup(docs, "doc_id", "text", minDocs = 3).orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // planted template pages actually lost their nav/footer lines
+      assert(viaSql.exists(r => r.getLong(1) > r.getLong(2)))
+    }
+  }
+
+  test("bloom_new_ids TVF ≡ Skew.bloomNewIds, BIGINT mBits accepted") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("tvf_bloom_seen")
+      val inc = docs.filter(col("doc_id") % 2 === 1).unionByName(
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 10).select(
+          (col("doc_id") + 5000L).as("doc_id"), col("text")))
+      inc.createOrReplaceTempView("tvf_bloom_inc")
+      // 8589934592 = 2^33: past Int range, the 100 TB-sized literal
+      val viaSql = rows(s.sql(
+        "SELECT doc_id, is_new FROM bloom_new_ids('tvf_bloom_seen', " +
+          "'tvf_bloom_inc', 'doc_id', 'text', 8589934592, 5) ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.Skew
+        .bloomNewIds(docs.filter(col("doc_id") % 2 === 0), inc,
+          "doc_id", "text", mBits = 8589934592L, k = 5)
+        .select("doc_id", "is_new").orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // the planted exact copies are the keep=false mass
+      assert(viaSql.count(r => !r.getBoolean(1)) == 5)
+    }
+  }
 }
