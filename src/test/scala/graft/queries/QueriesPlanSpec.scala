@@ -302,4 +302,22 @@ class QueriesPlanSpec extends SparkSpec {
       !p.contains("NestedLoopJoin"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("x72 line dedup: exactly the two designed corpus scans, no nested-loop") {
+    val p = plan("x72_line_dedup")
+    // two-phase by design: one line-scan to find heavy lines, one to
+    // filter against them — a third scan would mean the explode subtree
+    // got duplicated somewhere (the x40/x58 regression class)
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("NestedLoopJoin"), p)
+  }
+
+  test("x74 bloom ingest: corpus-stays-put confirmation, candidate-bounded broadcasts") {
+    val p = plan("x74_bloom_ingest")
+    // both exact-confirmation joins ride forced broadcasts; the seen
+    // corpus must never cross a SortMergeJoin exchange
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+  }
 }
