@@ -259,8 +259,18 @@ object Skew {
     * under a deliberately undersized, FP-dense sketch).
     */
   def bloomNewIds(seen: DataFrame, increment: DataFrame, idCol: String,
-      keyCol: String, mBits: Long = 1L << 22, k: Int = 5): DataFrame = {
-    val sketch = bloomBuild(seen.select(col(keyCol)), keyCol, mBits, k)
+      keyCol: String, mBits: Long = 1L << 22, k: Int = 5): DataFrame =
+    bloomNewIdsWith(bloomBuild(seen.select(col(keyCol)), keyCol, mBits, k),
+      seen, increment, idCol, keyCol)
+
+  /** [[bloomNewIds]] against a PREBUILT (typically persisted — see
+    * [[bloomLoad]]) sketch: the deployment shape where the corpus
+    * summary is paid once and every increment pays only probe+confirm.
+    * `seen` still backs the exact confirmation of `bloom_maybe`
+    * candidates; the sketch only prunes.
+    */
+  def bloomNewIdsWith(sketch: BloomSketch, seen: DataFrame,
+      increment: DataFrame, idCol: String, keyCol: String): DataFrame = {
     val probed = bloomMaybe(sketch, increment, idCol, keyCol)
     val candidates = probed.filter(col("bloom_maybe"))
       .select(col(keyCol)).distinct()
@@ -270,5 +280,49 @@ object Skew {
     probed.join(broadcast(confirmed), Seq(keyCol), "left")
       .select(col(idCol), col(keyCol), col("bloom_maybe"),
         not(coalesce(col("_bf_dup"), lit(false))).as("is_new"))
+  }
+
+  /** Persist a sketch: bits as parquet plus a meta table carrying
+    * (mBits, k) — params ride the store so a probe can never hash with
+    * a different modulus than the build (the [[CmSketch]] discipline,
+    * storage flavor). The store invariant is DISTINCT position rows:
+    * [[bloomMaybe]]'s all-k-hit test counts join matches, so a
+    * duplicated stored position would overcount into a false NEGATIVE —
+    * which is why [[bloomAppend]] anti-joins before appending instead
+    * of blind-appending and deduping at read.
+    */
+  def bloomSave(sketch: BloomSketch, dir: String): Unit = {
+    val spark = sketch.bits.sparkSession
+    sketch.bits.write.mode("overwrite").parquet(s"$dir/bits")
+    import spark.implicits._
+    Seq((sketch.mBits, sketch.k)).toDF("m_bits", "k")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def bloomLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BloomSketch = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    BloomSketch(spark.read.parquet(s"$dir/bits"), m.getLong(0), m.getInt(1))
+  }
+
+  /** Grow a persisted sketch by an increment's keys — the summary-reuse
+    * half of the ingest contract: work is increment-sized hashing plus
+    * one summary×summary anti-join (never corpus-shaped), and only
+    * genuinely-new positions land, preserving the distinct-store
+    * invariant. The append materializes before writing (the stored
+    * bits are both the anti-join's build side and the write target —
+    * the read-under-overwrite hazard every store in this repo guards).
+    * Returns the reloaded sketch.
+    */
+  def bloomAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      increment: DataFrame, keyCol: String): BloomSketch = {
+    val stored = bloomLoad(spark, dir)
+    val fresh = bloomBuild(increment.select(col(keyCol)), keyCol,
+      stored.mBits, stored.k)
+    val newBits = fresh.bits.join(stored.bits, Seq("pos"), "left_anti")
+      .localCheckpoint(true)
+    newBits.write.mode("append").parquet(s"$dir/bits")
+    graft.operators.Dedup.releaseLocalCheckpoint(newBits)
+    bloomLoad(spark, dir)
   }
 }

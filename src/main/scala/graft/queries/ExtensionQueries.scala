@@ -1992,6 +1992,41 @@ object ExtensionQueries {
         "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
         "FROM inc ORDER BY doc_id")),
 
+    // Persisted-bloom lifecycle under the gate: the sketch is built on
+    // HALF the seen corpus, saved, GROWN by the other half through
+    // bloomAppend, and the verdicts run through the reloaded store
+    // (bloomNewIdsWith). The planted dups copy texts from BOTH
+    // generations, so a lost append would prune second-generation dup
+    // candidates as "definitely new" and hash-fail — persistence and
+    // growth are load-bearing, not decorative. Same LIVE anti-join
+    // oracle as x74: the store must change the plan, never the answer.
+    Q("x74c_bloom_persisted",
+      (s, d) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x74c_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val dir = s"$base/bloom"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val seen = docs.filter(col("doc_id") % 2 === 0)
+        Skew.bloomSave(Skew.bloomBuild(
+          seen.filter(col("doc_id") % 4 === 0), "text",
+          mBits = 1L << 20, k = 5), dir)
+        val grown = Skew.bloomAppend(s, dir,
+          seen.filter(col("doc_id") % 4 === 2), "text")
+        val increment = docs.filter(col("doc_id") % 2 === 1).unionByName(
+          seen.filter(col("doc_id") < 40).select(
+            (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Skew.bloomNewIdsWith(grown, seen, increment, "doc_id", "text")
+          .select(col("doc_id"), col("is_new"))
+          .orderBy("doc_id")
+      },
+      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
+        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
+        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
+        "FROM inc ORDER BY doc_id")),
+
     // x72 through the SQL surface: same planted corpus, same LIVE
     // oracle, but the engine-side body is one pure spark.sql string
     // over the line_dedup TVF — the round-12 SQL-entry-point posture

@@ -225,6 +225,35 @@ class SkewSpec extends SparkSpec {
     assert(truth.size == 300)
   }
 
+  test("bloom store: grown store ≡ one-shot build bit-for-bit, appends idempotent, verdicts unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/bf"
+    val gen1 = seenKeys.take(250).toDF("text")
+    val gen2 = seenKeys.drop(250).toDF("text")
+    Skew.bloomSave(Skew.bloomBuild(gen1, "text", mBits = 1L << 16, k = 5), dir)
+    val grown = Skew.bloomAppend(spark, dir, gen2, "text")
+    // params ride the store — a probe can't hash with different ones
+    assert(grown.mBits == (1L << 16) && grown.k == 5)
+    val oneShot = Skew.bloomBuild(seenDf, "text", mBits = 1L << 16, k = 5)
+    def posSet(s: Skew.BloomSketch): Seq[Long] =
+      s.bits.collect().map(_.getLong(0)).sorted.toSeq
+    assert(posSet(grown) == posSet(oneShot),
+      "grown store diverged from the one-shot build")
+    // re-appending overlapping keys adds ZERO rows: the distinct-store
+    // invariant (a duplicated stored position overcounts bloomMaybe's
+    // all-k-hit test into a false negative) holds under replay
+    assert(posSet(Skew.bloomAppend(spark, dir, gen2, "text")) == posSet(oneShot))
+    // and end-to-end verdicts through the reloaded store equal the
+    // fresh-build path exactly
+    val viaStore = Skew.bloomNewIdsWith(Skew.bloomLoad(spark, dir),
+        seenDf, incDf, "id", "text")
+      .select("id", "is_new").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fresh = Skew.bloomNewIds(seenDf, incDf, "id", "text", 1L << 16, 5)
+      .select("id", "is_new").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaStore == fresh)
+  }
+
   test("bloom: corpus-stays-put confirmation (candidate-bounded broadcasts) and guards") {
     // both exact-confirmation joins ride forced candidate-bounded
     // broadcasts — the seen corpus is never shuffled
