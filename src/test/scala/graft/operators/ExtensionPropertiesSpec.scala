@@ -257,4 +257,68 @@ class ExtensionPropertiesSpec extends SparkSpec {
         s"case $i wp=$wp syms=$syms pairs=$pairs kernel=$viaKernel hof=$viaHof")
     }
   }
+
+  test("lineDedup property: equals the naive distinct-doc line-count filter on arbitrary corpora") {
+    // line pool: shared lines (can cross the bar), blanks (exempt), and
+    // per-doc unique lines (never heavy)
+    val caseGen = for {
+      nDocs <- Gen.choose(1, 9)
+      minDocs <- Gen.choose(2, 4)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(6, Gen.choose(0, 9)))
+    } yield (minDocs, docs)
+    sample(caseGen, 15).zipWithIndex.foreach { case ((minDocs, picks), ci) =>
+      val texts = picks.zipWithIndex.map { case (ps, d) =>
+        d.toLong -> ps.zipWithIndex.map {
+          case (p, j) if p < 5 => s"shared line $p"
+          case (p, _) if p < 7 => if (p == 5) "" else "   "
+          case (_, j) => s"unique $d-$j"
+        }.mkString("\n")
+      }
+      // reference: split keeping trailing empties (Spark's split limit -1)
+      val lineSets = texts.map { case (d, t) => d -> t.split("\n", -1).toSeq }
+      val heavy = lineSets.flatMap { case (d, ls) => ls.distinct.map(d -> _) }
+        .filter(_._2.trim.nonEmpty)
+        .groupBy(_._2).collect { case (l, ds) if ds.map(_._1).distinct.size >= minDocs => l }
+        .toSet
+      val expected = lineSets.map { case (d, ls) =>
+        val kept = ls.filterNot(heavy)
+        d -> ((ls.size.toLong, kept.size.toLong, kept.mkString("\n")))
+      }.toMap
+      val got = TextOps.lineDedup(texts.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs = minDocs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == expected, s"case $ci minDocs=$minDocs texts=$texts")
+    }
+  }
+
+  test("bloom property: is_new equals exact membership, zero false negatives, any keys/shape") {
+    val caseGen = for {
+      nSeen <- Gen.choose(0, 50)
+      seenIdx <- Gen.listOfN(nSeen, Gen.choose(0, 25))
+      nInc <- Gen.choose(0, 30)
+      incIdx <- Gen.listOfN(nInc, Gen.choose(0, 50)) // overlaps seen pool below 26
+      mBits <- Gen.oneOf(64L, 256L, 1L << 16)
+      k <- Gen.oneOf(1, 3, 8)
+    } yield (seenIdx, incIdx, mBits, k)
+    sample(caseGen, 12).zipWithIndex.foreach { case ((seenIdx, incIdx, m, k), ci) =>
+      val seenKeys = seenIdx.map(i => s"key$i")
+      val inc = incIdx.zipWithIndex.map { case (x, id) => (id.toLong, s"key$x") }
+      val out = Skew.bloomNewIds(
+          seenKeys.map(Tuple1(_)).toDF("text"),
+          inc.toDF("id", "text"), "id", "text", mBits = m, k = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      val seenSet = seenKeys.toSet
+      assert(out.size == inc.size, s"case $ci")
+      inc.foreach { case (id, key) =>
+        val (_, maybe, isNew) = out(id)
+        assert(isNew == !seenSet.contains(key),
+          s"case $ci m=$m k=$k id=$id key=$key: is_new=$isNew")
+        // the no-false-negative contract, at any FP density
+        if (seenSet.contains(key))
+          assert(maybe, s"case $ci m=$m k=$k: false negative on $key")
+      }
+    }
+  }
 }
