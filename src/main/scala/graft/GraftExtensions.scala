@@ -197,5 +197,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_new_ids"),
       new ExpressionInfo(TableFunctions.getClass.getName, "bloom_new_ids"),
       (exprs: Seq[Expression]) => TableFunctions.bloomNewIds(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("media_probe"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "media_probe"),
+      (exprs: Seq[Expression]) => TableFunctions.mediaProbe(exprs)))
   }
 }

@@ -53,6 +53,7 @@ object TableFunctions {
     reg("dedup_keep", dedupKeep)
     reg("line_dedup", lineDedup)
     reg("bloom_new_ids", bloomNewIds)
+    reg("media_probe", mediaProbe)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -171,6 +172,23 @@ object TableFunctions {
     Skew.bloomNewIds(table(litString(exprs(0))), table(litString(exprs(1))),
       litString(exprs(2)), litString(exprs(3)),
       mBits = litLong(exprs(4)), k = litInt(exprs(5)))
+      .queryExecution.logical
+  }
+
+  /** `media_probe(assetsView)` → (asset_id, media_type, container, width,
+    * height, sample_rate, n_frames, duration_ms, brand, n_video_tracks,
+    * n_audio_tracks).
+    *
+    * Header/box-structure-only container census
+    * ([[graft.operators.Multimodal.containerProbe]] verbatim) — the
+    * format-triage scan a multimodal corpus runs before any decode, as
+    * one SQL statement. The view must carry (asset_id, media_type,
+    * content).
+    */
+  def mediaProbe(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1,
+      s"media_probe(assetsView) takes 1 argument, got ${exprs.length}")
+    graft.operators.Multimodal.containerProbe(table(litString(exprs(0))))
       .queryExecution.logical
   }
 }

@@ -155,4 +155,25 @@ class SqlTableFunctionsSpec extends SparkSpec {
       assert(viaSql.count(r => !r.getBoolean(1)) == 5)
     }
   }
+
+  test("media_probe TVF ≡ Multimodal.containerProbe, real ISO-BMFF probed") {
+    withExtSession { s =>
+      import s.implicits._
+      val assets = graft.operators.Multimodal
+        .syntheticAssets(Tables.documents(s, sf))
+        .select("asset_id", "media_type", "content")
+        .unionByName(Seq((900001L, "video",
+          graft.operators.Multimodal.makeIsoBmff("isom", 12000L, 1, 1)))
+          .toDF("asset_id", "media_type", "content"))
+      assets.createOrReplaceTempView("tvf_media_assets")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM media_probe('tvf_media_assets') ORDER BY asset_id"))
+      val viaScala = rows(graft.operators.Multimodal.containerProbe(assets)
+        .orderBy("asset_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // the planted MP4's box walk actually resolved
+      val mp4 = viaSql.find(_.getLong(0) == 900001L).get
+      assert(mp4.getString(2) == "isobmff" && mp4.getString(8) == "isom")
+    }
+  }
 }
