@@ -76,6 +76,46 @@ object Bpe {
     graft.functions.TextVectorExpressions.merge_fold(syms, pairs,
       wordpiece = false)
 
+  /** Greedy sequential-exact batch selection from a ranked candidate
+    * pool — shared by [[train]] and [[WordPiece.train]] (which differ
+    * only in row shape and fusion rule, hence the `pair`/`merged`
+    * lenses). A batch applied in ONE [[applyMerges]] scan equals
+    * applying its pairs in separate sequential passes iff no admitted
+    * pair's left, right, or merged symbol collides with any other
+    * admitted pair's left, right, or merged symbol. The merged-symbol
+    * conditions are the chain-fuse guard (round-11 advisor, widened to
+    * the symmetric form by the round-12 review): the one-scan kernel
+    * both OVER-applies — a fused symbol stays live as the LEFT of the
+    * next adjacency, so existing 'abc' plus batch pairs (a,bc) and
+    * (abc,d) chains a+bc→abc→abcd in one pass — and UNDER-applies — a
+    * preceding symbol never re-pairs with a fusion created to its
+    * right, so (x,abc) misses the 'abc' that (a,bc) just made. Both
+    * directions are checked so admission is pick-order-independent;
+    * rejected pairs simply wait for a later round (they re-rank against
+    * fresh counts there, which is also more faithful to sequential
+    * semantics than applying them on stale counts would be).
+    */
+  private[operators] def selectBatch[T](ranked: IterableOnce[T], want: Int,
+      pair: T => (String, String),
+      merged: (String, String) => String): Seq[T] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val pickedMerged = scala.collection.mutable.Set.empty[String]
+    val batch = ArrayBuffer.empty[T]
+    val it = ranked.iterator
+    while (batch.size < want && it.hasNext) {
+      val t = it.next()
+      val (l, r) = pair(t)
+      val m = merged(l, r)
+      if (!used.contains(l) && !used.contains(r) &&
+        !pickedMerged.contains(l) && !pickedMerged.contains(r) &&
+        !used.contains(m) && !pickedMerged.contains(m)) {
+        used += l; used += r; pickedMerged += m
+        batch += t
+      }
+    }
+    batch.toSeq
+  }
+
   /** Learn up to `numMerges` merges over `docs(textCol)`. Stops early
     * when no remaining adjacent pair reaches `minPairCount` occurrences
     * (weighted by word frequency) — merging singletons learns noise.
@@ -109,18 +149,15 @@ object Bpe {
         .orderBy(desc("pn"), asc("l"), asc("r"))
         .limit(want * 8)
         .collect()
-      val usedSyms = scala.collection.mutable.Set.empty[String]
-      val batch = ArrayBuffer.empty[(String, String)]
-      val it = top.iterator
-      while (batch.size < want && it.hasNext) {
-        val row = it.next()
-        val (l, r, pn) = (row.getString(0), row.getString(1), row.getLong(2))
-        if (!usedSyms.contains(l) && !usedSyms.contains(r)) {
-          usedSyms += l; usedSyms += r
-          batch += ((l, r))
+      // sequential-exact admission incl. the chain-fuse guard — see
+      // [[selectBatch]]
+      val batch = selectBatch[org.apache.spark.sql.Row](top, want,
+        row => (row.getString(0), row.getString(1)), _ + _)
+        .map { row =>
+          val (l, r, pn) = (row.getString(0), row.getString(1), row.getLong(2))
           learned += ((learned.size.toLong, l, r, pn))
+          (l, r)
         }
-      }
       if (batch.isEmpty) exhausted = true
       else {
         val next = words

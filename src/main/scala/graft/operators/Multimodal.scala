@@ -319,14 +319,17 @@ object Multimodal {
           pcm16Mono = bb.getShort == 1 && bb.getShort == 1 && {
             bb.getInt; bb.getInt; bb.getShort; bb.getShort == 16
           }
-          bb.position(fmtEnd + (size & 1))
+          // clamp: an odd-sized chunk ending at EOF may omit its pad
+          // byte — skipping "past" the limit just ends the scan
+          bb.position(math.min(bb.limit(), fmtEnd + (size & 1)))
         case "data" =>
           if (!pcm16Mono) return None
           val out = new Array[Byte](size)
           bb.get(out)
           return Some(out)
-        case _ =>
-          bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+        case _ => // chunks pad to even; clamp as above
+          bb.position(math.min(bb.limit(),
+            bb.position() + size + (size & 1)))
       }
     }
     None
@@ -474,6 +477,12 @@ object Multimodal {
         val id = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
         val size = bb.getInt
         if (size < 0 || size > bb.remaining()) return Some(none)
+        // RIFF chunks are pad-aligned to even sizes, but encoders often
+        // omit the FINAL chunk's pad byte — clamp the skip so an
+        // odd-sized last chunk ending exactly at EOF doesn't throw the
+        // whole (already-parsed) probe into "unknown"
+        def skipTo(posAfterChunk: Int): Unit =
+          bb.position(math.min(bb.limit(), posAfterChunk))
         if (id == "fmt ") {
           val end = bb.position() + size
           bb.getShort // codec
@@ -481,10 +490,10 @@ object Multimodal {
           rate = bb.getInt
           bb.getInt; bb.getShort
           bits = bb.getShort
-          bb.position(end + (size & 1))
+          skipTo(end + (size & 1))
         } else {
           if (id == "data") dataBytes = size
-          bb.position(bb.position() + size + (size & 1))
+          skipTo(bb.position() + size + (size & 1))
         }
       }
       val dur =
@@ -829,6 +838,16 @@ object Multimodal {
           val (feature, codec) =
             if (codec0 == "stub")
               externalCodec.flatMap(_.decode(mediaType, bytes))
+                .map { case dec @ (f, c) =>
+                  // the SPI contract (see [[featureDim]]) — a codec
+                  // returning e.g. a 1024-dim embedding unvalidated
+                  // would poison every fixed-dim consumer downstream,
+                  // far from the cause; fail at the boundary instead
+                  require(f.length == featureDim,
+                    s"external codec '$c' returned ${f.length}-dim " +
+                      s"features; the MediaCodec contract is $featureDim")
+                  dec
+                }
                 .getOrElse((feature0, codec0))
             else (feature0, codec0)
           // is_stub rides every row so a downstream gate (x23-style

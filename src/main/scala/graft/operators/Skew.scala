@@ -215,9 +215,16 @@ object Skew {
       .distinct().toDF("pos"), mBits, k)
   }
 
-  /** Per-row membership verdicts for `items` under a built sketch:
-    * `bloom_maybe` = all k of the row's positions are set (absent
-    * position row = bit unset). Output: (idCol, keyCol, bloom_maybe).
+  /** Membership verdicts for `items` under a built sketch:
+    * `bloom_maybe` = ALL of the row's probed positions are set (absent
+    * position row = bit unset). Output: one row per DISTINCT
+    * (idCol, keyCol) probe — the verdict depends only on the key, so
+    * duplicate input rows collapse rather than each carrying a copy.
+    * The probe frame is deduplicated before the hit count precisely so
+    * duplicates (and the rare within-key position collision, where two
+    * of the k hashes land on the same bit) can never inflate the
+    * denominator into a false NEGATIVE: the test is "every distinct
+    * probed position hit", not "hit count == k".
     * Hash params come from the sketch itself — probing with a different
     * modulus than the build would forfeit the no-false-negative
     * contract, so the mismatch is made impossible. The bits side
@@ -232,9 +239,10 @@ object Skew {
       lit(true).as("_bf_hit"))
     items.select(col(idCol), col(keyCol),
         bfPositions(keyCol, sketch.mBits, sketch.k))
+      .dropDuplicates(idCol, keyCol, "_bf_pos")
       .join(bits, col("_bf_pos") === col("_bf_setpos"), "left")
       .groupBy(col(idCol), col(keyCol))
-      .agg((count(col("_bf_hit")) === sketch.k).as("bloom_maybe"))
+      .agg((count(col("_bf_hit")) === count(lit(1))).as("bloom_maybe"))
   }
 
   /** Bloom-prefiltered incremental new-key detection with EXACT
@@ -254,9 +262,10 @@ object Skew {
     * keys — and the surviving keys broadcast back onto the verdicts. No
     * step shuffles the corpus; both broadcasts are candidate-bounded.
     *
-    * Output: (idCol, keyCol, bloom_maybe, is_new) — `is_new` exact by
-    * construction (spec-pinned against the plain anti-join, including
-    * under a deliberately undersized, FP-dense sketch).
+    * Output: (idCol, keyCol, bloom_maybe, is_new), one row per DISTINCT
+    * (id, key) in the increment ([[bloomMaybe]]'s collapse) — `is_new`
+    * exact by construction (spec-pinned against the plain anti-join,
+    * including under a deliberately undersized, FP-dense sketch).
     */
   def bloomNewIds(seen: DataFrame, increment: DataFrame, idCol: String,
       keyCol: String, mBits: Long = 1L << 22, k: Int = 5): DataFrame =
@@ -285,11 +294,13 @@ object Skew {
   /** Persist a sketch: bits as parquet plus a meta table carrying
     * (mBits, k) — params ride the store so a probe can never hash with
     * a different modulus than the build (the [[CmSketch]] discipline,
-    * storage flavor). The store invariant is DISTINCT position rows:
-    * [[bloomMaybe]]'s all-k-hit test counts join matches, so a
-    * duplicated stored position would overcount into a false NEGATIVE —
-    * which is why [[bloomAppend]] anti-joins before appending instead
-    * of blind-appending and deduping at read.
+    * storage flavor). The store invariant is DISTINCT position rows —
+    * not for correctness ([[bloomMaybe]]'s every-position-hit test is
+    * join-multiplicity-proof) but for size: the sketch's whole value is
+    * staying orders of magnitude under the key set, and a
+    * blind-appending store would grow with ingest volume instead of
+    * set bits — which is why [[bloomAppend]] anti-joins before
+    * appending instead of deduping at read.
     */
   def bloomSave(sketch: BloomSketch, dir: String): Unit = {
     val spark = sketch.bits.sparkSession

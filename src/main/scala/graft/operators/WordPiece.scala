@@ -107,31 +107,19 @@ object WordPiece {
         .orderBy(desc("score"), asc("l"), asc("r"))
         .limit(want * 8)
         .collect()
-      val usedSyms = scala.collection.mutable.Set.empty[String]
-      // chain-fuse guard (round-11 advisor): in one greedy pass a FUSED
-      // symbol can only ever re-match as the LEFT of a later adjacency,
-      // so a batch is sequential-exact iff no pair's left equals another
-      // pair's merged output (either pick order — the pass is one scan).
-      // Without this, existing symbol 'ab' plus batch pairs (a,##b) and
-      // (ab,##c) would apply the second merge to an occurrence created
-      // by the first IN THE SAME pass, drifting from mergesPerRound=1.
-      val pickedLefts = scala.collection.mutable.Set.empty[String]
-      val pickedMerged = scala.collection.mutable.Set.empty[String]
-      val batch = ArrayBuffer.empty[(String, String)]
-      val it = top.iterator
-      while (batch.size < want && it.hasNext) {
-        val row = it.next()
-        val (r0, l0) = (row.getString(0), row.getString(1)) // (r, l) join order
-        val (pn, score) = (row.getLong(2), row.getDouble(5))
-        val merged = l0 + r0.stripPrefix("##")
-        if (!usedSyms.contains(l0) && !usedSyms.contains(r0) &&
-          !pickedMerged.contains(l0) && !pickedLefts.contains(merged)) {
-          usedSyms += l0; usedSyms += r0
-          pickedLefts += l0; pickedMerged += merged
-          batch += ((l0, r0))
-          learned += ((learned.size.toLong, l0, r0, merged, pn, score))
+      // sequential-exact admission incl. the chain-fuse guard (shared
+      // with BPE — see [[Bpe.selectBatch]]); the WordPiece fusion rule
+      // rides in as the `merged` lens. Row shape: (r, l, ...) join order.
+      val batch = Bpe.selectBatch[org.apache.spark.sql.Row](top, want,
+        row => (row.getString(1), row.getString(0)),
+        (l, r) => l + r.stripPrefix("##"))
+        .map { row =>
+          val (r0, l0) = (row.getString(0), row.getString(1))
+          val (pn, score) = (row.getLong(2), row.getDouble(5))
+          learned += ((learned.size.toLong, l0, r0,
+            l0 + r0.stripPrefix("##"), pn, score))
+          (l0, r0)
         }
-      }
       if (batch.isEmpty) exhausted = true
       else {
         val next = words

@@ -1985,12 +1985,7 @@ object ExtensionQueries {
           .select(col("doc_id"), col("is_new"))
           .orderBy("doc_id")
       },
-      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
-        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
-        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
-        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
-        "FROM inc ORDER BY doc_id")),
+      Some(bloomIngestOracleSql)),
 
     // Persisted-bloom lifecycle under the gate: the sketch is built on
     // HALF the seen corpus, saved, GROWN by the other half through
@@ -2020,12 +2015,7 @@ object ExtensionQueries {
           .select(col("doc_id"), col("is_new"))
           .orderBy("doc_id")
       },
-      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
-        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
-        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
-        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
-        "FROM inc ORDER BY doc_id")),
+      Some(bloomIngestOracleSql)),
 
     // x72 through the SQL surface: same planted corpus, same LIVE
     // oracle, but the engine-side body is one pure spark.sql string
@@ -2056,12 +2046,7 @@ object ExtensionQueries {
         s.sql("SELECT doc_id, is_new FROM bloom_new_ids('x74b_seen', " +
           "'x74b_inc', 'doc_id', 'text', 8589934592, 5) ORDER BY doc_id")
       },
-      Some("WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
-        "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
-        "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
-        "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
-        "FROM inc ORDER BY doc_id")),
+      Some(bloomIngestOracleSql)),
 
     // STREAMING lexical-index growth under the oracle gate (round-12
     // verdict ask #6, the x48 posture): the index is BUILT on the
@@ -2200,6 +2185,20 @@ object ExtensionQueries {
     * Spark's concat_ws on an all-boilerplate doc; sums cast to BIGINT
     * (DuckDB integer sums type HUGEINT).
     */
+  /** The x74 family's shared live oracle (x74, x74b, x74c): the plain
+    * DuckDB anti-join the bloom prefilter replaces — one definition so
+    * the three entries can never drift from pinning the same semantics.
+    * NOT IN is safe here: documents.text is non-null in the fixtures,
+    * and a null would poison all three entries identically.
+    */
+  private lazy val bloomIngestOracleSql: String =
+    "WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0), " +
+      "inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 " +
+      "UNION ALL SELECT doc_id + 2000000, text FROM documents " +
+      "WHERE doc_id % 2 = 0 AND doc_id < 40) " +
+      "SELECT doc_id, text NOT IN (SELECT text FROM seen) AS is_new " +
+      "FROM inc ORDER BY doc_id"
+
   private lazy val lineDedupOracleSql: String =
     ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN " +
       "concat('home | about | products | contact', chr(10), " +

@@ -66,11 +66,20 @@ object Orchestrate {
       // minus the socket — EventSource's file stream picks each up on
       // its next trigger)
       val per = math.max(1, math.ceil(lines.size().toDouble / chunks).toInt)
-      (0 until chunks).foreach { c =>
+      // c*per can pass end-of-list when lines < chunks·per (small
+      // inputs) — stop instead of letting subList throw
+      (0 until chunks).takeWhile(c => c * per < lines.size()).foreach { c =>
         val slice = new java.util.ArrayList[String](
           lines.subList(c * per, math.min(lines.size(), (c + 1) * per)))
         if (!slice.isEmpty) {
-          Files.write(Paths.get(s"$src/chunk_$c.txt"), slice)
+          // land atomically: a micro-batch listing the source dir
+          // between create and flush would read (and mark processed) a
+          // truncated file — write outside the watched dir, then move in
+          val tmp = Files.createTempFile(Paths.get(src).getParent,
+            s"chunk_$c", ".tmp")
+          Files.write(tmp, slice)
+          Files.move(tmp, Paths.get(s"$src/chunk_$c.txt"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           if (paceMs > 0) Thread.sleep(paceMs)
         }
       }

@@ -84,6 +84,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("selectBatch: chain-fuse guard rejects merged-symbol collisions either pick order") {
+    def sel(ranked: Seq[(String, String)], want: Int = 8) =
+      Bpe.selectBatch[(String, String)](ranked, want, identity, _ + _)
+    // merged == later pair's LEFT: (a,bc) fuses to 'abc', (abc,d) would
+    // chain onto it in the same one-scan pass (over-application)
+    assert(sel(Seq(("a", "bc"), ("abc", "d"))) == Seq(("a", "bc")))
+    assert(sel(Seq(("abc", "d"), ("a", "bc"))) == Seq(("abc", "d")))
+    // merged == later pair's RIGHT: (x,abc) would miss fusions created
+    // to its right in the same pass (under-application)
+    assert(sel(Seq(("a", "bc"), ("x", "abc"))) == Seq(("a", "bc")))
+    assert(sel(Seq(("x", "abc"), ("a", "bc"))) == Seq(("x", "abc")))
+    // two pairs fusing to the SAME symbol defer the lower-ranked one
+    assert(sel(Seq(("a", "bc"), ("ab", "c"))) == Seq(("a", "bc")))
+    // plain symbol-disjointness still enforced; want respected
+    assert(sel(Seq(("a", "b"), ("b", "c"))) == Seq(("a", "b")))
+    assert(sel(Seq(("a", "b"), ("c", "d"), ("e", "f")), want = 2)
+      == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("merge_fold one-scan chaining is real — why selectBatch guards merged symbols") {
+    // the kernel fuses (a,bc)->abc and then IMMEDIATELY chains (abc,d)
+    // onto the fusion it just created; sequential rounds would apply
+    // (abc,d) only to 'abc' symbols that existed when it was ranked
+    val out = Seq(Tuple1(Seq("a", "bc", "d"))).toDF("syms")
+      .select(Bpe.applyMerges(col("syms"),
+        Seq(("a", "bc"), ("abc", "d"))).as("o"))
+      .head().getSeq[String](0)
+    assert(out == Seq("abcd"))
+  }
+
   test("round-trip: every trained word's segmentation concatenates back to the word") {
     val model = Bpe.train(corpus, "text", numMerges = 16,
       mergesPerRound = 4, minPairCount = 2)

@@ -1346,6 +1346,44 @@ class ExtensionOpsSpec extends SparkSpec {
     // a box size pointing past the buffer must not throw
     val lying = whole.clone(); lying(0) = 0x7F.toByte
     probeContainer(lying)
+    // odd-sized FINAL chunk with no pad byte (encoders often omit it):
+    // the probe must keep its already-parsed fields instead of letting
+    // the past-EOF pad skip throw the whole result into "unknown"
+    // (round-12 review). Layout: RIFF | fmt(16) | data(odd, at EOF).
+    val odd = {
+      val data = 7 // odd on purpose
+      val bb = java.nio.ByteBuffer.allocate(44 + data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(data)
+        .put(new Array[Byte](data))
+      bb.array()
+    }
+    val oddWav = probeContainer(odd)
+    assert(oddWav.container == "wav" && oddWav.sampleRate.contains(8000),
+      oddWav.toString)
+    // and the PCM decode path survives the same layout (odd unknown
+    // chunk before data, also unpadded at EOF)
+    val oddMid = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 8 + 3)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8 + 3)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+        .put(new Array[Byte](3)) // odd, unpadded, then nothing follows
+      bb.array()
+    }
+    // no data chunk: rate survives, duration absent, still "wav"
+    val midWav = probeContainer(oddMid)
+    assert(midWav.container == "wav" && midWav.sampleRate.contains(8000) &&
+      midWav.durationMs.isEmpty, midWav.toString)
     // unknown / empty / null
     assert(probeContainer(Array.tabulate(16)(_.toByte)).container == "unknown")
     assert(probeContainer(Array.emptyByteArray).container == "empty")

@@ -239,8 +239,9 @@ class SkewSpec extends SparkSpec {
     assert(posSet(grown) == posSet(oneShot),
       "grown store diverged from the one-shot build")
     // re-appending overlapping keys adds ZERO rows: the distinct-store
-    // invariant (a duplicated stored position overcounts bloomMaybe's
-    // all-k-hit test into a false negative) holds under replay
+    // invariant (size — the sketch must grow with set bits, not ingest
+    // volume; the probe itself is join-multiplicity-proof) holds under
+    // replay
     assert(posSet(Skew.bloomAppend(spark, dir, gen2, "text")) == posSet(oneShot))
     // and end-to-end verdicts through the reloaded store equal the
     // fresh-build path exactly
@@ -252,6 +253,25 @@ class SkewSpec extends SparkSpec {
       .select("id", "is_new").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(viaStore == fresh)
+  }
+
+  test("bloom: duplicate probe rows can never produce a false negative") {
+    // regression (round-12 review): the all-hit test was `count == k`,
+    // so a duplicated (id, key) increment row doubled the joined hit
+    // count and a TRUE DUP skipped exact confirmation as "definitely
+    // new". Verdicts now collapse to one row per distinct (id, key) and
+    // the test is "every distinct probed position hit".
+    val dupInc = incDf.unionAll(incDf).unionAll(incDf) // every row 3x
+    val rows = Skew.bloomNewIds(seenDf, dupInc, "id", "text",
+        mBits = 1L << 20, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3))))
+    assert(rows.length == 350, s"${rows.length} rows: duplicates must collapse")
+    val byId = rows.toMap
+    (0 until 50).foreach { i =>
+      assert(byId(1000L + i) == ((true, false)),
+        s"dup $i under duplicated probe rows: ${byId(1000L + i)}")
+    }
+    (0 until 300).foreach(i => assert(byId(i.toLong)._2, s"new$i not new"))
   }
 
   test("bloom: corpus-stays-put confirmation (candidate-bounded broadcasts) and guards") {

@@ -31,6 +31,16 @@ class OrchestrateSpec extends SparkSpec {
     assert(panel.exists(_.contains("race_control")), panel.mkString("\n"))
   }
 
+  test("orchestrate: more chunks than wire lines replays cleanly (small-input guard)") {
+    // regression (round-12 review): c·per past end-of-list made subList
+    // throw on inputs smaller than the chunk count
+    val counts = Orchestrate.run(spark, writeWire(),
+      Files.createTempDirectory("graft_orch_small").toString,
+      topics = Seq("weather"), pollRounds = 1, paceMs = 0L,
+      chunks = Fixtures.pyLines.size * 2, out = _ => ())
+    assert(counts == Map("weather" -> 3L), counts.toString)
+  }
+
   test("orchestrate: a topic subset launches only those monitors; unknown topics refuse") {
     val panel = new scala.collection.mutable.ArrayBuffer[String]
     val counts = Orchestrate.run(spark, writeWire(),
