@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sig_agreement"),
       new ExpressionInfo(classOf[SigAgreement].getName, "sig_agreement"),
       (exprs: Seq[Expression]) => SigAgreement(exprs(0), exprs(1))))
+    import graft.functions.{HammingDistExpr, SignPackExpr}
+    ext.injectFunction((
+      FunctionIdentifier("sign_pack"),
+      new ExpressionInfo(classOf[SignPackExpr].getName, "sign_pack"),
+      (exprs: Seq[Expression]) => SignPackExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistExpr].getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => HammingDistExpr(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
@@ -201,5 +210,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("media_probe"),
       new ExpressionInfo(TableFunctions.getClass.getName, "media_probe"),
       (exprs: Seq[Expression]) => TableFunctions.mediaProbe(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => TableFunctions.heavyHitters(exprs)))
+
+    // aggregate kernels (scalar-function block above covers expressions;
+    // this is the repo's first native AggregateFunction)
+    import graft.functions.MisraGriesAgg
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_topk"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), litInt(exprs(1)))))
   }
 }

@@ -167,6 +167,39 @@ object TextVectorKernels {
     c
   }
 
+  /** Sign-bit pack of a numeric vector: bit i set iff v(i) > 0 (zero and
+    * negative both clear — the deterministic tie rule), 64 components per
+    * long, little-endian within the word. The 1-bit quantization under
+    * Hamming-distance ANN ([[graft.operators.Similarity.hammingTopK]]):
+    * a 64-d float vector (256 B) becomes one long (8 B), a 32× scan-size
+    * reduction with sign-cosine as the distance proxy.
+    */
+  def signPack(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val x = toDoubles(a, isFloat)
+    val out = new Array[Long]((x.length + 63) >>> 6)
+    var i = 0
+    while (i < x.length) {
+      if (x(i) > 0.0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between two sign-packed vectors: popcount of the
+    * XOR, summed over words. Ragged inputs compare the common prefix
+    * (packs from the same pipeline are always equal-length).
+    */
+  def hammingDist(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    c
+  }
+
   /** Cosine of `x` against every centroid (shared by the fixed and
     * adaptive probe selections — one definition, no drift).
     */
@@ -912,6 +945,54 @@ case class SigAgreement(left: Expression, right: Expression) extends BinaryExpre
   override def prettyName: String = "sig_agreement"
 }
 
+/** Sign-bit pack of a numeric array column → ARRAY<BIGINT>
+  * ([[TextVectorKernels.signPack]]).
+  */
+case class SignPackExpr(child: Expression) extends UnaryExpression {
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sign_pack requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.signPack(input.asInstanceOf[ArrayData], elemIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextVectorKernels.signPack($c, $elemIsFloat)")
+  override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sign_pack"
+}
+
+/** Hamming distance between two sign-packed vectors (ARRAY<BIGINT>) —
+  * the hot inner op of binary-quantized ANN, codegen'd popcount-of-XOR
+  * rather than an interpreted `aggregate(zip_with(...))` HOF (the
+  * BASELINE.md pathology class).
+  */
+case class HammingDistExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left) && okType(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming_dist requires ARRAY<BIGINT>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextVectorKernels.hammingDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextVectorKernels.hammingDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_dist"
+}
+
 /** Hyperplane-LSH sign bucket of a numeric array column. */
 case class HyperplaneBucketExpr(child: Expression, planes: Int) extends UnaryExpression {
   private def elemIsFloat: Boolean = child.dataType match {
@@ -1458,6 +1539,9 @@ object TextVectorExpressions {
     Registry.registerOnce(spark, "vec_dot")(exprs => VecDot(exprs(0), exprs(1)))
     Registry.registerOnce(spark, "sig_agreement")(
       exprs => SigAgreement(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "sign_pack")(exprs => SignPackExpr(exprs.head))
+    Registry.registerOnce(spark, "hamming_dist")(
+      exprs => HammingDistExpr(exprs(0), exprs(1)))
     Registry.registerOnce(spark, "hyperplane_bucket")(
       exprs => HyperplaneBucketExpr(exprs(0), litInt(exprs(1))))
   }
@@ -1496,6 +1580,12 @@ object TextVectorExpressions {
   }
   def sig_agreement(a: Column, b: Column): Column = {
     register(SparkSession.active); call_function("sig_agreement", a, b)
+  }
+  def sign_pack(c: Column): Column = {
+    register(SparkSession.active); call_function("sign_pack", c)
+  }
+  def hamming_dist(a: Column, b: Column): Column = {
+    register(SparkSession.active); call_function("hamming_dist", a, b)
   }
   def hyperplane_bucket(c: Column, planes: Int): Column = {
     register(SparkSession.active); call_function("hyperplane_bucket", c, lit(planes))

@@ -227,6 +227,39 @@ object Similarity {
     rankTopK(candidates, queryId, corpusId, k)
   }
 
+  /** Binary-quantization (1-bit) Hamming ANN — the bottom rung of the
+    * quantization ladder (float32 → SQ8 → PQ → 1 bit): sign-pack corpus
+    * and query vectors (bit = component > 0, 64 components per long —
+    * a 64-d float32 vector's 256 B become ONE 8 B long, a 32× scan-size
+    * cut) and coarse-rank by popcount-of-XOR through the codegen'd
+    * [[graft.functions.HammingDistExpr]] kernel; the exact cosine rerank
+    * of the per-query top-`rerank` shortlist recovers the tail (the
+    * [[pqTopK]] rerank discipline). The coarse score reported without a
+    * rerank is the standard sign-cosine proxy `cos(π·h/d)` — monotone in
+    * the Hamming distance, exact in expectation under random rotation.
+    *
+    * Scale posture: packing is map-only; the coarse scan is the brute
+    * crossJoin shape but over 1-bit codes, so the corpus side ships
+    * dim/64 longs per row instead of dim floats and the inner op is a
+    * handful of XOR+POPCNT instructions — the memory-bandwidth regime
+    * binary quantization exists for. Shortlist + rerank move ≤ rerank
+    * rows per query.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.TextVectorExpressions.{hamming_dist, sign_pack}
+    val packed = corpus.select(col(corpusId),
+      sign_pack(col(corpusVec)).as("_cb"), size(col(corpusVec)).as("_d"))
+    val q = queries.select(col(queryId), sign_pack(col(queryVec)).as("_qb"))
+    val scored = packed.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cos(lit(math.Pi) *
+        hamming_dist(col("_cb"), col("_qb")).cast("double") / col("_d")))
+    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
+      queryVec, k, rerank)
+  }
+
   /** Product-quantization model: `codebooks` is the flattened (m·k)×subDim
     * matrix (driver model state: 8·16·8 doubles at the defaults — far
     * below the quantizer-matrix threshold IvfIndex already accepts);

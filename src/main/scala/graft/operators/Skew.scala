@@ -291,6 +291,54 @@ object Skew {
         not(coalesce(col("_bf_dup"), lit(false))).as("is_new"))
   }
 
+  /** Misra–Gries heavy-hitter candidates over an item column: ONE
+    * bounded-state aggregation ([[graft.functions.MisraGriesAgg]] — the
+    * exchange carries one ≤`k`-entry summary per partition, a few KB,
+    * never the vocabulary) exploded back to rows. Answers the frequency
+    * question count-min (x66) cannot: count-min estimates items you
+    * already hold; this SURFACES the heavy items. Guarantee: every item
+    * with true count > n/(k+1) appears; estimates are one-sided
+    * (est ≤ true ≤ est + n/(k+1)). Summary membership below the
+    * threshold — and the estimates themselves — are partition-order-
+    * dependent (inherent to MG), so gate-stable pipelines go through
+    * [[heavyHittersExact]]. Output: (item, est), est desc.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame =
+    df.agg(graft.functions.MisraGries.mg_topk(col(itemCol), k).as("_mg"))
+      .select(explode(col("_mg")).as("_e"))
+      .select(col("_e.item").as("item"), col("_e.est").as("est"))
+
+  /** EXACT heavy hitters through the MG prefilter — the 100 TB "what
+    * are my frequent items" shape with deterministic output (the
+    * [[bloomNewIds]] posture: the sketch changes the plan, never the
+    * answer). Items with frequency > `phi`·n are found by (1) one
+    * bounded-state MG pass with capacity k = ceil(1/phi) — whose
+    * containment guarantee (> n/(k+1) ⇒ present, and n/(k+1) ≤ phi·n)
+    * makes the ≤k candidates a SUPERSET of every true heavy hitter
+    * regardless of partitioning — then (2) one exact count of the
+    * candidate-filtered stream: a map-side `isin` filter against the
+    * ≤k-item broadcast list, so the confirming groupBy aggregates a
+    * k-item-vocabulary stream, never the full one. No step shuffles
+    * more than k·partitions rows. Output: (item, n, frac) for items
+    * with n > phi·total, frac rounded to 6 — deterministic, LIVE-
+    * oracle-checkable against the plain GROUP BY/HAVING it replaces.
+    */
+  def heavyHittersExact(df: DataFrame, itemCol: String,
+      phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi ($phi) must be in (0, 1)")
+    val k = math.ceil(1.0 / phi).toInt
+    val cand = heavyHitters(df, itemCol, k).select(col("item")).collect()
+      .map(_.getString(0))
+    val total = df.agg(count(col(itemCol)).as("_n"))
+    df.filter(col(itemCol).isin(cand.toSeq: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") > lit(phi) * col("_n"))
+      .select(col("item"), col("n"),
+        round(col("n") / col("_n"), 6).as("frac"))
+  }
+
   /** Persist a sketch: bits as parquet plus a meta table carrying
     * (mBits, k) — params ride the store so a probe can never hash with
     * a different modulus than the build (the [[CmSketch]] discipline,

@@ -124,6 +124,92 @@ object Terms {
           .as("avg_neg_logprob"))
   }
 
+  /** Per-document mean trigram negative log-probability under an
+    * interpolated Kneser–Ney trigram LM trained on the corpus itself —
+    * the full CCNet-grade perplexity filter (Wenzek et al. 2020 run
+    * KenLM's interpolated-KN model; x41/x52 are the unigram/bigram
+    * rungs below this). KN's insight over plain interpolation: lower-
+    * order models should measure how many CONTEXTS a word continues
+    * (type counts), not how often it occurs — "Francisco" is frequent
+    * but continues only "San", so its unigram backoff weight should be
+    * tiny. Single fixed discount `d` (KenLM's one-discount mode):
+    *
+    *   p₃(w3|w1w2) = (c(w1w2w3)−d)⁺/c(w1w2·) + d·N(w1w2·)/c(w1w2·)·p₂
+    *   p₂(w3|w2)   = (T(·w2w3)−d)⁺/T(·w2·)  + d·T(w2·)/T(·w2·)·p₁
+    *   p₁(w3)      = (T(·w3)−d)⁺/T(··)      + d·U/T(··)·(1/V)
+    *
+    * where N(w1w2·) = distinct continuations of the bigram context,
+    * T(·w2w3)/T(·w2·)/T(w2·) are TRIGRAM-type continuation counts
+    * around w2, T(·w3)/T(··) are (w2,w3)-type counts (derived from the
+    * trigram type table — the first bigram of each doc has no trigram
+    * context and is scored by neither engine), U = distinct continued
+    * words, V = corpus vocabulary (the uniform floor). Scored trigrams
+    * are always seen (the model trains on the scored corpus), so every
+    * probability is positive without further smoothing. Documents with
+    * fewer than three tokens drop (score them with the lower rungs).
+    * Determinism convention: per-trigram −ln p₃ is a pure double
+    * function of nine exact counts, rounded to 6, DECIMAL-summed,
+    * rounded to 4, negative zero canonicalized.
+    *
+    * Scale posture: trigram extraction is MAP-ONLY (array transform +
+    * explode); all five model tables are n-gram-TYPE-bounded partial-
+    * aggregated exchanges (≪ corpus; Zipf-skewed join keys — AQE
+    * splits); scalars ride a 1-row broadcast. Score = five model joins
+    * against the trigram stream + one per-doc aggregation — the same
+    * shape as [[bigramLogprob]] with a deeper model. Output:
+    * `(idCol, n_trigrams, avg_neg_logprob)`.
+    */
+  def trigramKnLogprob(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount ($discount) must be in (0, 1)")
+    val d = lit(discount)
+    val arr = split(trim(col(textCol)), "\\s+")
+    val tri = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), arr.as("_arr"))
+      .filter(size(col("_arr")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_arr")) - 3),
+        i => struct(element_at(col("_arr"), i + 1).as("w1"),
+          element_at(col("_arr"), i + 2).as("w2"),
+          element_at(col("_arr"), i + 3).as("w3")))).as("_t"))
+      .select(col(idCol), col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+        col("_t.w3").as("w3"))
+    // token-occurrence model tables (top level)
+    val t3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("t_n"))
+    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("ctx_n"),
+      countDistinct(col("w3")).as("ctx_types"))
+    // type-level tables (middle + bottom): derived from the DISTINCT
+    // trigram table, so they are type counts by construction
+    val c23 = t3.groupBy("w2", "w3").agg(count(lit(1)).as("c23_types"))
+    val mid = t3.groupBy("w2").agg(count(lit(1)).as("mid_total"),
+      countDistinct(col("w3")).as("mid_types"))
+    val uni = c23.groupBy("w3").agg(count(lit(1)).as("uni_types"))
+    val scalars = c23.agg(count(lit(1)).as("n_bity"))
+      .crossJoin(uni.agg(count(lit(1)).as("n_uniw")))
+      .crossJoin(tokens(docs, idCol, textCol)
+        .agg(countDistinct(col("token")).as("v")))
+    val p1 = greatest(col("uni_types") - d, lit(0.0)) / col("n_bity") +
+      d * col("n_uniw") / col("n_bity") * (lit(1.0) / col("v"))
+    val p2 = greatest(col("c23_types") - d, lit(0.0)) / col("mid_total") +
+      d * col("mid_types") / col("mid_total") * p1
+    val p3 = greatest(col("t_n") - d, lit(0.0)) / col("ctx_n") +
+      d * col("ctx_types") / col("ctx_n") * p2
+    tri.join(t3, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        sum(round(-log(p3), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
+      .select(col(idCol), col("n_trigrams"),
+        (round(col("_s").cast("double") / col("n_trigrams"), 4) + lit(0.0))
+          .as("avg_neg_logprob"))
+  }
+
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document mean
     * log-likelihood ratio between a TARGET domain's unigram model and

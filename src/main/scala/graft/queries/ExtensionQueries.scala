@@ -2102,7 +2102,88 @@ object ExtensionQueries {
           "FROM dedup_keep('x70_docs', 'doc_id', 'text', 3, 32, 8, 0.5) " +
           "ORDER BY doc_id")
       }, F1OracleSql.sql.get("x70_sql_dedup_keep")),
+
+    // Interpolated Kneser–Ney trigram perplexity — the full CCNet-grade
+    // LM filter completing the n-gram ladder (x41 unigram → x52 bigram →
+    // this): lower-order backoff weighs how many CONTEXTS a word
+    // continues (type counts), not how often it occurs. Trigram
+    // extraction is map-only; the five model tables are n-gram-TYPE-
+    // bounded partial-agg exchanges. LIVE oracle: every count table,
+    // all three KN levels, and the discounted interpolation re-derived
+    // independently in DuckDB.
+    Q("x75_trigram_kn",
+      (s, d) => Terms.trigramKnLogprob(Tables.documents(s, d), "doc_id",
+        "text", discount = 0.75)
+        .orderBy("doc_id"),
+      Some(trigramKnOracleSql)),
+
+    // Misra–Gries heavy hitters with EXACT output — the fifth sketch
+    // (HLL = how many distinct / quantiles = value at rank / count-min =
+    // how often is X / Bloom = have I seen X / MG = WHICH are frequent):
+    // one bounded-state aggregation (the repo's first native
+    // TypedImperativeAggregate — each partition ships one ≤k-entry
+    // summary, never the vocabulary) surfaces a guaranteed superset of
+    // every > phi·n item; one candidate-filtered exact count confirms.
+    // The corpus's 31-token vocabulary is near-uniform (~3% each), so
+    // two heavy items are PLANTED well above the 5% bar (docs ≡ 0 mod 3
+    // re-emit their token mass as 'hot_a' ≈ 22%, ≡ 0 mod 7 as 'hot_b'
+    // ≈ 10%) — membership on both sides of the threshold is
+    // load-bearing. LIVE oracle: the plain GROUP BY/HAVING the sketch
+    // replaces — the sketch must change the plan, never the answer.
+    Q("x76_heavy_hitters",
+      (s, d) => Skew.heavyHittersExact(
+          heavyItemStream(Tables.documents(s, d)), "token", phi = 0.05)
+        .orderBy("item"),
+      Some(heavyHittersOracleSql)),
+
+    // x76 through the SQL surface (the x68-x70 TVF posture, same LIVE
+    // oracle): the Misra-Gries prefilter + exact confirmation as one
+    // SELECT any SQL session can run.
+    Q("x76b_sql_heavy_hitters",
+      (s, d) => {
+        heavyItemStream(Tables.documents(s, d))
+          .createOrReplaceTempView("x76b_items")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT item, n, frac " +
+          "FROM heavy_hitters('x76b_items', 'token', 0.05) ORDER BY item")
+      },
+      Some(heavyHittersOracleSql)),
+
+    // Binary-quantization Hamming ANN — the bottom rung of the
+    // quantization ladder (float32 x06 → SQ8 x53 → PQ x18 → 1 bit):
+    // sign-packed vectors (64-d float32 → ONE long, 32× scan-size cut)
+    // coarse-ranked by codegen'd popcount-of-XOR, exact cosine rerank
+    // of the per-query top-50 recovers the tail. Frozen oracle
+    // (sign-pack is engine-internal); the recall floor vs x06's exact
+    // brute force is pinned in ExtensionOpsSpec.
+    Q("x77_ann_hamming_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hammingTopK(
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x77_ann_hamming_topk")),
   )
+
+  /** The x76 item stream: the corpus token stream plus planted heavy
+    * items (the corpus vocabulary is near-uniform, so unplanted heavy
+    * hitters would not exist and the operator would freeze green on an
+    * empty answer). Docs ≡ 0 (mod 3) re-emit their token mass as
+    * 'hot_a', ≡ 0 (mod 7) as 'hot_b' — modular planting keeps the
+    * fractions SF-stable, so the same thresholds hold at sf0.01 and the
+    * sf0.1 live sweep.
+    */
+  private def heavyItemStream(docs: DataFrame): DataFrame = {
+    val toks = Terms.tokens(docs, "doc_id", "text")
+    toks.select("token")
+      .unionByName(toks.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(lit("hot_a").as("token")))
+      .unionByName(toks.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(lit("hot_b").as("token")))
+  }
 
   /** Land `df` as ONE flat parquet file in a file-stream source dir (the
     * stream source lists plain files, not nested directories) — the
@@ -2129,6 +2210,73 @@ object ExtensionQueries {
   // initialize in declaration order; this exact bug shipped a null
   // oracle and zeroed round 8's correctness artifact)
   private lazy val bm25OracleSql: String = bm25Oracle("")
+
+  /** x75's LIVE oracle: the interpolated-KN trigram model re-derived
+    * from scratch in DuckDB — trigram stream by array subscript, token-
+    * occurrence tables (t3/ctx), TYPE-level continuation tables derived
+    * from the distinct-trigram table (c23/mid/uni), corpus scalars, and
+    * the three-level discounted interpolation with the SAME operator
+    * associativity as the Spark side (doubles are exactly rounded, so
+    * identical expression trees give identical bits; the per-trigram
+    * round-6 + DECIMAL-sum convention absorbs the engines' last-ulp ln
+    * differences). Discounts ride as CAST(0.75 AS DOUBLE): a bare .75
+    * literal types DECIMAL in DuckDB and drags the whole expression
+    * into decimal arithmetic. CTEs are AS MATERIALIZED: DuckDB inlines
+    * plain CTEs per reference, and this chain (tri→t3→c23→uni plus the
+    * scalar CTE re-referencing three levels of it) flattens into a
+    * join-order search that runs MINUTES at sf0.01 — materialization
+    * pins each table to one evaluation (measured 0.16 s; values
+    * identical).
+    */
+  private lazy val trigramKnOracleSql: String =
+    "WITH d AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr " +
+      "FROM documents WHERE trim(text) <> ''), " +
+      "toks AS MATERIALIZED (SELECT doc_id, unnest(arr) AS token FROM d), " +
+      "tri AS MATERIALIZED (SELECT doc_id, arr[CAST(i AS INT)+1] AS w1, " +
+      "arr[CAST(i AS INT)+2] AS w2, arr[CAST(i AS INT)+3] AS w3 " +
+      "FROM d, unnest(range(len(arr)-2)) AS t(i) WHERE len(arr) >= 3), " +
+      "t3 AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS t_n FROM tri GROUP BY 1, 2, 3), " +
+      "ctx AS MATERIALIZED (SELECT w1, w2, count(*) AS ctx_n, " +
+      "count(DISTINCT w3) AS ctx_types FROM tri GROUP BY 1, 2), " +
+      "c23 AS MATERIALIZED (SELECT w2, w3, count(*) AS c23_types FROM t3 GROUP BY 1, 2), " +
+      "mid AS MATERIALIZED (SELECT w2, count(*) AS mid_total, " +
+      "count(DISTINCT w3) AS mid_types FROM t3 GROUP BY 1), " +
+      "uni AS MATERIALIZED (SELECT w3, count(*) AS uni_types FROM c23 GROUP BY 1), " +
+      "sc AS MATERIALIZED (SELECT (SELECT count(*) FROM c23) AS n_bity, " +
+      "(SELECT count(*) FROM uni) AS n_uniw, " +
+      "(SELECT count(DISTINCT token) FROM toks) AS v) " +
+      "SELECT doc_id, count(*) AS n_trigrams, " +
+      "round(CAST(sum(CAST(round(-ln(" +
+      "greatest(t_n - CAST(0.75 AS DOUBLE), 0.0) / ctx_n + " +
+      "CAST(0.75 AS DOUBLE) * ctx_types / ctx_n * (" +
+      "greatest(c23_types - CAST(0.75 AS DOUBLE), 0.0) / mid_total + " +
+      "CAST(0.75 AS DOUBLE) * mid_types / mid_total * (" +
+      "greatest(uni_types - CAST(0.75 AS DOUBLE), 0.0) / n_bity + " +
+      "CAST(0.75 AS DOUBLE) * n_uniw / n_bity * (1.0 / v)))), 6) " +
+      "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 " +
+      "AS avg_neg_logprob " +
+      "FROM tri JOIN t3 USING (w1, w2, w3) JOIN ctx USING (w1, w2) " +
+      "JOIN c23 USING (w2, w3) JOIN mid USING (w2) JOIN uni USING (w3) " +
+      "CROSS JOIN sc " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
+  /** x76's LIVE oracle: the plain GROUP BY/HAVING over the same planted
+    * stream — exactly the vocabulary-sized aggregation the Misra-Gries
+    * prefilter replaces at scale. Answer parity IS the gate.
+    */
+  private lazy val heavyHittersOracleSql: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
+      "FROM documents WHERE trim(text) <> ''), " +
+      "stream AS (SELECT token FROM toks " +
+      "UNION ALL SELECT 'hot_a' FROM toks WHERE doc_id % 3 = 0 " +
+      "UNION ALL SELECT 'hot_b' FROM toks WHERE doc_id % 7 = 0), " +
+      "tot AS (SELECT count(*) AS n_total FROM stream) " +
+      "SELECT token AS item, count(*) AS n, " +
+      "round(count(*) / CAST((SELECT n_total FROM tot) AS DOUBLE), 6) AS frac " +
+      "FROM stream GROUP BY token " +
+      "HAVING count(*) > CAST(0.05 AS DOUBLE) * (SELECT n_total FROM tot) " +
+      "ORDER BY item"
 
   /** x46's oracle with a candidate restriction in the scoring CTE —
     * the Lucene filtered-query semantics the engine's `docPred`

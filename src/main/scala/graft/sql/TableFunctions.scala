@@ -54,6 +54,7 @@ object TableFunctions {
     reg("line_dedup", lineDedup)
     reg("bloom_new_ids", bloomNewIds)
     reg("media_probe", mediaProbe)
+    reg("heavy_hitters", heavyHitters)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -189,6 +190,23 @@ object TableFunctions {
     require(exprs.length == 1,
       s"media_probe(assetsView) takes 1 argument, got ${exprs.length}")
     graft.operators.Multimodal.containerProbe(table(litString(exprs(0))))
+      .queryExecution.logical
+  }
+
+  /** `heavy_hitters(itemsView, itemCol, phi)` → (item, n, frac).
+    *
+    * Exact items exceeding `phi` of the stream through the Misra–Gries
+    * bounded-state prefilter ([[graft.operators.Skew.heavyHittersExact]]
+    * verbatim: one ≤k-entry-per-partition summary pass surfaces a
+    * candidate superset, one candidate-filtered exact count confirms) —
+    * the "what are my frequent items" question as one SQL statement,
+    * with the sketch changing the plan, never the answer.
+    */
+  def heavyHitters(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      s"heavy_hitters(itemsView, itemCol, phi) takes 3 arguments, got ${exprs.length}")
+    Skew.heavyHittersExact(table(litString(exprs(0))), litString(exprs(1)),
+      phi = litDouble(exprs(2)))
       .queryExecution.logical
   }
 }

@@ -1137,6 +1137,100 @@ object ScaleProbe {
     seen.unpersist()
   }
 
+  /** Data-dominated probe for the round-12 continuation families —
+    * Misra-Gries heavy hitters, KN trigram perplexity, binary-quantized
+    * Hamming ANN — at two factors so BASELINE.md can record exponents.
+    * Every arm carries an EXACT invariant (planted heavies with exact
+    * counts and fractions; per-doc trigram counts; result-shape +
+    * recall floor), so a scaling number can never come from a silently
+    * wrong answer.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 100 datadom4"   // 5M items
+    *   sbt "runMain graft.tools.ScaleProbe 200 datadom4"   // 10M items
+    */
+  private def datadom4Probe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Similarity, Skew, Terms}
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    // ---- heavy hitters: n = factor×50k items, three planted heavies
+    // (30% / 15% / 6%) over a 100k-key light tail — the Zipf head/tail
+    // split MG exists for. Verdicts at phi = 0.05 must be EXACTLY the
+    // three planted keys with exact counts.
+    val nItems = factor * 50000L
+    val items = spark.range(nItems).select(
+      when(col("id") % 10 < 3, lit("hh_a"))
+        .when(col("id") % 10 < 4, lit("hh_b"))
+        .when(col("id") % 100 >= 44 && col("id") % 100 < 50, lit("hh_c"))
+        .otherwise(concat(lit("tail_"), pmod(col("id"), lit(100000)))).as("item"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd4_items","factor":$factor,"items":${items.count()}}""")
+    timed("dd4_heavy_hitters") {
+      val got = Skew.heavyHittersExact(items, "item", phi = 0.05)
+        .orderBy("item").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val expect = Seq(("hh_a", nItems * 3 / 10), ("hh_b", nItems / 10),
+        ("hh_c", nItems * 6 / 100))
+      require(got.toSeq == expect, s"heavy-hitter verdicts broke: ${got.toSeq} vs $expect")
+    }
+    items.unpersist()
+    // ---- KN trigram: factor×2500 docs × 30 tokens from a 200-word
+    // modular vocabulary — every doc must emit exactly 28 trigrams and
+    // a finite positive score.
+    val nDocs = factor * 2500L
+    val words = transform(sequence(lit(0), lit(29)),
+      i => concat(lit("w"), pmod(col("id") * 31 + i * 7, lit(200))))
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", words).as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd4_docs","factor":$factor,"docs":${docs.count()}}""")
+    timed("dd4_trigram_kn") {
+      val out = Terms.trigramKnLogprob(docs, "doc_id", "text").cache()
+      val n = out.count()
+      val bad = out.filter(col("n_trigrams") =!= 28 ||
+        col("avg_neg_logprob") <= 0.0 || isnan(col("avg_neg_logprob"))).count()
+      out.unpersist()
+      println(s"""{"probe":"dd4_trigram_invariant","factor":$factor,"docs":$n,"bad":$bad}""")
+      require(n == nDocs && bad == 0, s"trigram invariant broke: n=$n bad=$bad")
+    }
+    docs.unpersist()
+    // ---- Hamming ANN: factor×2500 deterministic 64-d vectors, 20
+    // queries. The coarse 1-bit scan is timed against the float32 brute
+    // scan on the SAME corpus — the 32×-smaller-scan claim priced — and
+    // the reranked search must keep recall ≥ 0.5 vs brute in this
+    // synthetic near-random regime.
+    val nVecs = factor * 2500L
+    val vec = transform(sequence(lit(0), lit(63)),
+      i => cos(col("id") * 0.7 + i * 1.3))
+    val corpus = spark.range(nVecs)
+      .select(col("id").as("c_id"), vec.as("c_vec"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd4_vecs","factor":$factor,"vecs":${corpus.count()}}""")
+    val queries = spark.range(20)
+      .select(col("id").as("q_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => cos(col("id") * 0.7 + i * 1.3)).as("q_vec"))
+    val brute = timed("dd4_brute_scan") {
+      Similarity.bruteForceTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    timed("dd4_hamming_scan") {
+      val n = Similarity.hammingTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 0).count()
+      require(n == 100, s"hamming topk shape broke: $n")
+    }
+    timed("dd4_hamming_rerank") {
+      val got = Similarity.hammingTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 200).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      println(s"""{"probe":"dd4_hamming_recall","factor":$factor,"recall":$recall}""")
+      require(recall >= 0.5, s"hamming rerank recall broke: $recall")
+    }
+    corpus.unpersist()
+  }
+
   /** Anomaly isolation for the datadom findings: times classifier
     * training on the SAME 5000-doc labeled slice materialized two ways —
     * fresh from parquet vs filtered out of a factor×-cached corpus —
@@ -1305,6 +1399,10 @@ object ScaleProbe {
     }
     if (mode == "datadom3") {
       try datadom3Probe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom4") {
+      try datadom4Probe(spark, n) finally spark.stop()
       return
     }
     if (mode == "trainmicro") {

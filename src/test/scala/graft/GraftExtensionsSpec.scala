@@ -90,6 +90,13 @@ class GraftExtensionsSpec extends SparkSpec {
         .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab", "c"))
       assert(one("merge_fold(array('a', '##b'), array('a', '##b'), true)")
         .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab"))
+      // binary-quantization kernels
+      assert(one(s"size(sign_pack($vf)) = 1") == true)
+      assert(one(s"hamming_dist(sign_pack($vf), sign_pack($vf))") == 0)
+      assert(one(s"hamming_dist(sign_pack($vf), " +
+        "sign_pack(CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)))") == 2)
+      // the aggregate kernel (the repo's first injected AggregateFunction)
+      assert(one("size(mg_topk('x', 4)) = 1") == true)
     }
   }
 

@@ -470,6 +470,31 @@ class ExtensionOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).isEmpty)
   }
 
+  test("trigramKnLogprob: scrambled trigrams score worse; short docs drop; partition-invariant") {
+    // docs 1-3 share natural phrasing; doc 4 scrambles doc 1 so most of
+    // its trigram contexts are singletons — the interpolated-KN score
+    // must penalize it past the natural docs
+    val docs = Seq(
+      (1L, "the cat sat on the mat in the house"),
+      (2L, "the dog sat on the mat in the house"),
+      (3L, "the cat ran on the mat in the barn"),
+      (4L, "house the in mat sat the on cat the")
+    ).toDF("doc_id", "text")
+    val kn = Terms.trigramKnLogprob(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(4) > kn(1), s"scrambled doc must score worse under KN trigrams: $kn")
+    // a two-token doc has no trigrams and drops (documented contract)
+    val tiny = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(Terms.trigramKnLogprob(docs.unionByName(tiny), "doc_id", "text")
+      .filter(col("doc_id") === 9L).isEmpty)
+    // exact counts + pure-double scoring => bit-identical at any layout
+    val rep = Terms.trigramKnLogprob(docs.repartition(13), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == kn, "score drifted under repartition")
+    intercept[IllegalArgumentException](
+      Terms.trigramKnLogprob(docs, "doc_id", "text", discount = 1.5))
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)
@@ -1422,5 +1447,60 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(m.getString(3) == "keep one\nkeep two\nkeep three")
     intercept[IllegalArgumentException](
       TextOps.lineDedup(docs, "doc_id", "text", minDocs = 1))
+  }
+
+  // ---- binary-quantization (Hamming) ANN ----
+
+  test("sign_pack: >0 bits little-endian per 64-word, multi-word; hamming_dist = popcount of xor") {
+    import graft.functions.TextVectorExpressions.{hamming_dist, sign_pack}
+    // 70-d vector: bits 0, 3 and 69 positive, everything else <= 0 —
+    // exercises the two-word path and the strict >0 tie rule (zeros
+    // and negatives both clear)
+    val v = Array.fill(70)(-1.0f)
+    v(0) = 0.5f; v(3) = 1.0f; v(69) = 2.0f; v(5) = 0.0f
+    val w = Array.fill(70)(-1.0f)
+    w(0) = 0.5f; w(7) = 1.0f // differs from v at bits 3, 7, 69
+    val df = Seq((v.toSeq, w.toSeq)).toDF("a", "b")
+      .select(sign_pack(col("a")).as("pa"), sign_pack(col("b")).as("pb"))
+    val r = df.select(col("pa"), col("pb"),
+      hamming_dist(col("pa"), col("pb")).as("h")).collect().head
+    val pa = r.getSeq[Long](0)
+    assert(pa.length == 2, s"70 dims should pack into 2 words, got ${pa.length}")
+    assert(pa(0) == ((1L << 0) | (1L << 3)), s"word0 = ${pa(0)}")
+    assert(pa(1) == (1L << 5), s"word1 (bit 69 = word 1 bit 5) = ${pa(1)}")
+    assert(r.getInt(2) == 3, s"hamming = ${r.getInt(2)}")
+  }
+
+  test("hamming ANN: rerank emits exact cosines; recall@5 vs brute on real testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteDf = Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5)
+    val brute = pairs(bruteDf)
+    // this corpus is the hard near-random regime (top-5 cos ~ 0.4):
+    // 1-bit quantization is genuinely lossy there, and the rerank depth
+    // buys the recall back — the knob the scaladoc documents
+    val r50 = pairs(Similarity.hammingTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 50))
+    val r150df = Similarity.hammingTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 150)
+    val r150 = pairs(r150df)
+    val rec50 = (brute & r50).size.toDouble / brute.size
+    val rec150 = (brute & r150).size.toDouble / brute.size
+    assert(rec50 >= 0.6, f"hamming rerank=50 recall@5 = $rec50%.3f")
+    assert(rec150 >= 0.9, f"hamming rerank=150 recall@5 = $rec150%.3f")
+    // the reranked cos IS the exact cosine: identical to brute force on
+    // every pair both report
+    val bruteCos = bruteDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    r150df.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c =>
+        assert(c == r.getDouble(2), s"rerank cos drifted at $key"))
+    }
   }
 }

@@ -176,4 +176,23 @@ class SqlTableFunctionsSpec extends SparkSpec {
       assert(mp4.getString(2) == "isobmff" && mp4.getString(8) == "isom")
     }
   }
+
+  test("heavy_hitters TVF ≡ Skew.heavyHittersExact, planted heavies load-bearing") {
+    withExtSession { s =>
+      import s.implicits._
+      // 60% one hot key, the rest spread over 40 light keys — only the
+      // hot key crosses phi = 0.25
+      val items = s.range(1000).select(
+        when(col("id") % 5 < 3, lit("hot"))
+          .otherwise(concat(lit("cold_"), pmod(col("id"), lit(40)))).as("item"))
+      items.createOrReplaceTempView("tvf_hh_items")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM heavy_hitters('tvf_hh_items', 'item', 0.25) ORDER BY item"))
+      val viaScala = rows(graft.operators.Skew
+        .heavyHittersExact(items, "item", phi = 0.25).orderBy("item"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      assert(viaSql.map(_.getString(0)) == Seq("hot") &&
+        viaSql.head.getLong(1) == 600L)
+    }
+  }
 }
