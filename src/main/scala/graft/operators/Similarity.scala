@@ -247,10 +247,36 @@ object Similarity {
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int, rerank: Int = 0): DataFrame =
+    hammingTopKPacked(signPackCorpus(corpus, corpusId, corpusVec), corpus,
+      queries, corpusId, corpusVec, queryId, queryVec, k, rerank)
+
+  /** Materialized 1-bit codes for a corpus: `(corpusId, _cb, _d)` — the
+    * store-once half of binary-quantized search. At 100 TB this is the
+    * table you persist (8 bytes per 64 dims vs 256: the whole corpus's
+    * codes fit where 3% of its floats would), and every
+    * [[hammingTopKPacked]] scan reads ONLY it; full vectors are touched
+    * by the rerank's id-join alone.
+    */
+  def signPackCorpus(corpus: DataFrame, corpusId: String,
+      corpusVec: String): DataFrame =
+    corpus.select(col(corpusId),
+      graft.functions.TextVectorExpressions.sign_pack(col(corpusVec)).as("_cb"),
+      size(col(corpusVec)).as("_d"))
+
+  /** [[hammingTopK]] against PRE-PACKED codes (from [[signPackCorpus]],
+    * typically persisted) — the deployment shape: the probe-time corpus
+    * scan ships dim/64 longs per row instead of dim floats, and packing
+    * cost (≈ one dot product per row — measured at wall parity with the
+    * float scan in a hot-cache probe, BASELINE.md datadom4) is paid once
+    * at store time instead of per query batch. `corpus` backs only the
+    * exact rerank (point reads by neighbor id). Row-identical to
+    * [[hammingTopK]] on the same inputs (spec-pinned).
+    */
+  def hammingTopKPacked(packed: DataFrame, corpus: DataFrame,
+      queries: DataFrame, corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int, rerank: Int = 0): DataFrame = {
     import graft.functions.TextVectorExpressions.{hamming_dist, sign_pack}
-    val packed = corpus.select(col(corpusId),
-      sign_pack(col(corpusVec)).as("_cb"), size(col(corpusVec)).as("_d"))
     val q = queries.select(col(queryId), sign_pack(col(queryVec)).as("_qb"))
     val scored = packed.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId))

@@ -195,7 +195,15 @@ object Terms {
       d * col("mid_types") / col("mid_total") * p1
     val p3 = greatest(col("t_n") - d, lit(0.0)) / col("ctx_n") +
       d * col("ctx_types") / col("ctx_n") * p2
-    tri.join(t3, Seq("w1", "w2", "w3"))
+    // The final 4-decimal average is computed by EXACT integer HALF_UP,
+    // not by round(double, 4): sum/count can land exactly on a 4-decimal
+    // midpoint (found at sf0.1: 238.878000/72 = 3.31775 exactly), which
+    // no double represents — Spark's BigDecimal-of-the-double rounds the
+    // below-midpoint double DOWN while DuckDB's scale-multiply re-rounds
+    // onto the midpoint and goes UP. Integer space has no such seam:
+    // micro-nat sum S (exact, the DECIMAL sum ×10⁶), HALF_UP at 4
+    // decimals = (S + 50·n) div (100·n), both engines exact.
+    val out = tri.join(t3, Seq("w1", "w2", "w3"))
       .join(ctx, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
       .join(mid, Seq("w2"))
@@ -205,9 +213,14 @@ object Terms {
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum(round(-log(p3), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
-      .select(col(idCol), col("n_trigrams"),
-        (round(col("_s").cast("double") / col("n_trigrams"), 4) + lit(0.0))
-          .as("avg_neg_logprob"))
+    val sMicro = (col("_s") * lit(1000000)).cast("long")
+    val num = sMicro + lit(50L) * col("n_trigrams")
+    val den = lit(100L) * col("n_trigrams")
+    // num − pmod(num, den) is divisible by den, so the double division
+    // is exact (quotient ≪ 2^53) — no float rounding re-enters
+    out.select(col(idCol), col("n_trigrams"),
+      (((num - pmod(num, den)) / den).cast("long").cast("double") / 10000.0)
+        .as("avg_neg_logprob"))
   }
 
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for

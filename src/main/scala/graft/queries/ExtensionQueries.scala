@@ -2245,15 +2245,20 @@ object ExtensionQueries {
       "sc AS MATERIALIZED (SELECT (SELECT count(*) FROM c23) AS n_bity, " +
       "(SELECT count(*) FROM uni) AS n_uniw, " +
       "(SELECT count(DISTINCT token) FROM toks) AS v) " +
+      // final average via EXACT integer HALF_UP — see the Spark-side
+      // comment in Terms.trigramKnLogprob (sum/count can be an exact
+      // 4-decimal midpoint; round(double, 4) disagrees across engines
+      // there)
       "SELECT doc_id, count(*) AS n_trigrams, " +
-      "round(CAST(sum(CAST(round(-ln(" +
+      "(CAST(sum(CAST(round(-ln(" +
       "greatest(t_n - CAST(0.75 AS DOUBLE), 0.0) / ctx_n + " +
       "CAST(0.75 AS DOUBLE) * ctx_types / ctx_n * (" +
       "greatest(c23_types - CAST(0.75 AS DOUBLE), 0.0) / mid_total + " +
       "CAST(0.75 AS DOUBLE) * mid_types / mid_total * (" +
       "greatest(uni_types - CAST(0.75 AS DOUBLE), 0.0) / n_bity + " +
       "CAST(0.75 AS DOUBLE) * n_uniw / n_bity * (1.0 / v)))), 6) " +
-      "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 " +
+      "AS DECIMAL(28,6))) * 1000000 AS BIGINT) + 50 * count(*)) " +
+      "// (100 * count(*)) / 10000.0 " +
       "AS avg_neg_logprob " +
       "FROM tri JOIN t3 USING (w1, w2, w3) JOIN ctx USING (w1, w2) " +
       "JOIN c23 USING (w2, w3) JOIN mid USING (w2) JOIN uni USING (w3) " +

@@ -1235,6 +1235,17 @@ object ScaleProbe {
       require(t.count() == 100, "hamming topk shape broke")
       t
     }
+    // the deployment shape: codes STORED (cached here standing in for a
+    // persisted pack column), probe pays only popcount scan + rerank —
+    // this is the wall to weigh against dd4_brute_scan
+    val packed = Similarity.signPackCorpus(corpus, "c_id", "c_vec").cache()
+    packed.count()
+    timed("dd4_hamming_packed_scan") {
+      val n = Similarity.hammingTopKPacked(packed, corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 200).count()
+      require(n == 100, "packed hamming topk shape broke")
+    }
+    packed.unpersist()
     val hit = twins.filter(col("rank") === 1 &&
       col("neighbor_id") === col("query_id") - 9000000L).count()
     val got = twins.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1502,5 +1502,14 @@ class ExtensionOpsSpec extends SparkSpec {
       bruteCos.get(key).foreach(c =>
         assert(c == r.getDouble(2), s"rerank cos drifted at $key"))
     }
+    // the deployment shape — search over a PRE-PACKED (persisted) code
+    // table — is row-identical to packing inline
+    val packed = Similarity.signPackCorpus(corpus, "c_id", "c_vec")
+      .localCheckpoint(true)
+    val viaPacked = Similarity.hammingTopKPacked(packed, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 150)
+      .collect().map(_.toSeq).toSet
+    assert(viaPacked == r150df.collect().map(_.toSeq).toSet,
+      "packed-corpus search drifted from inline packing")
   }
 }
