@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   * No reference analogue (SURVEY §2.11 text-analysis family).
   */
 object Terms {
+
+  /** Exact 4-decimal HALF_UP average of a `DECIMAL(28,6)` sum over a
+    * long count, computed in INTEGER space. `round(sum_double / n, 4)`
+    * is a cross-engine seam: when the true rational sum/n is EXACTLY a
+    * 4-decimal midpoint (found live at sf0.1: 238.878000/72 = 3.31775),
+    * no double represents it — Spark's BigDecimal-of-the-double rounds
+    * the below-midpoint double DOWN while DuckDB's scale-multiply
+    * re-rounds onto the midpoint and goes UP. Integer space has no such
+    * seam: with S the micro-unit sum (exact, the DECIMAL ×10⁶),
+    * HALF_UP at 4 decimals = sign(S) · ((|S| + 50n) div (100n)), then
+    * /10⁴ (one exact-input IEEE division, identical on both engines).
+    * Sign-aware because HALF_UP rounds away from zero (DSIR scores go
+    * negative); `+ 0.0` canonicalizes the negative zero sign(S)·0
+    * would leave. The DuckDB oracle mirror is
+    * `sign(S) * ((abs(S) + 50*n) // (100*n)) / 10000.0 + 0.0`.
+    */
+  private def avgRound4(s: Column, n: Column): Column = {
+    val sMicro = (s * lit(1000000)).cast("long")
+    val num = abs(sMicro) + lit(50L) * n
+    val den = lit(100L) * n
+    // num − pmod(num, den) is divisible by den, so the double division
+    // is exact (quotient ≪ 2^53) — no float rounding re-enters
+    val q = ((num - pmod(num, den)) / den).cast("long")
+    (signum(sMicro.cast("double")) * q.cast("double") / 10000.0) + lit(0.0)
+  }
 
   /** Whitespace tokens per document: `(idCol, token)`, one row per
     * occurrence. Empty/whitespace-only documents contribute nothing.
@@ -68,8 +93,7 @@ object Terms {
         sum(round(-log(col("tok_n") / col("total")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
       .select(col(idCol), col("n_toks"),
-        round(col("_s").cast("double") / col("n_toks"), 4)
-          .as("avg_neg_logprob"))
+        avgRound4(col("_s"), col("n_toks")).as("avg_neg_logprob"))
   }
 
   /** Per-document mean bigram negative log-probability under an
@@ -120,8 +144,7 @@ object Terms {
         sum(round(-log(p), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
       .select(col(idCol), col("n_bigrams"),
-        (round(col("_s").cast("double") / col("n_bigrams"), 4) + lit(0.0))
-          .as("avg_neg_logprob"))
+        avgRound4(col("_s"), col("n_bigrams")).as("avg_neg_logprob"))
   }
 
   /** Per-document mean trigram negative log-probability under an
@@ -195,14 +218,6 @@ object Terms {
       d * col("mid_types") / col("mid_total") * p1
     val p3 = greatest(col("t_n") - d, lit(0.0)) / col("ctx_n") +
       d * col("ctx_types") / col("ctx_n") * p2
-    // The final 4-decimal average is computed by EXACT integer HALF_UP,
-    // not by round(double, 4): sum/count can land exactly on a 4-decimal
-    // midpoint (found at sf0.1: 238.878000/72 = 3.31775 exactly), which
-    // no double represents — Spark's BigDecimal-of-the-double rounds the
-    // below-midpoint double DOWN while DuckDB's scale-multiply re-rounds
-    // onto the midpoint and goes UP. Integer space has no such seam:
-    // micro-nat sum S (exact, the DECIMAL sum ×10⁶), HALF_UP at 4
-    // decimals = (S + 50·n) div (100·n), both engines exact.
     val out = tri.join(t3, Seq("w1", "w2", "w3"))
       .join(ctx, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
@@ -213,14 +228,8 @@ object Terms {
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum(round(-log(p3), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
-    val sMicro = (col("_s") * lit(1000000)).cast("long")
-    val num = sMicro + lit(50L) * col("n_trigrams")
-    val den = lit(100L) * col("n_trigrams")
-    // num − pmod(num, den) is divisible by den, so the double division
-    // is exact (quotient ≪ 2^53) — no float rounding re-enters
     out.select(col(idCol), col("n_trigrams"),
-      (((num - pmod(num, den)) / den).cast("long").cast("double") / 10000.0)
-        .as("avg_neg_logprob"))
+      avgRound4(col("_s"), col("n_trigrams")).as("avg_neg_logprob"))
   }
 
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
@@ -268,11 +277,8 @@ object Terms {
       .agg(count(lit(1)).cast("long").as("n_toks"),
         sum(round(contrib, 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
-      // + 0.0 canonicalizes IEEE negative zero: a doc rounding to exactly
-      // zero otherwise hash-compares 0.0 vs -0.0 across engines
       .select(col(idCol), col("n_toks"),
-        (round(col("_s").cast("double") / col("n_toks"), 4) + lit(0.0))
-          .as("dsir_score"))
+        avgRound4(col("_s"), col("n_toks")).as("dsir_score"))
   }
 
   /** Per-document top-`k` terms by smoothed TF-IDF

@@ -1236,16 +1236,22 @@ object ExtensionQueries {
     Q("x41_unigram_logprob",
       (s, d) => Terms.unigramLogprob(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
+      // final average via exact integer HALF_UP (Terms.avgRound4 mirror
+      // — round(double, 4) diverges across engines on true 4-decimal
+      // midpoints)
       Some("WITH toks AS (SELECT doc_id, " +
         "unnest(regexp_split_to_array(trim(text), '\\s+')) AS token " +
         "FROM documents WHERE trim(text) <> ''), " +
         "model AS (SELECT token, count(*) AS tok_n FROM toks GROUP BY token), " +
-        "tot AS (SELECT count(*) AS total FROM toks) " +
-        "SELECT doc_id, count(*) AS n_toks, " +
-        "round(CAST(sum(CAST(round(-ln(CAST(tok_n AS DOUBLE) / total), 6) " +
-        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_neg_logprob " +
+        "tot AS (SELECT count(*) AS total FROM toks), " +
+        "agg AS (SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(sum(CAST(round(-ln(CAST(tok_n AS DOUBLE) / total), 6) " +
+        "AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro " +
         "FROM toks JOIN model USING (token) CROSS JOIN tot " +
-        "GROUP BY doc_id ORDER BY doc_id")),
+        "GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, sign(s_micro) * " +
+        "((abs(s_micro) + 50 * n_toks) // (100 * n_toks)) / 10000.0 + 0.0 " +
+        "AS avg_neg_logprob FROM agg ORDER BY doc_id")),
 
     // Pack render: the span manifest joined back to the documents and
     // re-assembled into each training sequence's actual token text —
@@ -1633,14 +1639,19 @@ object ExtensionQueries {
         "(SELECT count(*) FROM g) AS v, " +
         "(SELECT coalesce(CAST(sum(t_n) AS BIGINT), 0) FROM t) AS t_total), " +
         "model AS (SELECT g.token, g_n, coalesce(t_n, 0) AS t_n " +
-        "FROM g LEFT JOIN t USING (token)) " +
-        "SELECT doc_id, count(*) AS n_toks, " +
-        "round(CAST(sum(CAST(round(ln(" +
+        "FROM g LEFT JOIN t USING (token)), " +
+        "agg AS (SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(sum(CAST(round(ln(" +
         "((t_n + 0.5) / (t_total + 0.5 * v)) / " +
         "((g_n + 0.5) / (g_total + 0.5 * v))), 6) " +
-        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 AS dsir_score " +
+        "AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro " +
         "FROM toks JOIN model USING (token) CROSS JOIN sc " +
-        "GROUP BY doc_id ORDER BY doc_id")),
+        "GROUP BY doc_id) " +
+        // integer-HALF_UP average, sign-aware (DSIR goes negative):
+        // the Terms.avgRound4 mirror
+        "SELECT doc_id, n_toks, sign(s_micro) * " +
+        "((abs(s_micro) + 50 * n_toks) // (100 * n_toks)) / 10000.0 + 0.0 " +
+        "AS dsir_score FROM agg ORDER BY doc_id")),
 
     // Interpolated bigram-LM perplexity score — the n-gram step past
     // x41 toward CCNet's KenLM filter: word-order-scrambled or
@@ -1662,19 +1673,22 @@ object ExtensionQueries {
         "arr[CAST(i AS INT)+2] AS w2 " +
         "FROM d, unnest(range(len(arr)-1)) AS t(i) WHERE len(arr) >= 2), " +
         "bmodel AS (SELECT w1, w2, count(*) AS b_n FROM bg GROUP BY 1, 2), " +
-        "c1 AS (SELECT w1, count(*) AS c1_n FROM bg GROUP BY 1) " +
-        "SELECT doc_id, count(*) AS n_bigrams, " +
-        "round(CAST(sum(CAST(round(-ln(" +
+        "c1 AS (SELECT w1, count(*) AS c1_n FROM bg GROUP BY 1), " +
+        "agg AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CAST(round(-ln(" +
         // (1.0 - 0.9) NOT 0.1: the Spark side computes lit(1.0 - lambda),
         // and IEEE 1.0-0.9 is 0x3FB999...9A-ulp, not the 0.1 literal —
         // the oracle must run the SAME subtraction or scores drift in
         // the 17th digit and the hash compare fails
         "0.9 * b_n / c1_n + (1.0 - 0.9) * u_n / total), 6) " +
-        "AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) + 0.0 " +
-        "AS avg_neg_logprob " +
+        "AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro " +
         "FROM bg JOIN bmodel USING (w1, w2) JOIN c1 USING (w1) " +
         "JOIN uni ON bg.w2 = uni.token CROSS JOIN tot " +
-        "GROUP BY doc_id ORDER BY doc_id")),
+        "GROUP BY doc_id) " +
+        // integer-HALF_UP average: the Terms.avgRound4 mirror
+        "SELECT doc_id, n_bigrams, sign(s_micro) * " +
+        "((abs(s_micro) + 50 * n_bigrams) // (100 * n_bigrams)) / 10000.0 " +
+        "+ 0.0 AS avg_neg_logprob FROM agg ORDER BY doc_id")),
 
     // Deterministic global shuffle + shard assignment: the step between
     // packing and the training loader — every doc lands in a
@@ -2244,26 +2258,26 @@ object ExtensionQueries {
       "uni AS MATERIALIZED (SELECT w3, count(*) AS uni_types FROM c23 GROUP BY 1), " +
       "sc AS MATERIALIZED (SELECT (SELECT count(*) FROM c23) AS n_bity, " +
       "(SELECT count(*) FROM uni) AS n_uniw, " +
-      "(SELECT count(DISTINCT token) FROM toks) AS v) " +
-      // final average via EXACT integer HALF_UP — see the Spark-side
-      // comment in Terms.trigramKnLogprob (sum/count can be an exact
-      // 4-decimal midpoint; round(double, 4) disagrees across engines
-      // there)
-      "SELECT doc_id, count(*) AS n_trigrams, " +
-      "(CAST(sum(CAST(round(-ln(" +
+      "(SELECT count(DISTINCT token) FROM toks) AS v), " +
+      // final average via exact integer HALF_UP (the Terms.avgRound4
+      // mirror — sum/count can be an exact 4-decimal midpoint, where
+      // round(double, 4) disagrees across engines; found live at sf0.1)
+      "agg2 AS (SELECT doc_id, count(*) AS n_trigrams, " +
+      "CAST(sum(CAST(round(-ln(" +
       "greatest(t_n - CAST(0.75 AS DOUBLE), 0.0) / ctx_n + " +
       "CAST(0.75 AS DOUBLE) * ctx_types / ctx_n * (" +
       "greatest(c23_types - CAST(0.75 AS DOUBLE), 0.0) / mid_total + " +
       "CAST(0.75 AS DOUBLE) * mid_types / mid_total * (" +
       "greatest(uni_types - CAST(0.75 AS DOUBLE), 0.0) / n_bity + " +
       "CAST(0.75 AS DOUBLE) * n_uniw / n_bity * (1.0 / v)))), 6) " +
-      "AS DECIMAL(28,6))) * 1000000 AS BIGINT) + 50 * count(*)) " +
-      "// (100 * count(*)) / 10000.0 " +
-      "AS avg_neg_logprob " +
+      "AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro " +
       "FROM tri JOIN t3 USING (w1, w2, w3) JOIN ctx USING (w1, w2) " +
       "JOIN c23 USING (w2, w3) JOIN mid USING (w2) JOIN uni USING (w3) " +
       "CROSS JOIN sc " +
-      "GROUP BY doc_id ORDER BY doc_id"
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_trigrams, sign(s_micro) * " +
+      "((abs(s_micro) + 50 * n_trigrams) // (100 * n_trigrams)) / 10000.0 " +
+      "+ 0.0 AS avg_neg_logprob FROM agg2 ORDER BY doc_id"
 
   /** x76's LIVE oracle: the plain GROUP BY/HAVING over the same planted
     * stream — exactly the vocabulary-sized aggregation the Misra-Gries
