@@ -214,6 +214,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(TableFunctions.getClass.getName, "heavy_hitters"),
       (exprs: Seq[Expression]) => TableFunctions.heavyHitters(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("trigram_kn_score"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "trigram_kn_score"),
+      (exprs: Seq[Expression]) => TableFunctions.trigramKnScore(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

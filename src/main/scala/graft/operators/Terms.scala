@@ -183,12 +183,27 @@ object Terms {
     * `(idCol, n_trigrams, avg_neg_logprob)`.
     */
   def trigramKnLogprob(docs: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1,
-      s"discount ($discount) must be in (0, 1)")
-    val d = lit(discount)
+      discount: Double = 0.75): DataFrame =
+    scoreTrigramKn(trainTrigramKn(docs, idCol, textCol, discount),
+      docs, idCol, textCol)
+
+  /** A trained KN trigram model: five n-gram-TYPE-bounded count tables
+    * plus the 1-row scalar table (bigram-type total, continued-word
+    * count, vocabulary) and the discount. Persistable
+    * ([[saveTrigramKn]]/[[loadTrigramKn]]) — the train-once/score-many
+    * production shape (KenLM models are artifacts, not per-query work),
+    * same posture as the classifier and index stores.
+    */
+  final case class KnModel(t3: DataFrame, ctx: DataFrame, c23: DataFrame,
+      mid: DataFrame, uni: DataFrame, scalars: DataFrame, discount: Double)
+
+  /** The per-doc trigram stream `(idCol, w1, w2, w3)` — shared by
+    * training and scoring so the two can never disagree on extraction.
+    */
+  private def trigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val arr = split(trim(col(textCol)), "\\s+")
-    val tri = docs.filter(trim(col(textCol)) =!= "")
+    docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), arr.as("_arr"))
       .filter(size(col("_arr")) >= 3)
       .select(col(idCol), explode(transform(
@@ -198,6 +213,14 @@ object Terms {
           element_at(col("_arr"), i + 3).as("w3")))).as("_t"))
       .select(col(idCol), col("_t.w1").as("w1"), col("_t.w2").as("w2"),
         col("_t.w3").as("w3"))
+  }
+
+  /** Train the interpolated-KN count tables on `docs`. */
+  def trainTrigramKn(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): KnModel = {
+    require(discount > 0 && discount < 1,
+      s"discount ($discount) must be in (0, 1)")
+    val tri = trigrams(docs, idCol, textCol)
     // token-occurrence model tables (top level)
     val t3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("t_n"))
     val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("ctx_n"),
@@ -212,24 +235,74 @@ object Terms {
       .crossJoin(uni.agg(count(lit(1)).as("n_uniw")))
       .crossJoin(tokens(docs, idCol, textCol)
         .agg(countDistinct(col("token")).as("v")))
-    val p1 = greatest(col("uni_types") - d, lit(0.0)) / col("n_bity") +
+    KnModel(t3, ctx, c23, mid, uni, scalars, discount)
+  }
+
+  /** Score `docs` under a (possibly reloaded) KN model. Self-scoring —
+    * the model trained on the same corpus — reproduces
+    * [[trigramKnLogprob]] bit for bit (spec-pinned). HELD-OUT docs back
+    * off naturally: an unseen count coalesces to 0 (its discounted term
+    * vanishes, the γ-weighted lower order carries the mass), and a
+    * wholly unseen CONTEXT skips its level (c(w1w2·)=0 ⇒ p₃ := p₂,
+    * T(·w2·)=0 ⇒ p₂ := p₁ — the standard KN backoff), so every score
+    * stays finite and positive down to the uniform 1/V floor. V is the
+    * TRAINING vocabulary (closed-vocab convention; an OOV w3 scores at
+    * the floor).
+    */
+  def scoreTrigramKn(model: KnModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val d = lit(model.discount)
+    val tri = trigrams(docs, idCol, textCol)
+    val p1 = greatest(coalesce(col("uni_types"), lit(0L)) - d, lit(0.0)) /
+        col("n_bity") +
       d * col("n_uniw") / col("n_bity") * (lit(1.0) / col("v"))
-    val p2 = greatest(col("c23_types") - d, lit(0.0)) / col("mid_total") +
-      d * col("mid_types") / col("mid_total") * p1
-    val p3 = greatest(col("t_n") - d, lit(0.0)) / col("ctx_n") +
-      d * col("ctx_types") / col("ctx_n") * p2
-    val out = tri.join(t3, Seq("w1", "w2", "w3"))
-      .join(ctx, Seq("w1", "w2"))
-      .join(c23, Seq("w2", "w3"))
-      .join(mid, Seq("w2"))
-      .join(uni, Seq("w3"))
-      .crossJoin(broadcast(scalars))
+    val p2 = when(col("mid_total").isNull, p1)
+      .otherwise(
+        greatest(coalesce(col("c23_types"), lit(0L)) - d, lit(0.0)) /
+          col("mid_total") +
+        d * col("mid_types") / col("mid_total") * p1)
+    val p3 = when(col("ctx_n").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("t_n"), lit(0L)) - d, lit(0.0)) /
+          col("ctx_n") +
+        d * col("ctx_types") / col("ctx_n") * p2)
+    val out = tri.join(model.t3, Seq("w1", "w2", "w3"), "left")
+      .join(model.ctx, Seq("w1", "w2"), "left")
+      .join(model.c23, Seq("w2", "w3"), "left")
+      .join(model.mid, Seq("w2"), "left")
+      .join(model.uni, Seq("w3"), "left")
+      .crossJoin(broadcast(model.scalars))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum(round(-log(p3), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("_s"))
     out.select(col(idCol), col("n_trigrams"),
       avgRound4(col("_s"), col("n_trigrams")).as("avg_neg_logprob"))
+  }
+
+  /** Persist a trained KN model: the five count tables as parquet plus
+    * a meta table carrying the scalars AND the discount — params ride
+    * the store so scoring can never run with a different discount than
+    * training (the CmSketch/BloomSketch discipline, LM flavor).
+    */
+  def saveTrigramKn(model: KnModel, dir: String): Unit = {
+    model.t3.write.mode("overwrite").parquet(s"$dir/t3")
+    model.ctx.write.mode("overwrite").parquet(s"$dir/ctx")
+    model.c23.write.mode("overwrite").parquet(s"$dir/c23")
+    model.mid.write.mode("overwrite").parquet(s"$dir/mid")
+    model.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    model.scalars.withColumn("discount", lit(model.discount))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadTrigramKn(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KnModel = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    KnModel(spark.read.parquet(s"$dir/t3"), spark.read.parquet(s"$dir/ctx"),
+      spark.read.parquet(s"$dir/c23"), spark.read.parquet(s"$dir/mid"),
+      spark.read.parquet(s"$dir/uni"),
+      meta.drop("discount"),
+      meta.select("discount").head().getDouble(0))
   }
 
   /** DSIR-style importance score (Xie et al. 2023, "Data Selection for

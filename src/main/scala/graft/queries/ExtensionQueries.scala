@@ -2180,6 +2180,28 @@ object ExtensionQueries {
           "c_id", "c_vec", "q_id", "q_vec", k = 5, rerank = 50)
           .orderBy("query_id", "rank")
       }, F1OracleSql.sql.get("x77_ann_hamming_topk")),
+
+    // Persisted-KN-model lifecycle under the gate (the x64b/x46b
+    // posture, LM flavor): train → save → LOAD → score through the
+    // reloaded artifact, under x75's SAME live oracle — so a lost
+    // table, a dropped scalar, or a discount that didn't ride the
+    // store hash-fails. This is the production shape: KenLM-style
+    // models are trained once and score many corpora; x75's in-query
+    // training is the self-contained form.
+    Q("x75b_trigram_kn_persisted",
+      (s, d) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x75b_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val dir = s"$base/kn"
+        val docs = Tables.documents(s, d)
+        Terms.saveTrigramKn(
+          Terms.trainTrigramKn(docs, "doc_id", "text", discount = 0.75), dir)
+        Terms.scoreTrigramKn(Terms.loadTrigramKn(s, dir), docs,
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(trigramKnOracleSql)),
   )
 
   /** The x76 item stream: the corpus token stream plus planted heavy

@@ -55,6 +55,7 @@ object TableFunctions {
     reg("bloom_new_ids", bloomNewIds)
     reg("media_probe", mediaProbe)
     reg("heavy_hitters", heavyHitters)
+    reg("trigram_kn_score", trigramKnScore)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -190,6 +191,27 @@ object TableFunctions {
     require(exprs.length == 1,
       s"media_probe(assetsView) takes 1 argument, got ${exprs.length}")
     graft.operators.Multimodal.containerProbe(table(litString(exprs(0))))
+      .queryExecution.logical
+  }
+
+  /** `trigram_kn_score(modelPath, docsView, idCol, textCol)` →
+    * (idCol, n_trigrams, avg_neg_logprob).
+    *
+    * Per-document interpolated-Kneser–Ney trigram perplexity scoring
+    * against the PERSISTED model at `modelPath`
+    * ([[graft.operators.Terms.loadTrigramKn]] +
+    * [[graft.operators.Terms.scoreTrigramKn]] verbatim, held-out
+    * backoff included) — the score-many half of the LM-filter
+    * lifecycle as one SQL statement.
+    */
+  def trigramKnScore(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "trigram_kn_score(modelPath, docsView, idCol, textCol) takes 4 " +
+        s"arguments, got ${exprs.length}")
+    val spark = SparkSession.active
+    graft.operators.Terms.scoreTrigramKn(
+      graft.operators.Terms.loadTrigramKn(spark, litString(exprs(0))),
+      table(litString(exprs(1))), litString(exprs(2)), litString(exprs(3)))
       .queryExecution.logical
   }
 

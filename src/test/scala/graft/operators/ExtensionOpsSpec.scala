@@ -495,6 +495,34 @@ class ExtensionOpsSpec extends SparkSpec {
       Terms.trigramKnLogprob(docs, "doc_id", "text", discount = 1.5))
   }
 
+  test("KN model lifecycle: save->load->score(self) == trigramKnLogprob; held-out backoff finite, OOV at the floor") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat in the house"),
+      (2L, "the dog sat on the mat in the house"),
+      (3L, "the cat ran on the mat in the barn")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn_model").toString
+    Terms.saveTrigramKn(Terms.trainTrigramKn(docs, "doc_id", "text"), dir)
+    val reloaded = Terms.loadTrigramKn(spark, dir)
+    assert(reloaded.discount == 0.75) // the discount rode the store
+    val viaStore = Terms.scoreTrigramKn(reloaded, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = Terms.trigramKnLogprob(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaStore == direct, "persisted model drifted from self-trained")
+    // held-out: unseen trigrams/contexts back off, never NaN/zero-out;
+    // a wholly-OOV doc lands at the uniform floor — the WORST score
+    val held = Seq(
+      (10L, "the dog ran on the mat in the barn"), // unseen trigram mix
+      (11L, "zz qq vv ww rr")                      // fully OOV
+    ).toDF("doc_id", "text")
+    val s = Terms.scoreTrigramKn(reloaded, held, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s.size == 2 && s.values.forall(v => v > 0 && !v.isNaN), s.toString)
+    assert(s(11L) > s(10L), s"OOV doc must score worst: $s")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("incremental LSH: increment-vs-seen and increment-vs-increment, never seen-vs-seen") {
     // seen: 1 (and unrelated 3); incoming: 2 (near-dup of seen 1), 5 and
     // 6 (exact dups of seen 1 and of each other)

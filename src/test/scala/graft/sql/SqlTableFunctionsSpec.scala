@@ -177,6 +177,24 @@ class SqlTableFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("trigram_kn_score TVF ≡ scoreTrigramKn over a persisted model") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("tvf_kn").toString
+      graft.operators.Terms.saveTrigramKn(
+        graft.operators.Terms.trainTrigramKn(docs, "doc_id", "text"), dir)
+      docs.createOrReplaceTempView("tvf_kn_docs")
+      val viaSql = rows(s.sql(
+        s"SELECT * FROM trigram_kn_score('$dir', 'tvf_kn_docs', " +
+          "'doc_id', 'text') ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.Terms.scoreTrigramKn(
+        graft.operators.Terms.loadTrigramKn(s, dir), docs, "doc_id", "text")
+        .orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("heavy_hitters TVF ≡ Skew.heavyHittersExact, planted heavies load-bearing") {
     withExtSession { s =>
       import s.implicits._
