@@ -36,7 +36,7 @@ object Terms {
     * would leave. The DuckDB oracle mirror is
     * `sign(S) * ((abs(S) + 50*n) // (100*n)) / 10000.0 + 0.0`.
     */
-  private def avgRound4(s: Column, n: Column): Column = {
+  private[graft] def avgRound4(s: Column, n: Column): Column = {
     val sMicro = (s * lit(1000000)).cast("long")
     val num = abs(sMicro) + lit(50L) * n
     val den = lit(100L) * n

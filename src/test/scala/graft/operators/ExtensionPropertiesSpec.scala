@@ -321,4 +321,73 @@ class ExtensionPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("avgRound4 property: equals exact-rational HALF_UP for arbitrary sums/counts, midpoints included") {
+    // the cross-engine seam this helper exists for: sum/count landing
+    // EXACTLY on a 4-decimal midpoint (no double represents it, so any
+    // round(double, 4) picks a side by float luck). Half the cases are
+    // CONSTRUCTED midpoints: s = n·(m + 1/20000) in micro units.
+    val caseGen = for {
+      n <- Gen.choose(1L, 5000L)
+      mid <- Gen.oneOf(true, false)
+      sMicro <- if (mid) Gen.choose(-300000L, 300000L).map(m => n * (m * 100 + 50))
+        else Gen.choose(-30000000000L, 30000000000L)
+    } yield (sMicro, n)
+    val cases = sample(caseGen, 400).zipWithIndex
+      .map { case ((s, n), i) => (i.toLong, new java.math.BigDecimal(s)
+        .movePointLeft(6), n) }
+    val df = cases.toDF("case_id", "s", "n")
+      .select(col("case_id"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("s"),
+        col("n"))
+    val got = df.select(col("case_id"),
+        Terms.avgRound4(col("s"), col("n")).as("avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (id, s, n) =>
+      // exact rational HALF_UP at 4 decimals, away from zero
+      val expect = s.divide(new java.math.BigDecimal(n), 4,
+        java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      assert(got(id) == expect,
+        s"case $id: s=$s n=$n got=${got(id)} expect=$expect")
+    }
+  }
+
+  test("misra-gries property: bound + containment for arbitrary streams, k, partitioning") {
+    val caseGen = for {
+      k <- Gen.choose(2, 40)
+      parts <- Gen.choose(1, 16)
+      nKeys <- Gen.choose(1, 60)
+      rows <- Gen.choose(50, 2000)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (k, parts, nKeys, rows, seed)
+    sample(caseGen, 15).zipWithIndex.foreach {
+      case ((k, parts, nKeys, rows, seed), ci) =>
+        val rnd = new scala.util.Random(seed)
+        // Zipf-ish: key j drawn with weight ~ 1/(j+1)
+        val weights = (0 until nKeys).map(j => 1.0 / (j + 1))
+        val total = weights.sum
+        val items = Seq.fill(rows) {
+          var u = rnd.nextDouble() * total
+          var j = 0
+          while (u > weights(j) && j < nKeys - 1) { u -= weights(j); j += 1 }
+          s"k$j"
+        }
+        val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val df = items.toDF("item").repartition(parts)
+        val hh = Skew.heavyHitters(df, "item", k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bound = rows.toLong / (k + 1)
+        assert(hh.size <= k, s"case $ci: ${hh.size} > k=$k")
+        hh.foreach { case (item, est) =>
+          val t = truth(item)
+          assert(est <= t && t <= est + bound,
+            s"case $ci k=$k parts=$parts: $item est=$est true=$t bound=$bound")
+        }
+        truth.foreach { case (item, t) =>
+          if (t > bound)
+            assert(hh.contains(item),
+              s"case $ci k=$k parts=$parts: guaranteed $item (n=$t > $bound) missing")
+        }
+    }
+  }
 }
