@@ -218,6 +218,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("trigram_kn_score"),
       new ExpressionInfo(TableFunctions.getClass.getName, "trigram_kn_score"),
       (exprs: Seq[Expression]) => TableFunctions.trigramKnScore(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("weighted_sample"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "weighted_sample"),
+      (exprs: Seq[Expression]) => TableFunctions.weightedSample(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

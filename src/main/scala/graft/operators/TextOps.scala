@@ -345,6 +345,51 @@ object TextOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006),
+    * deterministic: each row draws a reproducible 52-bit uniform
+    * u = (md5₁₃(seed:id) + 0.5) / 2⁵² — every step dyadic-exact, so u is
+    * bit-identical on any engine — and the k rows with the smallest
+    * exponential race time e = −ln(u)/w win (the A-ES key u^(1/w) in its
+    * monotone-equivalent log form). Higher weight ⇒ stochastically
+    * smaller e ⇒ selected more often; a rerun or retry redraws NOTHING
+    * (the x37/x51 md5 idiom — `rand()` sampling re-draws per retry, the
+    * SPARK-23207 class). The sampling-family completion: splitAssign
+    * partitions, stratifiedSample is per-group uniform, budgetSelect is
+    * best-first under a budget, mixSample is rate-per-class — this is
+    * importance-weighted selection (sample ∝ quality/recency weight).
+    *
+    * Output: `(idCol, weight, rank)`, rank 1 = first selected. The race
+    * keys themselves are NOT emitted: ln/pow differ by ±1 ulp across
+    * engines, which is harmless to the selected SET (two rows' keys
+    * within an ulp of each other is a ~n²/10¹⁶ event) but would
+    * hash-fail a value compare — the ids/weights/ranks are the stable
+    * contract (same reasoning as the dedup families' ids-only outputs).
+    *
+    * Scale posture: the uniform and the key are map-only; selection is
+    * `orderBy(e).limit(k)` — TakeOrderedAndProject (per-partition heaps,
+    * never a global sort; plan-guarded) — and the rank window runs on
+    * the ALREADY-LIMITED k-row frame, so its single partition holds k
+    * rows by construction, not a corpus partition.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val u = (conv(substring(h, 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    // rows with weight <= 0 are unsampleable (a zero-weight row must
+    // never win and −ln(u)/0 is ±Inf) — drop them before racing
+    val top = docs.withColumn("_w", weight.cast("double"))
+      .filter(col("_w") > 0.0)
+      .withColumn("_e", -log(u) / col("_w"))
+      .orderBy(col("_e"), col(idCol))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_e"), col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("_w").as("weight"), col("rank"))
+  }
+
   def splitAssign(id: Column,
       weights: Seq[(String, Double)] =
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): Column = {

@@ -2202,6 +2202,20 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some(trigramKnOracleSql)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis) —
+    // the sampling-family completion: importance-weighted selection
+    // (here weight = n_chars, the "prefer longer documents" shape) via
+    // a deterministic exponential race on md5-derived 52-bit uniforms.
+    // The race keys stay engine-side (ln differs by ulps across
+    // engines; ids/weights/ranks are the stable contract — the
+    // dedup-family ids-only posture); the LIVE oracle re-derives the
+    // uniforms, the race, and the ranks independently in DuckDB.
+    Q("x78_weighted_sample",
+      (s, d) => TextOps.weightedSample(Tables.documents(s, d), "doc_id",
+        col("n_chars"), k = 100, seed = "graft")
+        .orderBy("doc_id"),
+      Some(weightedSampleOracleSql)),
   )
 
   /** The x76 item stream: the corpus token stream plus planted heavy
@@ -2300,6 +2314,21 @@ object ExtensionQueries {
       "SELECT doc_id, n_trigrams, sign(s_micro) * " +
       "((abs(s_micro) + 50 * n_trigrams) // (100 * n_trigrams)) / 10000.0 " +
       "+ 0.0 AS avg_neg_logprob FROM agg2 ORDER BY doc_id"
+
+  /** x78's LIVE oracle: the md5-derived 52-bit uniform (dyadic-exact —
+    * every step bit-identical across engines), the exponential race
+    * −ln(u)/w, and the rank re-derived independently in DuckDB. The
+    * constants must be DOUBLE-cast (bare literals type DECIMAL).
+    */
+  private lazy val weightedSampleOracleSql: String =
+    "SELECT doc_id, weight, rank FROM (" +
+      "SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
+      "CAST(row_number() OVER (ORDER BY " +
+      "-ln((('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT " +
+      "+ CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE)) " +
+      "/ CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank " +
+      "FROM documents WHERE n_chars > 0) t " +
+      "WHERE rank <= 100 ORDER BY doc_id"
 
   /** x76's LIVE oracle: the plain GROUP BY/HAVING over the same planted
     * stream — exactly the vocabulary-sized aggregation the Misra-Gries

@@ -56,6 +56,7 @@ object TableFunctions {
     reg("media_probe", mediaProbe)
     reg("heavy_hitters", heavyHitters)
     reg("trigram_kn_score", trigramKnScore)
+    reg("weighted_sample", weightedSample)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -212,6 +213,24 @@ object TableFunctions {
     graft.operators.Terms.scoreTrigramKn(
       graft.operators.Terms.loadTrigramKn(spark, litString(exprs(0))),
       table(litString(exprs(1))), litString(exprs(2)), litString(exprs(3)))
+      .queryExecution.logical
+  }
+
+  /** `weighted_sample(docsView, idCol, weightCol, k, seed)` →
+    * (idCol, weight, rank).
+    *
+    * Deterministic Efraimidis–Spirakis weighted sampling without
+    * replacement ([[TextOps.weightedSample]] verbatim: md5-derived
+    * uniforms, exponential race, TakeOrderedAndProject top-k) — the
+    * importance-weighted selection step as one SQL statement.
+    */
+  def weightedSample(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5,
+      "weighted_sample(docsView, idCol, weightCol, k, seed) takes 5 " +
+        s"arguments, got ${exprs.length}")
+    TextOps.weightedSample(table(litString(exprs(0))), litString(exprs(1)),
+      org.apache.spark.sql.functions.col(litString(exprs(2))),
+      k = litInt(exprs(3)), seed = litString(exprs(4)))
       .queryExecution.logical
   }
 

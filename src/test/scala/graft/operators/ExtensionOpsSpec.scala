@@ -1477,6 +1477,36 @@ class ExtensionOpsSpec extends SparkSpec {
       TextOps.lineDedup(docs, "doc_id", "text", minDocs = 1))
   }
 
+  test("weightedSample: weight-biased, deterministic at any partitioning, zero-weight excluded, k>=n total") {
+    // 2000 heavy (w=10) vs 2000 light (w=1): heavy mass is 10/11 of the
+    // stream, so a k=400 sample is overwhelmingly heavy (ES inclusion
+    // for k<<n tracks weight share; 300 is a generous floor)
+    val items = spark.range(4000).select(col("id"),
+      when(col("id") < 2000, 10.0).otherwise(1.0).as("w"))
+    val got = TextOps.weightedSample(items, "id", col("w"), k = 400,
+      seed = "s1").collect()
+    assert(got.length == 400)
+    val heavy = got.count(_.getLong(0) < 2000)
+    assert(heavy >= 300, s"weight bias too weak: $heavy/400 heavy")
+    assert(got.map(_.getLong(2)).sorted.toSeq == (1L to 400L), "ranks not dense")
+    // bit-deterministic across partitionings (the md5 contract)
+    val rep = TextOps.weightedSample(items.repartition(13), "id", col("w"),
+      k = 400, seed = "s1").collect().map(_.toSeq).toSet
+    assert(rep == got.map(_.toSeq).toSet, "sample drifted under repartition")
+    // a different seed draws a different sample
+    val other = TextOps.weightedSample(items, "id", col("w"), k = 400,
+      seed = "s2").collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_.getLong(0)).toSet)
+    // zero/negative weights never selected; k >= eligible returns all
+    val withDead = items.unionByName(spark.range(9000, 9010)
+      .select(col("id"), lit(0.0).as("w")))
+    val all = TextOps.weightedSample(withDead, "id", col("w"), k = 99999,
+      seed = "s1").collect()
+    assert(all.length == 4000 && all.forall(_.getLong(0) < 9000))
+    intercept[IllegalArgumentException](
+      TextOps.weightedSample(items, "id", col("w"), k = 0, seed = "s"))
+  }
+
   // ---- binary-quantization (Hamming) ANN ----
 
   test("sign_pack: >0 bits little-endian per 64-word, multi-word; hamming_dist = popcount of xor") {

@@ -312,6 +312,14 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin"), p)
   }
 
+  test("x78 weighted sample: corpus-side top-k is TakeOrderedAndProject, never a global sort") {
+    // the selection must be per-partition heaps (TakeOrderedAndProject);
+    // the rank window runs only AFTER the limit, so its single partition
+    // holds k rows by construction, not a corpus partition
+    val p = plan("x78_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x74 bloom ingest: corpus-stays-put confirmation, candidate-bounded broadcasts") {
     val p = plan("x74_bloom_ingest")
     // both exact-confirmation joins ride forced broadcasts; the seen

@@ -177,6 +177,20 @@ class SqlTableFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("weighted_sample TVF ≡ TextOps.weightedSample") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_ws_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM weighted_sample('tvf_ws_docs', 'doc_id', " +
+          "'n_chars', 25, 'graft') ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.TextOps.weightedSample(
+        docs, "doc_id", col("n_chars"), k = 25, seed = "graft")
+        .orderBy("doc_id"))
+      assert(viaSql.length == 25 && viaSql == viaScala)
+    }
+  }
+
   test("trigram_kn_score TVF ≡ scoreTrigramKn over a persisted model") {
     withExtSession { s =>
       val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
