@@ -327,16 +327,34 @@ object Skew {
       phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"phi ($phi) must be in (0, 1)")
     val k = math.ceil(1.0 / phi).toInt
-    val cand = heavyHitters(df, itemCol, k).select(col("item")).collect()
-      .map(_.getString(0))
-    val total = df.agg(count(col(itemCol)).as("_n"))
-    df.filter(col(itemCol).isin(cand.toSeq: _*))
+    // ONE pass produces BOTH the MG candidate summary and the stream
+    // total (they'd otherwise be two full scans of the same stream);
+    // the 1-row result is pinned LAZILY so (a) its two consumers below
+    // share one scan at execution and (b) building this frame runs ZERO
+    // jobs — candidates stay a (broadcast) plan input, no driver
+    // collect, so SQL surfaces composing it (heavy_hitters TVF) stay
+    // job-free at analysis time.
+    val summary = df.agg(
+        graft.functions.MisraGries.mg_topk(col(itemCol), k).as("_mg"),
+        count(col(itemCol)).as("_n"))
+      .localCheckpoint(false)
+    val cand = summary.select(explode(col("_mg")).as("_e"))
+      .select(col("_e.item").as(itemCol))
+    // frac via exact integer HALF_UP at 6 decimals — round(n/total, 6)
+    // is the cross-engine midpoint seam Terms.avgRound4 documents (an
+    // exact 6-decimal midpoint has no double, and the engines round it
+    // opposite ways). Long-exact for totals < 2^63/2e6 ≈ 4.6e12 rows —
+    // beyond that, compute frac downstream in decimal.
+    val fracNum = col("n") * lit(2000000L) + col("_n")
+    val fracDen = lit(2L) * col("_n")
+    df.join(broadcast(cand), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(summary.select(col("_n"))))
       .filter(col("n") > lit(phi) * col("_n"))
       .select(col("item"), col("n"),
-        round(col("n") / col("_n"), 6).as("frac"))
+        (((fracNum - pmod(fracNum, fracDen)) / fracDen).cast("long")
+          .cast("double") / 1000000.0).as("frac"))
   }
 
   /** Persist a sketch: bits as parquet plus a meta table carrying

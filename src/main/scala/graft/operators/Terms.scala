@@ -215,14 +215,26 @@ object Terms {
         col("_t.w3").as("w3"))
   }
 
-  /** Train the interpolated-KN count tables on `docs`. */
+  /** Train the interpolated-KN count tables on `docs`.
+    *
+    * The trigram stream and the t3 type table are PINNED (eager
+    * localCheckpoint, the dsirScore pattern): the model's six tables
+    * all root at the same extraction — t3/ctx read tri, c23/mid re-run
+    * t3's groupBy, scalars re-tokenize — so an unpinned save (or the
+    * self-scoring composition, which additionally joins all five
+    * tables) would re-read and re-explode the corpus ~6×. At 100 TB a
+    * pipeline persists the trigram stream to a table instead of the
+    * executor-local checkpoint and derives the model from the stored
+    * copy (the tfidfTopTerms note).
+    */
   def trainTrigramKn(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): KnModel = {
     require(discount > 0 && discount < 1,
       s"discount ($discount) must be in (0, 1)")
-    val tri = trigrams(docs, idCol, textCol)
+    val tri = trigrams(docs, idCol, textCol).localCheckpoint(true)
     // token-occurrence model tables (top level)
     val t3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("t_n"))
+      .localCheckpoint(true)
     val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("ctx_n"),
       countDistinct(col("w3")).as("ctx_types"))
     // type-level tables (middle + bottom): derived from the DISTINCT

@@ -2342,8 +2342,12 @@ object ExtensionQueries {
       "UNION ALL SELECT 'hot_a' FROM toks WHERE doc_id % 3 = 0 " +
       "UNION ALL SELECT 'hot_b' FROM toks WHERE doc_id % 7 = 0), " +
       "tot AS (SELECT count(*) AS n_total FROM stream) " +
+      // frac via exact integer HALF_UP at 6 decimals (the
+      // Skew.heavyHittersExact mirror — round(double, 6) is the
+      // cross-engine midpoint seam)
       "SELECT token AS item, count(*) AS n, " +
-      "round(count(*) / CAST((SELECT n_total FROM tot) AS DOUBLE), 6) AS frac " +
+      "((count(*) * 2000000 + (SELECT n_total FROM tot)) " +
+      "// (2 * (SELECT n_total FROM tot))) / 1000000.0 AS frac " +
       "FROM stream GROUP BY token " +
       "HAVING count(*) > CAST(0.05 AS DOUBLE) * (SELECT n_total FROM tot) " +
       "ORDER BY item"

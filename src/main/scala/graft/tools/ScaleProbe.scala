@@ -1154,7 +1154,7 @@ object ScaleProbe {
     def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
     val par = spark.sparkContext.defaultParallelism
     // ---- heavy hitters: n = factor×50k items, three planted heavies
-    // (30% / 15% / 6%) over a 100k-key light tail — the Zipf head/tail
+    // (30% / 10% / 6%) over a 100k-key light tail — the Zipf head/tail
     // split MG exists for. Verdicts at phi = 0.05 must be EXACTLY the
     // three planted keys with exact counts.
     val nItems = factor * 50000L
