@@ -251,6 +251,37 @@ object Similarity {
     hammingTopKPacked(signPackCorpus(corpus, corpusId, corpusVec), corpus,
       queries, corpusId, corpusVec, queryId, queryVec, k, rerank)
 
+  /** IVF-Hamming: coarse inverted-list pruning composed with 1-bit
+    * scoring — the billion-scale layout with the cheapest possible
+    * in-list distance. Each query probes its `nprobe` nearest lists
+    * (the [[ivfTopK]] pruning: only those lists' rows are touched),
+    * surviving candidates are ranked by codegen'd popcount-of-XOR over
+    * sign-packed codes (8 B per 64 dims — an in-list scan 32× lighter
+    * than the float scan [[ivfTopK]] runs), and the exact cosine rerank
+    * recovers the tail (mandatory here in practice: 1-bit in-list
+    * ordering is coarse — see the [[hammingTopK]] regime notes).
+    * Composition of existing pieces, nothing new to trust: pruning ≡
+    * ivfTopK's, scoring ≡ hammingTopK's, rerank ≡ pqTopK's.
+    */
+  def ivfHammingTopK(ivf: IvfIndex, corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int, nprobe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    import graft.functions.TextVectorExpressions.{hamming_dist, sign_pack}
+    val packed = ivf.assigned.select(col("cid"), col(corpusId),
+      sign_pack(col(corpusVec)).as("_cb"), size(col(corpusVec)).as("_d"))
+    val probes = queries
+      .select(col(queryId), sign_pack(col(queryVec)).as("_qb"),
+        explode(graft.functions.TextVectorExpressions.nearest_centroids(
+          col(queryVec), ivf.centroids, nprobe)).as("cid"))
+    val scored = packed.join(broadcast(probes), Seq("cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cos(lit(math.Pi) *
+        hamming_dist(col("_cb"), col("_qb")).cast("double") / col("_d")))
+    rerankOrRank(scored, corpus, queries, corpusId, corpusVec, queryId,
+      queryVec, k, rerank)
+  }
+
   /** Materialized 1-bit codes for a corpus: `(corpusId, _cb, _d)` — the
     * store-once half of binary-quantized search. At 100 TB this is the
     * table you persist (8 bytes per 64 dims vs 256: the whole corpus's

@@ -2203,6 +2203,23 @@ object ExtensionQueries {
       },
       Some(trigramKnOracleSql)),
 
+    // IVF-Hamming composition: inverted-list pruning + 1-bit in-list
+    // scoring + exact rerank — the billion-scale layout with the
+    // cheapest in-list distance (8 B codes, popcount). Frozen oracle;
+    // full-probe ≡ hammingTopK parity and the pruned recall floor are
+    // spec-pinned in ExtensionOpsSpec.
+    Q("x77b_ann_ivf_hamming",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        Similarity.ivfHammingTopK(ivf, corpus,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "c_id", "c_vec", "q_id", "q_vec", k = 5, nprobe = 4, rerank = 50)
+          .orderBy("query_id", "rank")
+      }, F1OracleSql.sql.get("x77b_ann_ivf_hamming")),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis) —
     // the sampling-family completion: importance-weighted selection
     // (here weight = n_chars, the "prefer longer documents" shape) via

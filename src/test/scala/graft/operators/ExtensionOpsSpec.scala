@@ -1570,4 +1570,29 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(viaPacked == r150df.collect().map(_.toSeq).toSet,
       "packed-corpus search drifted from inline packing")
   }
+
+  test("IVF-Hamming: full probe equals flat hamming exactly; pruned probe holds a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing EVERY list = no pruning: must reproduce flat hammingTopK
+    // row for row (same candidates, same keys, same rerank)
+    val full = Similarity.ivfHammingTopK(ivf, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, nprobe = 16, rerank = 50)
+      .collect().map(_.toSeq).toSet
+    val flat = Similarity.hammingTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, rerank = 50)
+      .collect().map(_.toSeq).toSet
+    assert(full == flat, "full-probe IVF-Hamming drifted from flat hamming")
+    // pruned probe keeps most of the flat variant's answer set
+    val pruned = pairs(Similarity.ivfHammingTopK(ivf, corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 5, nprobe = 4, rerank = 50))
+    val flatPairs = flat.map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+    val recall = (flatPairs & pruned).size.toDouble / flatPairs.size
+    assert(recall >= 0.5, f"ivf-hamming pruned recall = $recall%.3f")
+  }
 }
