@@ -327,6 +327,22 @@ object Skew {
       phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"phi ($phi) must be in (0, 1)")
     val k = math.ceil(1.0 / phi).toInt
+    // phi as an exact rational (shortest-decimal of the double, reduced)
+    // so the threshold test is pure integer arithmetic: `n > phi·total`
+    // with a double product is the same boundary seam avgRound4 closed —
+    // an item landing EXACTLY at phi·total must be excluded by BOTH
+    // engines, and a double `phi * total` at that boundary can round
+    // either way. DECIMAL(38,0) products cannot overflow.
+    val phiBd = BigDecimal(phi.toString).underlying.stripTrailingZeros
+    val (rawNum, rawDen) =
+      if (phiBd.scale <= 0)
+        (phiBd.unscaledValue.longValueExact *
+          math.pow(10, -phiBd.scale).toLong, 1L)
+      else (phiBd.unscaledValue.longValueExact,
+        math.pow(10, phiBd.scale).toLong)
+    val g = java.math.BigInteger.valueOf(rawNum)
+      .gcd(java.math.BigInteger.valueOf(rawDen)).longValueExact
+    val (phiNum, phiDen) = (rawNum / g, rawDen / g)
     // ONE pass produces BOTH the MG candidate summary and the stream
     // total (they'd otherwise be two full scans of the same stream);
     // the 1-row result is pinned LAZILY so (a) its two consumers below
@@ -343,17 +359,20 @@ object Skew {
     // frac via exact integer HALF_UP at 6 decimals — round(n/total, 6)
     // is the cross-engine midpoint seam Terms.avgRound4 documents (an
     // exact 6-decimal midpoint has no double, and the engines round it
-    // opposite ways). Long-exact for totals < 2^63/2e6 ≈ 4.6e12 rows —
-    // beyond that, compute frac downstream in decimal.
+    // opposite ways). True integer division (IntegralDivide) — exact
+    // for all long operands, so valid while the NUMERATOR n·2e6 + total
+    // fits a long: totals < 2^63/2e6 ≈ 4.6e12 rows; beyond that,
+    // compute frac downstream in decimal.
     val fracNum = col("n") * lit(2000000L) + col("_n")
     val fracDen = lit(2L) * col("_n")
     df.join(broadcast(cand), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(summary.select(col("_n"))))
-      .filter(col("n") > lit(phi) * col("_n"))
+      .filter(col("n").cast("decimal(38,0)") * lit(phiDen) >
+        lit(phiNum) * col("_n").cast("decimal(38,0)"))
       .select(col("item"), col("n"),
-        (((fracNum - pmod(fracNum, fracDen)) / fracDen).cast("long")
+        (call_function("div", fracNum, fracDen)
           .cast("double") / 1000000.0).as("frac"))
   }
 

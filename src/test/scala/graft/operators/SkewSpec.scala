@@ -342,6 +342,28 @@ class SkewSpec extends SparkSpec {
       Skew.heavyHittersExact(mgItems, "item", phi = 0.0))
   }
 
+  test("heavyHittersExact: count exactly AT phi·n is excluded (exact rational threshold)") {
+    // n = 10000, phi = 0.05 → the bar is EXACTLY 500. 'edge' lands
+    // exactly AT it (must be excluded: strict >), 'over' one above
+    // (must be included). A double `phi * total` product can round to
+    // either side of 500.0; the integer-rational comparison cannot.
+    val boundary = spark.range(10000).select(
+      when(col("id") < 500, lit("edge"))
+        .when(col("id") < 1001, lit("over"))
+        .otherwise(concat(lit("l_"), pmod(col("id"), lit(200)))).as("item"))
+    for (parts <- Seq(1, 32)) {
+      val got = Skew.heavyHittersExact(boundary.repartition(parts), "item",
+        phi = 0.05).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("over", 501L, 0.0501)),
+        s"parts=$parts: boundary verdict wrong: $got")
+    }
+    // a phi whose shortest decimal is long (1/3 as a double) still
+    // builds an exact rational and keeps the strict-> semantics
+    val third = Skew.heavyHittersExact(boundary, "item", phi = 1.0 / 3.0)
+    assert(third.collect().isEmpty)
+  }
+
   test("misra-gries summary merges across partitions (serialize path), SQL-callable") {
     // 32 partitions of ~312 rows with k = 19 forces real partial
     // summaries through serialize/deserialize/merge — identical
