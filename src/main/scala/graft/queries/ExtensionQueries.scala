@@ -2314,6 +2314,57 @@ object ExtensionQueries {
         col("n_chars"), k = 100, seed = "graft")
         .orderBy("doc_id"),
       Some(weightedSampleOracleSql)),
+
+    // STREAMING ANN-index growth under the oracle gate — x71's posture,
+    // vector flavor (round-12 verdict ask #1, the last spec-only
+    // capability with an oracle form): quantizer + codebooks train on
+    // the full corpus (a production quantizer comes from a
+    // representative sample and is FROZEN thereafter), the index is
+    // BOOTSTRAPPED with only the even-id half, and the odd half arrives
+    // over a real file-source stream in two arrivals — the second
+    // re-shipping part of the first, the checkpoint-replay overlap the
+    // stored-id probe must heal, not duplicate. The final search runs
+    // against the grown index through the ann_topk TVF with x68's
+    // exact parameters, under x68's FROZEN oracle: streamed growth must
+    // converge to precisely the index a one-shot full build would have
+    // produced (frozen-model encode parity is additionally spec-pinned
+    // in AnnIndexStoreSpec).
+    Q("x79_streaming_ann_growth",
+      (s, d) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x79_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val dir = s"$base/idx"
+        val src = s"$base/src"
+        new java.io.File(src).mkdirs()
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16,
+          iters = 2)
+        AnnIndexStore.save(s, dir,
+          ivf.copy(assigned = ivf.assigned.filter(col("c_id") % 2 === 0)),
+          pq.copy(encoded = pq.encoded.filter(col("c_id") % 2 === 0)))
+        val q = AnnIndexStore.streamingAddVectors(s, src, corpus.schema, dir,
+          s"$base/ckpt", "c_id", "c_vec")
+        try {
+          landFile(corpus.filter(col("c_id") % 2 === 1 && col("c_id") % 4 === 1),
+            src, "a1.parquet")
+          q.processAllAvailable()
+          // second arrival overlaps the first (c_id % 4 === 1 rows
+          // re-ship): the growth path must heal, not double-index
+          landFile(corpus.filter(col("c_id") % 2 === 1), src, "a2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .createOrReplaceTempView("x79_queries")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT query_id, neighbor_id, cos, rank " +
+          s"FROM ann_topk('$dir', 'x79_queries', 'c_id', 'c_vec', " +
+          "'q_id', 'q_vec', 5, 50) ORDER BY query_id, rank")
+      }, F1OracleSql.sql.get("x68_sql_ann_topk")),
   )
 
   /** The x76 item stream: the corpus token stream plus planted heavy
