@@ -222,6 +222,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("weighted_sample"),
       new ExpressionInfo(TableFunctions.getClass.getName, "weighted_sample"),
       (exprs: Seq[Expression]) => TableFunctions.weightedSample(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "asof_join"),
+      (exprs: Seq[Expression]) => TableFunctions.asofJoin(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("sessionize"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "sessionize"),
+      (exprs: Seq[Expression]) => TableFunctions.sessionize(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("chunk_docs"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "chunk_docs"),
+      (exprs: Seq[Expression]) => TableFunctions.chunkDocs(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("pack_sequences"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "pack_sequences"),
+      (exprs: Seq[Expression]) => TableFunctions.packSequences(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

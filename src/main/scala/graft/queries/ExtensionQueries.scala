@@ -944,15 +944,7 @@ object ExtensionQueries {
             col("click_id"))
           .orderBy("event_id")
       },
-      Some("SELECT event_id, user_id, ts_ms, click_ts_ms, click_id FROM (" +
-        "SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
-        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id, " +
-        "row_number() OVER (PARTITION BY p.event_id " +
-        "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
-        "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
-        "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
-        "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
-        "WHERE rn = 1 ORDER BY event_id")),
+      Some(asofOracleSql)),
 
     // Range join (point-in-interval): purchases matched into the 2-hour
     // window opened by each signup of the same user. Bucketed equi-join
@@ -1036,19 +1028,7 @@ object ExtensionQueries {
               .cast("double").as("sum_value"))
           .orderBy("user_id", "session_seq")
       },
-      Some("SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
-        "count(*) AS n_events, " +
-        "epoch_ns(min(ts))//1000000 AS start_ms, " +
-        "epoch_ns(max(ts))//1000000 AS end_ms, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
-        "SELECT user_id, ts, value, " +
-        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 " +
-        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM (" +
-        "SELECT user_id, ts, value, event_id, " +
-        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
-        "FROM events) a) b GROUP BY user_id, session_seq " +
-        "ORDER BY user_id, session_seq")),
+      Some(sessionizeOracleSql)),
 
     // Mixture sampling: per-source keep rates (1.0/0.5/0.25/0.1 cycling
     // by source index) decided by the deterministic id hash — per-source
@@ -1590,15 +1570,7 @@ object ExtensionQueries {
             col("click_id"))
           .orderBy("event_id")
       },
-      Some("SELECT event_id, user_id, ts_ms, click_ts_ms, click_id FROM (" +
-        "SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
-        "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id, " +
-        "row_number() OVER (PARTITION BY p.event_id " +
-        "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
-        "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
-        "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
-        "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
-        "WHERE rn = 1 ORDER BY event_id")),
+      Some(asofOracleSql)),
 
     // DSIR importance scoring (Xie et al. 2023): rank every document by
     // how much more likely its tokens are under a TARGET domain's
@@ -2365,6 +2337,64 @@ object ExtensionQueries {
           s"FROM ann_topk('$dir', 'x79_queries', 'c_id', 'c_vec', " +
           "'q_id', 'q_vec', 5, 50) ORDER BY query_id, rank")
       }, F1OracleSql.sql.get("x68_sql_ann_topk")),
+
+    // ---- timeseries/packing families as SQL (round-12 verdict ask #5:
+    // the search/dedup/sketch families got TVFs in rounds 12; these
+    // close the remaining Scala-only flagship families) ----
+
+    // As-of attribution as one SQL statement — x29's machinery (union +
+    // keyed window, never a nested-loop) through the asof_join TVF,
+    // under x29's LIVE oracle verbatim: the TVF path must equal the
+    // naive LEFT-JOIN + row_number re-derivation in DuckDB.
+    Q("x80_sql_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("x80_purchases")
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          .createOrReplaceTempView("x80_clicks")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT event_id, user_id, ts div 1000000 AS ts_ms, " +
+          "asof_ts div 1000000 AS click_ts_ms, click_id " +
+          "FROM asof_join('x80_purchases', 'x80_clicks', 'user_id', " +
+          "'ts', 'ts', 'click_id', 'click_id') ORDER BY event_id")
+      },
+      Some(asofOracleSql)),
+
+    // Sessionization as one SQL statement — the sessionize TVF composed
+    // directly into a SQL GROUP BY (the session-stats rollup every
+    // clickstream pipeline runs), under x30's LIVE oracle verbatim.
+    Q("x81_sql_sessionize",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .createOrReplaceTempView("x81_events")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT user_id, session_seq, count(*) AS n_events, " +
+          "min(ts) div 1000000 AS start_ms, max(ts) div 1000000 AS end_ms, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM sessionize('x81_events', 'user_id', 'ts', 'event_id', " +
+          "1800000000000) " +
+          "GROUP BY user_id, session_seq ORDER BY user_id, session_seq")
+      },
+      Some(sessionizeOracleSql)),
+
+    // The pack manifest as one SQL statement — the pack_sequences TVF
+    // under x36's LIVE oracle verbatim (distributed prefix sum + span
+    // explosion re-derived in DuckDB window SQL). The TVF's builder
+    // materializes the offset state at analysis (documented exception —
+    // the prefix sum's partition totals are inputs to the PLAN).
+    Q("x82_sql_pack",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x82_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, seq_id, tok_start, tok_end, n_toks " +
+          "FROM pack_sequences('x82_docs', 'doc_id', 'text', 256) " +
+          "ORDER BY doc_id, seq_id")
+      },
+      Some(packOracleSql)),
   )
 
   /** The x76 item stream: the corpus token stream plus planted heavy
@@ -2478,6 +2508,39 @@ object ExtensionQueries {
       "/ CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank " +
       "FROM documents WHERE n_chars > 0) t " +
       "WHERE rank <= 100 ORDER BY doc_id"
+
+  /** x29's LIVE oracle (shared by x49's streaming twin and x80's TVF
+    * form): the naive LEFT-JOIN + row_number formulation of
+    * most-recent-at-or-before attribution, re-derived in DuckDB.
+    */
+  private lazy val asofOracleSql: String =
+    "SELECT event_id, user_id, ts_ms, click_ts_ms, click_id FROM (" +
+      "SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000000 AS ts_ms, " +
+      "epoch_ns(c.ts)//1000000 AS click_ts_ms, c.event_id AS click_id, " +
+      "row_number() OVER (PARTITION BY p.event_id " +
+      "ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
+      "FROM (SELECT * FROM events WHERE event_type='purchase') p " +
+      "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
+      "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
+      "WHERE rn = 1 ORDER BY event_id"
+
+  /** x30's LIVE oracle (shared by x81's TVF form): gap-based session
+    * boundaries via lag + running CASE sum, re-derived in DuckDB.
+    */
+  private lazy val sessionizeOracleSql: String =
+    "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+      "count(*) AS n_events, " +
+      "epoch_ns(min(ts))//1000000 AS start_ms, " +
+      "epoch_ns(max(ts))//1000000 AS end_ms, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
+      "SELECT user_id, ts, value, " +
+      "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM (" +
+      "SELECT user_id, ts, value, event_id, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+      "FROM events) a) b GROUP BY user_id, session_seq " +
+      "ORDER BY user_id, session_seq"
 
   /** x76's LIVE oracle: the plain GROUP BY/HAVING over the same planted
     * stream — exactly the vocabulary-sized aggregation the Misra-Gries

@@ -57,6 +57,10 @@ object TableFunctions {
     reg("heavy_hitters", heavyHitters)
     reg("trigram_kn_score", trigramKnScore)
     reg("weighted_sample", weightedSample)
+    reg("asof_join", asofJoin)
+    reg("sessionize", sessionize)
+    reg("chunk_docs", chunkDocs)
+    reg("pack_sequences", packSequences)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -248,6 +252,108 @@ object TableFunctions {
       s"heavy_hitters(itemsView, itemCol, phi) takes 3 arguments, got ${exprs.length}")
     Skew.heavyHittersExact(table(litString(exprs(0))), litString(exprs(1)),
       phi = litDouble(exprs(2)))
+      .queryExecution.logical
+  }
+
+  // comma-separated column list — the SQL-native encoding for a Seq
+  // argument (`'user_id'` or `'user_id,region'`); names are trimmed,
+  // empties refused so `'a,,b'` fails loudly instead of planning a
+  // phantom column
+  private def litCols(e: Expression, what: String): Seq[String] = {
+    val parts = litString(e).split(',').map(_.trim).toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"$what must be a non-empty comma-separated column list")
+    parts
+  }
+
+  /** `asof_join(leftView, rightView, keysCsv, leftTs, rightTs,
+    * rightColsCsv, rightTieBreak [, toleranceNanos])` → left's columns +
+    * (asof_ts, <carried right columns>).
+    *
+    * Most-recent-at-or-before temporal join ([[graft.operators.AsofJoin
+    * .asofJoin]] verbatim: one union + one keyed window, never a
+    * nested-loop). `rightColsCsv` entries are `src` or `src:outName`
+    * (e.g. `'event_id:click_id,value'`); `keysCsv` is the equi-key list.
+    * The timeseries family's flagship — now one SQL statement.
+    */
+  def asofJoin(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 7 || exprs.length == 8,
+      "asof_join(leftView, rightView, keysCsv, leftTs, rightTs, " +
+        "rightColsCsv, rightTieBreak [, toleranceNanos]) takes 7 or 8 " +
+        s"arguments, got ${exprs.length}")
+    val rightCols = litCols(exprs(5), "rightColsCsv").map { spec =>
+      spec.split(':') match {
+        case Array(src) => src.trim -> src.trim
+        case Array(src, out) => src.trim -> out.trim
+        case _ => throw new IllegalArgumentException(
+          s"rightColsCsv entry '$spec' must be 'col' or 'col:outName'")
+      }
+    }.toMap
+    graft.operators.AsofJoin.asofJoin(
+      table(litString(exprs(0))), table(litString(exprs(1))),
+      keys = litCols(exprs(2), "keysCsv"),
+      leftTs = litString(exprs(3)), rightTs = litString(exprs(4)),
+      rightCols = rightCols, rightTieBreak = litString(exprs(6)),
+      tolerance = if (exprs.length == 8) Some(litLong(exprs(7))) else None)
+      .queryExecution.logical
+  }
+
+  /** `sessionize(eventsView, keysCsv, tsCol, tieBreak, maxGap)` →
+    * events' columns + session_seq.
+    *
+    * Gap-based session assignment ([[graft.operators.Sessionize
+    * .sessionize]] verbatim: one keyed window, a new session whenever
+    * the gap to the previous event exceeds `maxGap` in the timestamp
+    * column's own units) — the clickstream/telemetry grouping step as
+    * one SQL statement.
+    */
+  def sessionize(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5,
+      "sessionize(eventsView, keysCsv, tsCol, tieBreak, maxGap) takes 5 " +
+        s"arguments, got ${exprs.length}")
+    graft.operators.Sessionize.sessionize(table(litString(exprs(0))),
+      keys = litCols(exprs(1), "keysCsv"), tsCol = litString(exprs(2)),
+      tieBreak = litString(exprs(3)), maxGap = litLong(exprs(4)))
+      .queryExecution.logical
+  }
+
+  /** `chunk_docs(docsView, idCol, textCol, chunkSize, stride)` →
+    * (doc_id, chunk_idx, chunk, n_tokens).
+    *
+    * Sliding-window token chunking ([[TextOps.chunk]] verbatim: map-only
+    * per-row window explosion, overlap = chunkSize − stride) — the
+    * context-window splitting step as one SQL statement.
+    */
+  def chunkDocs(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 5,
+      "chunk_docs(docsView, idCol, textCol, chunkSize, stride) takes 5 " +
+        s"arguments, got ${exprs.length}")
+    TextOps.chunk(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)), chunkSize = litInt(exprs(3)),
+      stride = litInt(exprs(4)))
+      .queryExecution.logical
+  }
+
+  /** `pack_sequences(docsView, idCol, textCol, budget)` →
+    * (idCol, seq_id, tok_start, tok_end, n_toks).
+    *
+    * Concat-and-chunk pack manifest ([[graft.operators.Pack
+    * .packSequences]] verbatim). DELIBERATE exception to the
+    * zero-jobs-at-analysis discipline the other builders keep: the
+    * corpus-wide token offset is a distributed prefix sum whose
+    * per-partition totals must materialize before any span can be
+    * planned ([[graft.operators.Prefix.cumsumLong]] — a range shuffle +
+    * one partitions-sized collect), so this builder runs that job at
+    * analysis time, exactly the work the Scala call performs before
+    * returning. Callers composing it into views should expect the
+    * offset pass to run when the view is ANALYZED, not executed.
+    */
+  def packSequences(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "pack_sequences(docsView, idCol, textCol, budget) takes 4 " +
+        s"arguments, got ${exprs.length}")
+    graft.operators.Pack.packSequences(table(litString(exprs(0))),
+      litString(exprs(1)), litString(exprs(2)), budget = litInt(exprs(3)))
       .queryExecution.logical
   }
 }

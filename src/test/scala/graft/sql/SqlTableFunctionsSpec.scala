@@ -227,4 +227,83 @@ class SqlTableFunctionsSpec extends SparkSpec {
         viaSql.head.getLong(1) == 600L)
     }
   }
+
+  test("asof_join TVF ≡ AsofJoin.asofJoin (keys/rightCols CSV forms, tolerance arg)") {
+    withExtSession { s =>
+      val ev = Tables.events(s, sf)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value"))
+      purchases.createOrReplaceTempView("tvf_asof_l")
+      clicks.createOrReplaceTempView("tvf_asof_r")
+      // the col:alias CSV form carries TWO right columns, one renamed
+      val viaSql = rows(s.sql(
+        "SELECT * FROM asof_join('tvf_asof_l', 'tvf_asof_r', 'user_id', " +
+          "'ts', 'ts', 'click_id,value:click_value', 'click_id') " +
+          "ORDER BY event_id"))
+      val viaScala = rows(graft.operators.AsofJoin.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        Map("click_id" -> "click_id", "value" -> "click_value"),
+        rightTieBreak = "click_id").orderBy("event_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // 8th arg = tolerance in the ts column's own units (nanos here)
+      val tolSql = rows(s.sql(
+        "SELECT * FROM asof_join('tvf_asof_l', 'tvf_asof_r', 'user_id', " +
+          "'ts', 'ts', 'click_id', 'click_id', 600000000000) " +
+          "ORDER BY event_id"))
+      val tolScala = rows(graft.operators.AsofJoin.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        Map("click_id" -> "click_id"), rightTieBreak = "click_id",
+        tolerance = Some(600000000000L)).orderBy("event_id"))
+      assert(tolSql.nonEmpty && tolSql == tolScala)
+    }
+  }
+
+  test("sessionize TVF ≡ Sessionize.sessionize and composes into SQL GROUP BY") {
+    withExtSession { s =>
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      ev.createOrReplaceTempView("tvf_sess_ev")
+      val viaSql = rows(s.sql(
+        "SELECT user_id, session_seq, count(*) AS n " +
+          "FROM sessionize('tvf_sess_ev', 'user_id', 'ts', 'event_id', " +
+          "1800000000000) GROUP BY user_id, session_seq " +
+          "ORDER BY user_id, session_seq"))
+      val viaScala = rows(graft.operators.Sessionize.sessionize(
+        ev, Seq("user_id"), "ts", "event_id", maxGap = 1800000000000L)
+        .groupBy("user_id", "session_seq").agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "session_seq"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("chunk_docs TVF ≡ TextOps.chunk (overlapping stride)") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_chunk_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM chunk_docs('tvf_chunk_docs', 'doc_id', 'text', " +
+          "64, 48) ORDER BY doc_id, chunk_idx"))
+      val viaScala = rows(graft.operators.TextOps.chunk(
+        docs, "doc_id", "text", chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("pack_sequences TVF ≡ Pack.packSequences (documented analysis-time offsets)") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_pack_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM pack_sequences('tvf_pack_docs', 'doc_id', 'text', " +
+          "128) ORDER BY doc_id, seq_id"))
+      val viaScala = rows(graft.operators.Pack.packSequences(
+        docs, "doc_id", "text", budget = 128)
+        .orderBy("doc_id", "seq_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
 }
