@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps, UnigramLm, WordPiece}
+import graft.operators.{AnnIndexStore, AsofJoin, Bpe, Dedup, LexIndexStore, MjpegAvi, Multimodal, Pack, RangeJoin, Resample, Sessionize, Similarity, Skew, Terms, TextOps, UnigramLm, WordPiece}
 import graft.tables.Tables
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
@@ -2395,6 +2395,43 @@ object ExtensionQueries {
           "ORDER BY doc_id, seq_id")
       },
       Some(packOracleSql)),
+
+    // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
+    // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
+    // JPEG frames — flip OFF the stub path via [[graft.operators
+    // .MjpegAvi.Codec]] (pure-JVM demux + the JDK's own JPEG decoder;
+    // tag mjpeg_avi, is_stub=false, features = the middle frame's real
+    // luma histogram). Planted beside them: a truncated AVI and a
+    // garbage blob, which the codec must REFUSE (still stub-flagged) —
+    // a recognized-but-broken container surfacing as fake features
+    // would be the exact failure the in-band flag exists to prevent.
+    // The synthetic GFV1/PNG/WAV slice rides along so the built-in
+    // decode paths are pinned unchanged next to the new codec. Frozen
+    // oracle (JPEG decode is engine-internal).
+    Q("x83_mjpeg_codec",
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (6000001L, "video", MjpegAvi.makeFixture(1L, 32, 24, 5)),
+          (6000002L, "video", MjpegAvi.makeFixture(2L, 48, 32, 3)),
+          (6000003L, "video", MjpegAvi.makeFixture(7L, 16, 16, 1)),
+          // structural lie: a mid-movi truncation must stay stubbed
+          (6000004L, "video",
+            MjpegAvi.makeFixture(3L, 32, 24, 4).dropRight(900)),
+          // garbage: not a container at all
+          (6000005L, "video", Array.tabulate(96)(i => (i * 11 + 5).toByte)))
+          .toDF("asset_id", "media_type", "content")
+        val synth = Multimodal.syntheticAssets(Tables.documents(s, d))
+          .filter(col("asset_id") < 30)
+          .select("asset_id", "media_type", "content")
+        Multimodal.extractFeatures(synth.unionByName(planted),
+          externalCodec = Some(MjpegAvi.Codec))
+          .select(col("asset_id"), col("media_type"),
+            round(element_at(col("feature"), 1), 4).as("f0"),
+            round(element_at(col("feature"), 16), 4).as("f15"),
+            col("codec"), col("is_stub"))
+          .orderBy("asset_id")
+      }, F1OracleSql.sql.get("x83_mjpeg_codec")),
   )
 
   /** The x76 item stream: the corpus token stream plus planted heavy
