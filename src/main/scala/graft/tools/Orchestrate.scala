@@ -38,11 +38,22 @@ object Orchestrate {
 
   /** Testable core: returns the final per-table dashboard row count map.
     * `out` receives the human panel (println in main, captured in spec).
+    *
+    * `stopAfterChunk` (test seam, default off): when ≥ 0, the run is
+    * INTERRUPTED right after landing that chunk index — the registered
+    * shutdown hook's own body runs (the exact code a real SIGTERM/SIGINT
+    * executes), no further chunks land, no drain, no dashboard — and the
+    * partial counts return. OrchestrateSpec uses it to prove the
+    * crash-resilience claim the scaladoc makes: a second launch over the
+    * SAME workDir resumes from the committed checkpoints, skips the
+    * already-processed chunk files, drains the remainder, and lands the
+    * full-file per-topic totals with nothing double-counted.
     */
   def run(spark: SparkSession, inputFile: String, workDir: String,
       topics: Seq[String] = F1Pipeline.MonitorTopics,
       pollRounds: Int = 3, paceMs: Long = 200L, chunks: Int = 4,
-      out: String => Unit = println(_)): Map[String, Long] = {
+      out: String => Unit = println(_),
+      stopAfterChunk: Int = -1): Map[String, Long] = {
     require(Files.exists(Paths.get(inputFile)), s"no input file $inputFile")
     val src = s"$workDir/src"
     val tables = s"$workDir/tables"
@@ -67,21 +78,44 @@ object Orchestrate {
       // its next trigger)
       val per = math.max(1, math.ceil(lines.size().toDouble / chunks).toInt)
       // c*per can pass end-of-list when lines < chunks·per (small
-      // inputs) — stop instead of letting subList throw
-      (0 until chunks).takeWhile(c => c * per < lines.size()).foreach { c =>
-        val slice = new java.util.ArrayList[String](
-          lines.subList(c * per, math.min(lines.size(), (c + 1) * per)))
-        if (!slice.isEmpty) {
-          // land atomically: a micro-batch listing the source dir
-          // between create and flush would read (and mark processed) a
-          // truncated file — write outside the watched dir, then move in
-          val tmp = Files.createTempFile(Paths.get(src).getParent,
-            s"chunk_$c", ".tmp")
-          Files.write(tmp, slice)
-          Files.move(tmp, Paths.get(s"$src/chunk_$c.txt"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          if (paceMs > 0) Thread.sleep(paceMs)
+      // inputs) — stop instead of letting subList throw. `exists`
+      // short-circuits at the interruption seam: a SIGTERM'd process
+      // lands nothing after the signal.
+      val interrupted = (0 until chunks)
+        .takeWhile(c => c * per < lines.size()).exists { c =>
+          val slice = new java.util.ArrayList[String](
+            lines.subList(c * per, math.min(lines.size(), (c + 1) * per)))
+          if (!slice.isEmpty) {
+            // land atomically: a micro-batch listing the source dir
+            // between create and flush would read (and mark processed) a
+            // truncated file — write outside the watched dir, then move in
+            val tmp = Files.createTempFile(Paths.get(src).getParent,
+              s"chunk_$c", ".tmp")
+            Files.write(tmp, slice)
+            Files.move(tmp, Paths.get(s"$src/chunk_$c.txt"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            if (paceMs > 0) Thread.sleep(paceMs)
+          }
+          c == stopAfterChunk
         }
+      if (interrupted) {
+        // signal arrival mid-replay: run the hook's OWN body (stop every
+        // live query, commits complete), skip drain/dashboard — exactly
+        // what the process does under a real SIGTERM — and report
+        // whatever had committed when the signal landed
+        hook.run()
+        // a sink dir can exist with ZERO committed files when the signal
+        // lands between table-dir creation and the first parquet commit —
+        // that's an honest count of 0, not a crash
+        val partial = topics
+          .filter(t => Files.exists(Paths.get(s"$tables/$t")))
+          .map(t => t -> (
+            try spark.read.parquet(s"$tables/$t").count()
+            catch { case _: org.apache.spark.sql.AnalysisException => 0L }))
+          .toMap
+        out(s"orchestrate: INTERRUPTED after chunk $stopAfterChunk " +
+          partial.map { case (k, v) => s"$k=$v" }.mkString(" "))
+        return partial
       }
       queries.foreach(_.processAllAvailable())
       // dashboard poll loop over the landed tables (dashboard.py:59-108:

@@ -41,6 +41,32 @@ class OrchestrateSpec extends SparkSpec {
     assert(counts == Map("weather" -> 3L), counts.toString)
   }
 
+  test("orchestrate: SIGTERM mid-replay leaves resumable checkpoints — relaunch drains to full totals") {
+    val wire = writeWire()
+    val work = Files.createTempDirectory("graft_orch_sig").toString
+    val panel = new scala.collection.mutable.ArrayBuffer[String]
+    // first launch: the signal lands right after chunk 0 of 3 — the
+    // run's own shutdown-hook body executes (stop every query, commits
+    // complete), later chunks never land. paceMs = 500 gives the 50 ms
+    // triggers time to commit chunk 0 before the signal, so the
+    // interruption point is deterministic.
+    val partial = Orchestrate.run(spark, wire, work, pollRounds = 1,
+      paceMs = 500L, chunks = 3, out = panel.append(_), stopAfterChunk = 0)
+    assert(panel.exists(_.contains("INTERRUPTED")), panel.mkString("\n"))
+    // load-bearing interruption: the full fixture is 15 rows across the
+    // four topics — the killed run must NOT have landed them all
+    assert(partial.values.sum < 15,
+      s"interrupted run landed the whole file: $partial")
+    // second launch over the SAME workDir: checkpoints resume, the
+    // re-landed chunk_0 file is skipped by the source's seen-files log,
+    // the remainder drains — full per-topic totals, nothing
+    // double-counted (an append replay would overshoot and fail here)
+    val counts = Orchestrate.run(spark, wire, work, pollRounds = 1,
+      paceMs = 10L, chunks = 3, out = panel.append(_))
+    assert(counts == Map("weather" -> 3L, "telemetry" -> 5L,
+      "car_positions" -> 5L, "race_control" -> 2L), counts.toString)
+  }
+
   test("orchestrate: a topic subset launches only those monitors; unknown topics refuse") {
     val panel = new scala.collection.mutable.ArrayBuffer[String]
     val counts = Orchestrate.run(spark, writeWire(),
