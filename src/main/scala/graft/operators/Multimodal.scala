@@ -737,8 +737,11 @@ object Multimodal {
 
   /** Video feature extraction: demux the PNG-frame container
     * ([[parseVideo]]) and run the REAL image decode on the middle frame.
-    * Unknown containers fall back to [[decodeStub]] — the slot an
-    * ffmpeg/JNI demuxer plugs into.
+    * Unknown containers fall back to [[decodeStub]] — from which the
+    * [[MediaCodec]] seam can still claim them: [[MjpegAvi.Codec]] (real
+    * pure-JVM MJPEG/AVI demux + JDK JPEG decode) is the shipped
+    * implementation; an ffmpeg/JNI demuxer for MP4/H.264 is the
+    * remaining documented slot.
     */
   def videoFeatures(content: Array[Byte]): Array[Double] =
     videoFeaturesTagged(content)._1
@@ -760,8 +763,9 @@ object Multimodal {
       case _ => (decodeStub(content), "stub")
     }
 
-  /** STUB byte-stream features — the fallback for media in containers
-    * this build can't demux (non-GFV1 video, non-PCM audio).
+  /** STUB byte-stream features — the LAST fallback for media in
+    * containers neither the built-ins nor any installed [[MediaCodec]]
+    * can demux (e.g. MP4/H.264 video, MP3 audio).
     *
     * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an external
     * codec library. We emit a deterministic fake instead: `featureDim`
@@ -769,7 +773,9 @@ object Multimodal {
     * Spark-side contract (binary in, fixed-length vector out,
     * batch-per-partition) is exactly what a real extractor plugs into.
     * (Images, PCM audio, and GFV1 video do NOT take this path — see
-    * [[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]].)
+    * [[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]] — and
+    * MJPEG/AVI video is claimed for real by [[MjpegAvi.Codec]] when
+    * installed; rows that DO land here carry `is_stub = true` in-band.)
     */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)

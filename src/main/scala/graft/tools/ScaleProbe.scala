@@ -1257,6 +1257,121 @@ object ScaleProbe {
     queries.unpersist()
   }
 
+  /** Data-dominated probe, persisted-ANN edition (round-12 verdict ask
+    * #6 — lex got 5M/10M docs in datadom2; the ANN lifecycle probes
+    * stopped at 200k–400k vectors): price the STORED-index lifecycle —
+    * build, save, searchTopK ×3, fixed-size addVectors, delete→purge,
+    * post-purge search — at 1M and 2M hash-random 64-d vectors, plus
+    * the flat-SQ8 codes scan, with the dd4 twin contract riding every
+    * search wall as the exact invariant: 20 noised twins of corpus rows
+    * 0–19 must land at rank 1 through the exact rerank, at every
+    * lifecycle stage, or the probe aborts. Recall vs the brute float
+    * scan is additionally REPORTED (isotropic-random vectors are the
+    * documented weak regime for coarse quantizers — the honest number
+    * belongs on the record; the twin contract is what a dedup/linkage
+    * deployment relies on).
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 400 datadom5"   // 1M vectors
+    *   sbt "runMain graft.tools.ScaleProbe 800 datadom5"   // 2M vectors
+    */
+  private def datadom5Probe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndexStore, Similarity}
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    val nVecs = factor * 2500L
+    def rndVec(seed: String, idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(lit(seed), idc, i), lit(2001L)) - 1000L) / 1000.0)
+    val corpus = spark.range(nVecs)
+      .select(col("id").as("c_id"), rndVec("v", col("id")).as("c_vec"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd5_vecs","factor":$factor,"vecs":${corpus.count()}}""")
+    val queries = spark.range(20)
+      .select((col("id") + 9000000L).as("q_id"),
+        zip_with(rndVec("v", col("id")), rndVec("q", col("id")),
+          (b, n) => b + n * 0.05).as("q_vec"))
+      .cache()
+    queries.count()
+    val brute = timed("dd5_brute_scan") {
+      Similarity.bruteForceTopK(corpus, queries,
+        "c_id", "c_vec", "q_id", "q_vec", 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // recall vs brute is reported only while the brute ground truth is
+    // CURRENT (pre-growth stages) — after addVectors the true top-5
+    // changes, and recall against a stale set would read as a quality
+    // regression that is actually the metric going stale
+    def requireTwins(stage: String, rows: Array[org.apache.spark.sql.Row],
+        vsBrute: Boolean = true): Unit = {
+      val hit = rows.count(r => r.getInt(3) == 1 &&
+        r.getLong(1) == r.getLong(0) - 9000000L)
+      val recall =
+        if (vsBrute)
+          s""","recall_vs_brute":${(brute &
+            rows.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / brute.size}"""
+        else ""
+      println(s"""{"probe":"dd5_${stage}_twins","factor":$factor,"twins_at_rank1":$hit$recall}""")
+      require(hit == 20, s"$stage twin contract broke: $hit/20 at rank 1")
+    }
+    val dir = Files.createTempDirectory("dd5_ann").toString + "/idx"
+    // 64 inverted lists: ~nVecs/64 vectors per probed list — the layout
+    // whose pruning factor the searches below are supposed to buy
+    val (ivf, pq) = timed("dd5_build") {
+      (Similarity.buildIvf(corpus, "c_id", "c_vec", k = 64, iters = 2),
+        Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2))
+    }
+    timed("dd5_save")(AnnIndexStore.save(spark, dir, ivf, pq))
+    val loaded = timed("dd5_load")(AnnIndexStore.load(spark, dir))
+    (1 to 3).foreach { i =>
+      val got = timed(s"dd5_search_stored_$i") {
+        AnnIndexStore.searchTopK(loaded, queries, "c_id", "c_vec",
+          "q_id", "q_vec", k = 5, rerank = 200).collect()
+      }
+      requireTwins(s"search_$i", got)
+    }
+    // fixed-size increment (20k vectors — SAME size at both factors, so
+    // the wall exposes any hidden corpus dependence; ids disjoint)
+    val inc = spark.range(20000)
+      .select((col("id") + 50000000L).as("c_id"), rndVec("a", col("id")).as("c_vec"))
+    timed("dd5_add_vectors")(
+      AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec"))
+    val grown = timed("dd5_reload_grown")(AnnIndexStore.load(spark, dir))
+    requireTwins("search_grown", timed("dd5_search_grown") {
+      AnnIndexStore.searchTopK(grown, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 200).collect()
+    }, vsBrute = false)
+    // fixed-size delete (20k stored ids away from the twins) → tombstoned
+    // search → purge (O(touched lists)) → post-purge search
+    val delIds = spark.range(500000L, 520000L).select(col("id").as("c_id"))
+    timed("dd5_delete_vectors")(
+      AnnIndexStore.deleteVectors(spark, dir, delIds, "c_id"))
+    val tomb = timed("dd5_reload_tombstoned")(AnnIndexStore.load(spark, dir))
+    requireTwins("search_tombstoned", timed("dd5_search_tombstoned") {
+      AnnIndexStore.searchTopK(tomb, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 200).collect()
+    }, vsBrute = false)
+    timed("dd5_purge_deleted")(AnnIndexStore.purgeDeleted(spark, dir))
+    val purged = timed("dd5_reload_purged")(AnnIndexStore.load(spark, dir))
+    requireTwins("search_purged", timed("dd5_search_purged") {
+      AnnIndexStore.searchTopK(purged, queries, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 200).collect()
+    }, vsBrute = false)
+    // flat SQ8 (the training-free 4× code): build + exhaustive codes
+    // scan at N, twin contract riding the scan
+    val sq8 = timed("dd5_sq8_build")(
+      Similarity.buildSq8(corpus, "c_id", "c_vec"))
+    val sq8Codes = sq8.encoded.cache()
+    sq8Codes.count()
+    requireTwins("sq8_scan", timed("dd5_sq8_scan") {
+      Similarity.sq8TopK(sq8.copy(encoded = sq8Codes), queries,
+        "q_id", "q_vec", k = 5).collect()
+    })
+    sq8Codes.unpersist()
+    corpus.unpersist()
+    queries.unpersist()
+  }
+
   /** Anomaly isolation for the datadom findings: times classifier
     * training on the SAME 5000-doc labeled slice materialized two ways —
     * fresh from parquet vs filtered out of a factor×-cached corpus —
@@ -1429,6 +1544,10 @@ object ScaleProbe {
     }
     if (mode == "datadom4") {
       try datadom4Probe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom5") {
+      try datadom5Probe(spark, n) finally spark.stop()
       return
     }
     if (mode == "trainmicro") {
