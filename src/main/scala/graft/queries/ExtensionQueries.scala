@@ -1065,13 +1065,7 @@ object ExtensionQueries {
       (s, d) => TextOps.chunk(Tables.documents(s, d), "doc_id", "text",
         chunkSize = 64, stride = 32)
         .orderBy("doc_id", "chunk_idx"),
-      Some("SELECT t.doc_id, CAST(nums.i AS INT) AS chunk_idx, " +
-        "array_to_string(t.toks[nums.i*32+1 : least(nums.i*32+64, len(t.toks))], ' ') AS chunk, " +
-        "CAST(least(64, len(t.toks) - nums.i*32) AS INT) AS n_tokens " +
-        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
-        "FROM documents WHERE trim(text) <> '') t " +
-        "JOIN (SELECT unnest(range(0, 10000)) AS i) nums ON nums.i*32 < len(t.toks) " +
-        "ORDER BY doc_id, chunk_idx")),
+      Some(chunkOracleSql)),
 
     Q("x11_text_fingerprint",
       (s, d) => Tables.documents(s, d)
@@ -2396,6 +2390,20 @@ object ExtensionQueries {
       },
       Some(packOracleSql)),
 
+    // Context-window chunking as one SQL statement — the chunk_docs TVF
+    // under x22's LIVE oracle verbatim, completing the four-TVF
+    // timeseries/packing surface (x80 asof / x81 sessionize / x82 pack /
+    // this).
+    Q("x84_sql_chunk",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x84_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, chunk_idx, chunk, n_tokens " +
+          "FROM chunk_docs('x84_docs', 'doc_id', 'text', 64, 32) " +
+          "ORDER BY doc_id, chunk_idx")
+      },
+      Some(chunkOracleSql)),
+
     // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
     // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
     // JPEG frames — flip OFF the stub path via [[graft.operators
@@ -2545,6 +2553,18 @@ object ExtensionQueries {
       "/ CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank " +
       "FROM documents WHERE n_chars > 0) t " +
       "WHERE rank <= 100 ORDER BY doc_id"
+
+  /** x22's LIVE oracle (shared by x84's TVF form): the sliding-window
+    * token chunking re-derived via array slicing in DuckDB.
+    */
+  private lazy val chunkOracleSql: String =
+    "SELECT t.doc_id, CAST(nums.i AS INT) AS chunk_idx, " +
+      "array_to_string(t.toks[nums.i*32+1 : least(nums.i*32+64, len(t.toks))], ' ') AS chunk, " +
+      "CAST(least(64, len(t.toks) - nums.i*32) AS INT) AS n_tokens " +
+      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+      "FROM documents WHERE trim(text) <> '') t " +
+      "JOIN (SELECT unnest(range(0, 10000)) AS i) nums ON nums.i*32 < len(t.toks) " +
+      "ORDER BY doc_id, chunk_idx"
 
   /** x29's LIVE oracle (shared by x49's streaming twin and x80's TVF
     * form): the naive LEFT-JOIN + row_number formulation of
