@@ -334,6 +334,12 @@ object Skew {
     // engines, and a double `phi * total` at that boundary can round
     // either way. DECIMAL(38,0) products cannot overflow.
     val phiBd = BigDecimal(phi.toString).underlying.stripTrailingZeros
+    // 10^scale must stay an exact long (math.pow saturates past 2^63 and
+    // would silently corrupt the rational); a phi needing > 18 decimals
+    // is below any meaningful heavy-hitter threshold anyway
+    require(phiBd.scale <= 18,
+      s"phi ($phi) needs ${phiBd.scale} decimals — thresholds below 1e-18 " +
+        "are not supported (and MG capacity ceil(1/phi) would not fit memory)")
     val (rawNum, rawDen) =
       if (phiBd.scale <= 0)
         (phiBd.unscaledValue.longValueExact *
