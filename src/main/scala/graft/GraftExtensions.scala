@@ -112,7 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.TextVectorExpressions.foldableDoubles(e)
     def foldableStrings(e: Expression): Array[String] =
       graft.functions.TextVectorExpressions.foldableStrings(e)
-    import graft.functions.{AdaptiveNearestCentroids, HashedBowIdsExpr, HashedBowMarginExpr, HashedBowMarginsExpr, MergeFoldExpr, PiiScanExpr, RepetitionStatsExpr, Sq8DotExpr, Sq8EncodeExpr, Sq8NormExpr, TokenGramExpr, UnigramViterbiExpr, WordPieceEncodeExpr}
+    import graft.functions.{AdaptiveNearestCentroids, HashedBowIdsExpr, HashedTfVecExpr, HashedBowMarginExpr, HashedBowMarginsExpr, MergeFoldExpr, PiiScanExpr, RepetitionStatsExpr, Sq8DotExpr, Sq8EncodeExpr, Sq8NormExpr, TokenGramExpr, UnigramViterbiExpr, WordPieceEncodeExpr}
     ext.injectFunction((
       FunctionIdentifier("adaptive_nearest_centroids"),
       new ExpressionInfo(classOf[AdaptiveNearestCentroids].getName, "adaptive_nearest_centroids"),
@@ -144,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hashed_bow_ids"),
       new ExpressionInfo(classOf[HashedBowIdsExpr].getName, "hashed_bow_ids"),
       (exprs: Seq[Expression]) => HashedBowIdsExpr(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_tf_vec"),
+      new ExpressionInfo(classOf[HashedTfVecExpr].getName, "hashed_tf_vec"),
+      (exprs: Seq[Expression]) => HashedTfVecExpr(exprs(0), litInt(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("hashed_bow_margin"),
       new ExpressionInfo(classOf[HashedBowMarginExpr].getName, "hashed_bow_margin"),

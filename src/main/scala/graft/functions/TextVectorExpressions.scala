@@ -744,6 +744,34 @@ object TextVectorKernels {
     acc / n
   }
 
+  /** L2-normalized hashed term-frequency embedding — the in-engine
+    * "text → dense vector" bridge: occurrence counts over exactly the
+    * [[hashedBowIds]] unigram+bigram feature enumeration, accumulated
+    * into a dim-length dense vector and L2-normalized, so a text corpus
+    * with NO external embedding model can still ride the full ANN stack
+    * (index build, top-k search, near-dup linkage). Near-identical
+    * texts share almost all hashed features → cosine near 1; textless
+    * rows emit the zero vector (cosine 0 against everything — never a
+    * spurious neighbor). Pure function of the text: no RNG, no
+    * vocabulary state, bit-deterministic at any parallelism.
+    */
+  def hashedTfVec(text: UTF8String, dim: Int): ArrayData = {
+    val ids = hashedBowIds(text, dim)
+    val counts = new Array[Double](dim)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) { counts(ids.getInt(i)) += 1.0; i += 1 }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { ss += counts(i) * counts(i); i += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < dim) { counts(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(counts)
+  }
+
   /** WordPiece MaxMatch: greedy longest-match-first segmentation of one
     * pre-token against a frozen vocabulary (word-initial pieces bare,
     * continuation pieces "##"-prefixed), `["[UNK]"]` when some position
@@ -1114,6 +1142,25 @@ case class HashedBowIdsExpr(child: Expression, dim: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): HashedBowIdsExpr =
     copy(child = newChild)
   override def prettyName: String = "hashed_bow_ids"
+}
+
+/** L2-normalized hashed-TF dense embedding
+  * ([[TextVectorKernels.hashedTfVec]]). SQL: hashed_tf_vec(text, dim).
+  */
+case class HashedTfVecExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && dim >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_tf_vec requires STRING and dim >= 1, got ${child.dataType.catalogString}, dim=$dim")
+  override def nullSafeEval(input: Any): Any =
+    TextVectorKernels.hashedTfVec(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextVectorKernels.hashedTfVec($c, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): HashedTfVecExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_tf_vec"
 }
 
 /** Frozen-weights mean feature weight ([[TextVectorKernels.hashedBowMargin]]);
@@ -1719,6 +1766,8 @@ object TextVectorExpressions {
   private def registerHashedBow(spark: SparkSession): Unit = {
     Registry.registerOnce(spark, "hashed_bow_ids")(
       exprs => HashedBowIdsExpr(exprs(0), litInt(exprs(1))))
+    Registry.registerOnce(spark, "hashed_tf_vec")(
+      exprs => HashedTfVecExpr(exprs(0), litInt(exprs(1))))
     Registry.registerOnce(spark, "hashed_bow_margin")(
       exprs => HashedBowMarginExpr(exprs(0), foldableDoubles(exprs(1))))
     Registry.registerOnce(spark, "hashed_bow_margins")(
@@ -1741,6 +1790,10 @@ object TextVectorExpressions {
   def hashed_bow_ids(c: Column, dim: Int): Column = {
     registerHashedBow(SparkSession.active)
     call_function("hashed_bow_ids", c, lit(dim))
+  }
+  def hashed_tf_vec(c: Column, dim: Int): Column = {
+    registerHashedBow(SparkSession.active)
+    call_function("hashed_tf_vec", c, lit(dim))
   }
   def hashed_bow_margin(c: Column, weights: Array[Double]): Column = {
     registerHashedBow(SparkSession.active)

@@ -2404,6 +2404,42 @@ object ExtensionQueries {
       },
       Some(chunkOracleSql)),
 
+    // Text → embedding → index → search with ZERO external models: the
+    // new codegen'd hashed_tf_vec kernel (L2-normalized hashed-TF over
+    // the fastText unigram+bigram feature enumeration) embeds the raw
+    // corpus in-engine, the persisted IVF-PQ index builds over those
+    // REAL text vectors, and the queries are the planted truncated-tail
+    // near-dup copies (NOT in the corpus) — each copy's top hit must be
+    // its original at cosine ≈ 1 (the near-dup-linkage regime hashed TF
+    // is exactly right for; rank-1-equals-original additionally
+    // spec-pinned). Frozen oracle (hash embeddings + quantizers are
+    // engine-internal). This closes the "corpora without an embedding
+    // column" gap: the whole ANN stack — build, grow, search, dedup —
+    // now runs end to end from nothing but text.
+    Q("x85_text_ann_e2e",
+      (s, d) => {
+        import graft.functions.TextVectorExpressions.hashed_tf_vec
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id").as("c_id"),
+          hashed_tf_vec(col("text"), 64).as("c_vec"))
+        val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+        val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16,
+          iters = 2)
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_annidx_x85_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        AnnIndexStore.save(s, dir, ivf, pq)
+        plantTextDups(docs.select(col("doc_id"), col("text")))
+          .filter(col("doc_id") >= 1000000L)
+          .select(col("doc_id").as("q_id"),
+            hashed_tf_vec(col("text"), 64).as("q_vec"))
+          .createOrReplaceTempView("x85_queries")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank " +
+          s"FROM ann_topk('$dir', 'x85_queries', 'c_id', 'c_vec', " +
+          "'q_id', 'q_vec', 3, 50) ORDER BY query_id, rank")
+      }, F1OracleSql.sql.get("x85_text_ann_e2e")),
+
     // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
     // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
     // JPEG frames — flip OFF the stub path via [[graft.operators

@@ -1595,4 +1595,61 @@ class ExtensionOpsSpec extends SparkSpec {
     val recall = (flatPairs & pruned).size.toDouble / flatPairs.size
     assert(recall >= 0.5, f"ivf-hamming pruned recall = $recall%.3f")
   }
+
+  test("hashed_tf_vec: unit-norm text embeddings; near-dup copies link to originals through the full ANN stack") {
+    import graft.functions.TextVectorExpressions.hashed_tf_vec
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // kernel contract: dim-length, unit L2 norm for non-empty text, the
+    // zero vector (never null) for empty/whitespace text, null-safe
+    val vecs = docs.select(col("doc_id"), hashed_tf_vec(col("text"), 64).as("v"))
+      .collect()
+    vecs.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 64)
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9 || n2 == 0.0,
+        s"doc ${r.getLong(0)}: norm^2 = $n2")
+    }
+    graft.functions.TextVectorExpressions.hashed_tf_vec(col("text"), 8) // registers
+    val edge = spark.sql(
+      "SELECT hashed_tf_vec('', 8) AS a, hashed_tf_vec('  ', 8) AS b, " +
+        "hashed_tf_vec(CAST(NULL AS STRING), 8) AS c")
+    val e = edge.collect()(0)
+    assert(e.getSeq[Double](0).forall(_ == 0.0) && e.getSeq[Double](1).forall(_ == 0.0))
+    assert(e.isNullAt(2), "null text must stay null, not a zero vector")
+    // end-to-end near-dup linkage: index the corpus embeddings, query
+    // with the planted truncated-tail copies (not in the corpus) — each
+    // copy's rank-1 neighbor must be its original at cosine near 1
+    val corpus = docs.select(col("doc_id").as("c_id"),
+      hashed_tf_vec(col("text"), 64).as("c_vec"))
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 4, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 8, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("tfvec_ann").toString + "/idx"
+    AnnIndexStore.save(spark, dir, ivf, pq)
+    val queries = graft.queries.ExtensionQueries.plantTextDups(docs)
+      .filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id").as("q_id"), hashed_tf_vec(col("text"), 64).as("q_vec"))
+    val top = AnnIndexStore.searchTopK(AnnIndexStore.load(spark, dir),
+      queries, "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20)
+      .collect()
+    assert(top.nonEmpty)
+    // the corpus itself carries planted near-identical twins (e.g. doc 50
+    // is doc 0 minus a " dup" suffix), so a copy's rank-1 hit may
+    // legitimately be a twin that is CLOSER than the original — genuine
+    // near-dup discovery, the thing the embedding exists for. The
+    // contract: the original appears in the top-3 at cosine near 1, and
+    // whatever outranks it scores at least as high.
+    top.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val orig = rows.find(_.getLong(1) == qid - 1000000L)
+      assert(orig.isDefined, s"copy $qid: original not in its top-3: " +
+        rows.map(r => (r.getLong(1), r.getDouble(2))).mkString(", "))
+      assert(orig.get.getDouble(2) > 0.9,
+        s"copy $qid vs original cos ${orig.get.getDouble(2)}")
+      rows.filter(_.getInt(3) < orig.get.getInt(3)).foreach { r =>
+        assert(r.getDouble(2) >= orig.get.getDouble(2),
+          s"copy $qid: ${r.getLong(1)} outranked the original with a LOWER cos")
+      }
+    }
+  }
 }
