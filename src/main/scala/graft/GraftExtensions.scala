@@ -242,6 +242,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pack_sequences"),
       new ExpressionInfo(TableFunctions.getClass.getName, "pack_sequences"),
       (exprs: Seq[Expression]) => TableFunctions.packSequences(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("stratified_sample"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "stratified_sample"),
+      (exprs: Seq[Expression]) => TableFunctions.stratifiedSample(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("shuffle_shards"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "shuffle_shards"),
+      (exprs: Seq[Expression]) => TableFunctions.shuffleShards(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("budget_select"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "budget_select"),
+      (exprs: Seq[Expression]) => TableFunctions.budgetSelect(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("resample_locf"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "resample_locf"),
+      (exprs: Seq[Expression]) => TableFunctions.resampleLocf(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

@@ -895,8 +895,13 @@ object Dedup {
     verified.groupBy("doc_id", "benchmark_id")
       .agg(countDistinct("_gram").as("n_matched"))
       .join(benchTotals, "benchmark_id")
-      .withColumn("containment",
-        round(col("n_matched").cast("double") / col("n_bench_grams"), 4))
+      // exact-rational rounding (Terms.ratioRound4): round(k/m, 4) on
+      // the raw double could re-round a 4-decimal midpoint differently
+      // in Spark and DuckDB — with the ratio column itself in the
+      // output, any such pair would redden the live oracle, not just
+      // flip the threshold verdict
+      .withColumn("containment", graft.operators.Terms.ratioRound4(
+        col("n_matched"), col("n_bench_grams")))
       .select(col("doc_id"), col("benchmark_id"), col("n_matched"),
         col("n_bench_grams"), col("containment"),
         (col("containment") >= minRatio).as("contaminated"))

@@ -739,9 +739,10 @@ object Multimodal {
     * ([[parseVideo]]) and run the REAL image decode on the middle frame.
     * Unknown containers fall back to [[decodeStub]] — from which the
     * [[MediaCodec]] seam can still claim them: [[MjpegAvi.Codec]] (real
-    * pure-JVM MJPEG/AVI demux + JDK JPEG decode) is the shipped
-    * implementation; an ffmpeg/JNI demuxer for MP4/H.264 is the
-    * remaining documented slot.
+    * pure-JVM MJPEG/AVI demux + JDK JPEG decode) and [[FfmpegCodec]]
+    * (MP4/H.264, Matroska, MP3, OGG, FLAC through a bounded ffmpeg
+    * subprocess — installed only where the binary exists) are the
+    * shipped implementations; [[FfmpegCodec.default]] chains both.
     */
   def videoFeatures(content: Array[Byte]): Array[Double] =
     videoFeaturesTagged(content)._1
@@ -765,17 +766,17 @@ object Multimodal {
 
   /** STUB byte-stream features — the LAST fallback for media in
     * containers neither the built-ins nor any installed [[MediaCodec]]
-    * can demux (e.g. MP4/H.264 video, MP3 audio).
+    * can demux.
     *
-    * ??? REAL IMPLEMENTATION GOES HERE: decode `content` with an external
-    * codec library. We emit a deterministic fake instead: `featureDim`
-    * doubles derived from the byte stream with a rolling polynomial — the
-    * Spark-side contract (binary in, fixed-length vector out,
-    * batch-per-partition) is exactly what a real extractor plugs into.
-    * (Images, PCM audio, and GFV1 video do NOT take this path — see
-    * [[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]] — and
-    * MJPEG/AVI video is claimed for real by [[MjpegAvi.Codec]] when
-    * installed; rows that DO land here carry `is_stub = true` in-band.)
+    * We emit a deterministic fake: `featureDim` doubles derived from the
+    * byte stream with a rolling polynomial — flagged `is_stub = true`
+    * in-band so no downstream consumer can mistake it for real features.
+    * (Images, PCM audio, and GFV1 video never take this path — see
+    * [[imageFeatures]]/[[audioFeatures]]/[[videoFeatures]]; MJPEG/AVI is
+    * claimed for real by [[MjpegAvi.Codec]], and MP4/H.264/MP3/MKV/OGG/
+    * FLAC by [[FfmpegCodec]] wherever its binary is installed — so rows
+    * that land here are containers NO shipped decoder recognizes, or
+    * environments with no external binary.)
     */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)

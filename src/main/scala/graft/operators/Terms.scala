@@ -48,6 +48,24 @@ object Terms {
     (signum(sMicro.cast("double")) * q.cast("double") / 10000.0) + lit(0.0)
   }
 
+  /** Exact 4-decimal HALF_UP of a non-negative integer ratio `k / m` as
+    * DOUBLE — `round(k/m, 4)` without the double-round midpoint seam:
+    * a k/m whose double sits a hair off a 4-decimal midpoint re-rounds
+    * differently under Spark's BigDecimal-of-the-double and DuckDB's
+    * scale-multiply (the [[avgRound4]] hazard class, round 12). Here the
+    * quotient q = (10⁴·k + m div 2) div m is computed in exact integer
+    * arithmetic: for even m an exact midpoint lands on the +m/2 boundary
+    * and rounds UP (HALF_UP), for odd m exact midpoints cannot exist —
+    * no double ever carries a half-rounded value between the engines.
+    * Oracle mirror: `CAST((10000*k + m//2)//m AS DOUBLE)/10000`.
+    */
+  private[graft] def ratioRound4(k: Column, m: Column): Column = {
+    val q = call_function("div",
+      lit(10000L) * k.cast("long") + call_function("div", m.cast("long"), lit(2L)),
+      m.cast("long"))
+    q.cast("double") / 10000.0
+  }
+
   /** Whitespace tokens per document: `(idCol, token)`, one row per
     * occurrence. Empty/whitespace-only documents contribute nothing.
     */

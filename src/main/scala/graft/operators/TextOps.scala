@@ -279,6 +279,32 @@ object TextOps {
     docs.filter(frac < rate)
   }
 
+  /** Per-stratum uniform sample: a deterministic top-`perStratum` draw
+    * inside each stratum, ordered by md5 of the id (cross-engine-
+    * identical, the repo sampling idiom — `rand()` would re-draw per
+    * retry) with the id as total-order tiebreak. Output: (stratumCol,
+    * idCol, rank). Stable under corpus growth in the prefix sense: a
+    * document's md5 order key never changes, so adding documents can
+    * only push rows OUT of the sample, never reshuffle the kept prefix.
+    *
+    * Scale posture: one shuffle on the stratum; the rank window scans
+    * each stratum's partition once and the filter keeps `perStratum`
+    * rows, so the output is strata × perStratum — driver-safe at any
+    * corpus size (a skewed mega-stratum still ranks on one task; when a
+    * stratum outgrows a partition, pre-filter on a cheap md5-prefix
+    * range to bound the window's input first).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int): DataFrame = {
+    require(perStratum >= 1, s"perStratum ($perStratum) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(stratumCol), col(idCol),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= perStratum)
+  }
+
   /** Token-budget mixture selection: per source, take documents in
     * (quality desc, id) order until the source's TOKEN budget is spent —
     * the operator that turns per-source token targets ("300B web, 50B

@@ -97,16 +97,68 @@ object ExtensionQueries {
       element_at(typedlit(Seq("code", "news", "wiki")),
         pmod(col("doc_id"), lit(3)).cast("int") + 1).as("domain"))
 
+  /** Content-keyed persisted-model publication (round-13 verdict ask #3):
+    * model artifacts key on (corpus content fingerprint, trainer version)
+    * instead of applicationId, so a FRESH JVM — every driver Verify and
+    * Bench run — RELOADS the stored artifact instead of retraining. That
+    * is the production posture: a curation gate retrains occasionally but
+    * scores every batch from storage. The fingerprint is md5 over the
+    * documents table's file bytes (tiny at test SFs, and at production
+    * scale the key would be the corpus snapshot/version id the catalog
+    * already carries), so a regenerated corpus gets a fresh key; `ver`
+    * must be bumped on any trainer/hyperparameter/planting change so a
+    * stale artifact can never mask a code change (the frozen oracles
+    * catch value drift downstream; the version key keeps the artifact
+    * honest at the source). Bit-parity REQUIREs stay on the training
+    * path; a reloaded artifact's integrity is the load itself plus the
+    * entry's oracle. Concurrency: training lands in a private sibling
+    * dir, one atomic rename publishes it; a racing JVM that loses the
+    * rename loads the winner's artifact — identical bits, training is
+    * deterministic (ClassifierSpec / TermsSpec).
+    */
+  private def corpusFingerprint(d: String): String = {
+    val root = new java.io.File(d, "documents.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName)
+      else Array(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      md.update(f.getName.getBytes("UTF-8"))
+      md.update(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def publishedModelDir(tag: String, ver: Int, d: String)(
+      train: String => Unit): String = {
+    val key = s"graft_${tag}_v${ver}_${corpusFingerprint(d)}"
+    val fin = new java.io.File(System.getProperty("java.io.tmpdir"), key)
+    if (!fin.exists()) {
+      val tmp = new java.io.File(fin.getParentFile,
+        s"$key.train-${java.util.UUID.randomUUID()}")
+      train(tmp.toString)
+      if (!tmp.renameTo(fin)) {
+        // another JVM published while we trained — keep the winner's
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        require(fin.exists(),
+          s"model publish lost the rename race but $fin is missing")
+      }
+    }
+    fin.toString
+  }
+
   /** Train-once/score-many for the softmax domain family (x64/x64b/x67):
     * the first caller trains on the 25%-labeled slice, persists the model
     * ([[graft.operators.Classifier.saveSoftmaxModel]]), reloads it, and
     * REQUIRES bit-parity between the trained and reloaded arrays — then
     * every family query scores through the RELOADED artifact, which is
     * the production shape (a curation gate retrains occasionally but
-    * scores every ingest batch from storage). Keyed by sfDir; training is
-    * bit-deterministic (ClassifierSpec), so memoization is semantically
-    * invisible — it only removes the duplicated ~14 s retrain x67 paid
-    * per bench run before round 12.
+    * scores every ingest batch from storage). Published under the
+    * content key ([[publishedModelDir]]) so a fresh JVM reloads instead
+    * of retraining; training is bit-deterministic (ClassifierSpec), so
+    * both the in-JVM memo and the cross-JVM reload are semantically
+    * invisible — they only remove the ~14 s retrain every bench and
+    * verify JVM used to pay.
     */
   private val domainModelCache =
     new java.util.concurrent.ConcurrentHashMap[String,
@@ -114,28 +166,26 @@ object ExtensionQueries {
   private def domainModelFor(s: SparkSession, d: String)
       : graft.operators.Classifier.BowSoftmaxModel =
     domainModelCache.computeIfAbsent(d, _ => {
-      val docs = plantDomains(Tables.documents(s, d))
-      val trained = graft.operators.Classifier.trainDomainSoftmax(
-        docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-        "doc_id", "text", "domain", dim = 1024, iters = 12, lr = 3200.0)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_softmax_${s.sparkContext.applicationId}_${d.hashCode.toHexString}")
-        .toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      graft.operators.Classifier.saveSoftmaxModel(s, dir, trained)
-      val loaded = graft.operators.Classifier.loadSoftmaxModel(s, dir)
-      // the lifecycle invariant, enforced on EVERY family run: a storage
-      // or codec regression in save/load fails here loudly instead of
-      // silently drifting three queries' scores
-      require(java.util.Arrays.equals(
-          loaded.labels.asInstanceOf[Array[AnyRef]],
-          trained.labels.asInstanceOf[Array[AnyRef]]) &&
-          java.util.Arrays.equals(loaded.bias, trained.bias) &&
-          loaded.weights.length == trained.weights.length &&
-          loaded.weights.indices.forall(i =>
-            java.util.Arrays.equals(loaded.weights(i), trained.weights(i))),
-        "persisted softmax model does not round-trip bit-identically")
-      loaded
+      val dir = publishedModelDir("softmax", 1, d) { tmp =>
+        val docs = plantDomains(Tables.documents(s, d))
+        val trained = graft.operators.Classifier.trainDomainSoftmax(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", "domain", dim = 1024, iters = 12, lr = 3200.0)
+        graft.operators.Classifier.saveSoftmaxModel(s, tmp, trained)
+        val loaded = graft.operators.Classifier.loadSoftmaxModel(s, tmp)
+        // the lifecycle invariant, enforced whenever training runs: a
+        // storage or codec regression in save/load fails here loudly
+        // instead of silently drifting three queries' scores
+        require(java.util.Arrays.equals(
+            loaded.labels.asInstanceOf[Array[AnyRef]],
+            trained.labels.asInstanceOf[Array[AnyRef]]) &&
+            java.util.Arrays.equals(loaded.bias, trained.bias) &&
+            loaded.weights.length == trained.weights.length &&
+            loaded.weights.indices.forall(i =>
+              java.util.Arrays.equals(loaded.weights(i), trained.weights(i))),
+          "persisted softmax model does not round-trip bit-identically")
+      }
+      graft.operators.Classifier.loadSoftmaxModel(s, dir)
     })
 
   /** Train-once/score-many for the binary quality LR (x57): the
@@ -146,9 +196,10 @@ object ExtensionQueries {
     * bit-parity between trained and reloaded arrays; every subsequent
     * x57 run scores through the reloaded artifact (production shape:
     * the gate retrains occasionally, scores every batch from storage).
-    * Training is bit-deterministic (ClassifierSpec), so memoization
-    * cannot move the frozen oracle — it only removes the ~9 s retrain
-    * every bench run paid.
+    * Published under the content key ([[publishedModelDir]]); training
+    * is bit-deterministic (ClassifierSpec), so neither the memo nor the
+    * cross-JVM reload can move the frozen oracle — they only remove the
+    * ~9 s retrain every bench and verify JVM used to pay.
     */
   private val qualityModelCache =
     new java.util.concurrent.ConcurrentHashMap[String,
@@ -156,24 +207,22 @@ object ExtensionQueries {
   private def qualityModelFor(s: SparkSession, d: String)
       : graft.operators.Classifier.BowLrModel =
     qualityModelCache.computeIfAbsent(d, _ => {
-      val docs = plantSpam(Tables.documents(s, d))
-      val trained = graft.operators.Classifier.trainQualityLr(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_lr_${s.sparkContext.applicationId}_${d.hashCode.toHexString}")
-        .toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      graft.operators.Classifier.saveModel(s, dir, trained)
-      val loaded = graft.operators.Classifier.loadModel(s, dir)
-      require(java.util.Arrays.equals(loaded.weights, trained.weights) &&
-          loaded.bias == trained.bias,
-        "persisted quality-LR model does not round-trip bit-identically")
-      loaded
+      val dir = publishedModelDir("lr", 1, d) { tmp =>
+        val docs = plantSpam(Tables.documents(s, d))
+        val trained = graft.operators.Classifier.trainQualityLr(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", "label", dim = 2048, iters = 10, lr = 1600.0)
+        graft.operators.Classifier.saveModel(s, tmp, trained)
+        val loaded = graft.operators.Classifier.loadModel(s, tmp)
+        require(java.util.Arrays.equals(loaded.weights, trained.weights) &&
+            loaded.bias == trained.bias,
+          "persisted quality-LR model does not round-trip bit-identically")
+      }
+      graft.operators.Classifier.loadModel(s, dir)
     })
 
   /** Train-once/score-many for the KN trigram LM (x75/x75b): trains
-    * once per (app, sfDir), persists via [[graft.operators.Terms
+    * once per corpus content key, persists via [[graft.operators.Terms
     * .saveTrigramKn]] with a table-cardinality round-trip check, and
     * hands every family query the STORE PATH — scoring reloads from
     * parquet, so the model tables the joins read are storage-backed
@@ -188,21 +237,18 @@ object ExtensionQueries {
   private val knModelDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def knModelDirFor(s: SparkSession, d: String): String =
-    knModelDirCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:$d", _ => {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_kn_${s.sparkContext.applicationId}_${d.hashCode.toHexString}")
-          .toString
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-        val dir = s"$base/kn"
+    knModelDirCache.computeIfAbsent(d, _ => {
+      val base = publishedModelDir("kn", 1, d) { tmp =>
+        val dir = s"$tmp/kn"
         val trained = Terms.trainTrigramKn(Tables.documents(s, d),
           "doc_id", "text", discount = 0.75)
         Terms.saveTrigramKn(trained, dir)
         val loaded = Terms.loadTrigramKn(s, dir)
-        // lifecycle invariant: every table made it to storage whole and
-        // the discount rode the store (value-level drift is caught by
-        // the entries' LIVE oracle; this catches a lost/truncated table
-        // at the source instead of as a downstream hash mismatch)
+        // lifecycle invariant on the training path: every table made it
+        // to storage whole and the discount rode the store (value-level
+        // drift is caught by the entries' LIVE oracle; this catches a
+        // lost/truncated table at the source instead of as a downstream
+        // hash mismatch)
         require(loaded.discount == trained.discount &&
             loaded.t3.count() == trained.t3.count() &&
             loaded.ctx.count() == trained.ctx.count() &&
@@ -210,8 +256,9 @@ object ExtensionQueries {
             loaded.mid.count() == trained.mid.count() &&
             loaded.uni.count() == trained.uni.count(),
           "persisted KN model does not round-trip whole")
-        dir
-      })
+      }
+      s"$base/kn"
+    })
 
   /** Planted near-dup vectors: ±10% alternating-sign per-component
     * scaling. Cosine is scale-invariant, so a uniform `x * 1.001` copy
@@ -439,8 +486,12 @@ object ExtensionQueries {
         "FROM dg JOIN bg USING (gram) GROUP BY 1, 2) " +
         "SELECT m.doc_id, m.benchmark_id, m.n_matched, " +
         "CAST(btot.n_bench_grams AS BIGINT) AS n_bench_grams, " +
-        "round(m.n_matched / btot.n_bench_grams, 4) AS containment, " +
-        "round(m.n_matched / btot.n_bench_grams, 4) >= 0.9 AS contaminated " +
+        // exact-rational 4-decimal HALF_UP (Terms.ratioRound4 mirror) —
+        // round(k/m, 4) on the double would re-round midpoints
+        "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
+        "//btot.n_bench_grams AS DOUBLE)/10000 AS containment, " +
+        "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
+        "//btot.n_bench_grams AS DOUBLE)/10000 >= 0.9 AS contaminated " +
         "FROM m JOIN btot USING (benchmark_id) " +
         "ORDER BY doc_id, benchmark_id")),
 
@@ -1190,20 +1241,10 @@ object ExtensionQueries {
     // scale the per-stratum sort is a partial top-k (TakeOrdered-style)
     // inside each stratum's partition, never a global sort.
     Q("x37_stratified_sample",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"),
-            row_number().over(w).cast("long").as("rank"))
-          .filter(col("rank") <= 5)
-          .orderBy("lang", "rank")
-      },
-      Some("SELECT lang, doc_id, rank FROM (" +
-        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
-        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) t " +
-        "WHERE rank <= 5 ORDER BY lang, rank")),
+      (s, d) => TextOps.stratifiedSample(Tables.documents(s, d), "doc_id",
+        "lang", perStratum = 5)
+        .orderBy("lang", "rank"),
+      Some(stratifiedOracleSql)),
 
     // Fixed-grid LOCF resample: per-user value series aligned to a 6-hour
     // grid, each point carrying the latest preceding event's value +
@@ -1221,17 +1262,7 @@ object ExtensionQueries {
             col("value"), col("src_event_id"))
           .orderBy("user_id", "grid_ms")
       },
-      Some("SELECT user_id, gns // 1000000 AS grid_ms, value, src_event_id FROM (" +
-        "SELECT g.user_id, g.gns, e.value, e.event_id AS src_event_id, " +
-        "row_number() OVER (PARTITION BY g.user_id, g.gns " +
-        "ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn " +
-        "FROM (SELECT user_id, unnest(generate_series(" +
-        "epoch_ns(mn) // 21600000000000 * 21600000000000, epoch_ns(mx), 21600000000000)) AS gns " +
-        "FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events " +
-        "WHERE user_id < 40 GROUP BY user_id) b) g " +
-        "LEFT JOIN (SELECT * FROM events WHERE user_id < 40) e " +
-        "ON g.user_id = e.user_id AND epoch_ns(e.ts) <= g.gns) t " +
-        "WHERE rn = 1 ORDER BY user_id, grid_ms")),
+      Some(locfOracleSql)),
 
     // Vocabulary heavy-hitters: top-50 corpus tokens by occurrence —
     // the tokenizer-training / vocab-build pass. Partial-aggregated
@@ -1743,13 +1774,7 @@ object ExtensionQueries {
       (s, d) => TextOps.shuffleShards(Tables.documents(s, d), "doc_id",
         nShards = 8, seed = "graft")
         .orderBy("shard", "pos"),
-      Some("SELECT doc_id, shard, " +
-        "CAST(row_number() OVER (PARTITION BY shard " +
-        "ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) " +
-        "AS BIGINT) AS pos FROM (" +
-        "SELECT doc_id, ('0x' || substring(" +
-        "md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 " +
-        "AS shard FROM documents) t ORDER BY shard, pos")),
+      Some(shardsOracleSql)),
 
     // Token-budget mixture selection: per-source token targets filled
     // best-first (n_chars as the quality key here — SQL-recomputable on
@@ -1766,18 +1791,7 @@ object ExtensionQueries {
         quality = col("n_chars"))
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens", "doc_id"),
-      Some("SELECT doc_id, source, n_tokens, cum_tokens FROM (" +
-        "SELECT doc_id, source, n_tokens, b, " +
-        "CAST(sum(n_tokens) OVER (PARTITION BY source " +
-        "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) " +
-        "AS BIGINT) AS cum_tokens FROM (" +
-        "SELECT doc_id, source, n_chars, " +
-        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
-        "CASE source WHEN 'src1' THEN 800 WHEN 'src2' THEN 700 " +
-        "WHEN 'src3' THEN 100000 ELSE -1 END AS b FROM documents) t " +
-        "WHERE b >= 0) t2 WHERE cum_tokens <= b " +
-        "ORDER BY source, cum_tokens, doc_id")),
+      Some(budgetOracleSql)),
 
     // Cost-based join decisions EXERCISED under the oracle: profile the
     // tables into persisted `_stats` side tables (manifest-backed), then
@@ -2409,10 +2423,12 @@ object ExtensionQueries {
     // the fastText unigram+bigram feature enumeration) embeds the raw
     // corpus in-engine, the persisted IVF-PQ index builds over those
     // REAL text vectors, and the queries are the planted truncated-tail
-    // near-dup copies (NOT in the corpus) — each copy's top hit must be
-    // its original at cosine ≈ 1 (the near-dup-linkage regime hashed TF
-    // is exactly right for; rank-1-equals-original additionally
-    // spec-pinned). Frozen oracle (hash embeddings + quantizers are
+    // near-dup copies (NOT in the corpus) — every copy links to its
+    // original at true cos > 0.9, outranked only by genuinely-closer
+    // corpus twins (the near-dup-linkage regime hashed TF is exactly
+    // right for; pruned-search ≡ brute-force ground truth is
+    // spec-pinned in ExtensionOpsSpec). Frozen oracle (hash embeddings
+    // + quantizers are
     // engine-internal). This closes the "corpora without an embedding
     // column" gap: the whole ANN stack — build, grow, search, dedup —
     // now runs end to end from nothing but text.
@@ -2439,6 +2455,50 @@ object ExtensionQueries {
           s"FROM ann_topk('$dir', 'x85_queries', 'c_id', 'c_vec', " +
           "'q_id', 'q_vec', 3, 50) ORDER BY query_id, rank")
       }, F1OracleSql.sql.get("x85_text_ann_e2e")),
+
+    // The sampling/selection SQL surface (round-13 verdict ask #6): the
+    // four families that were still Scala-only — stratified sample,
+    // shuffle shards, budget select, LOCF resample — each as one pure
+    // SQL statement under its Scala sibling's LIVE oracle VERBATIM
+    // (x37/x51/x55/x38), so the TVF twin is gated by exactly the SQL
+    // that gates the operator; TVF ≡ operator is additionally
+    // spec-pinned in SqlTableFunctionsSpec.
+    Q("x86_sql_stratified_sample",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x86_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT lang, doc_id, rank FROM stratified_sample(" +
+          "'x86_docs', 'doc_id', 'lang', 5) ORDER BY lang, rank")
+      }, Some(stratifiedOracleSql)),
+
+    Q("x87_sql_shuffle_shards",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x87_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, shard, pos FROM shuffle_shards(" +
+          "'x87_docs', 'doc_id', 8, 'graft') ORDER BY shard, pos")
+      }, Some(shardsOracleSql)),
+
+    Q("x88_sql_budget_select",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x88_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, source, n_tokens, cum_tokens FROM " +
+          "budget_select('x88_docs', 'doc_id', 'source', 'text', " +
+          "'src1:800,src2:700,src3:100000', 'n_chars') " +
+          "ORDER BY source, cum_tokens, doc_id")
+      }, Some(budgetOracleSql)),
+
+    Q("x89_sql_resample_locf",
+      (s, d) => {
+        Tables.events(s, d).filter(col("user_id") < 40)
+          .createOrReplaceTempView("x89_events")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT user_id, grid_ts div 1000000 AS grid_ms, value, " +
+          "src_event_id FROM resample_locf('x89_events', 'user_id', " +
+          "'ts', 'value', 21600000000000, 'event_id') " +
+          "ORDER BY user_id, grid_ms")
+      }, Some(locfOracleSql)),
 
     // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
     // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
@@ -2589,6 +2649,60 @@ object ExtensionQueries {
       "/ CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank " +
       "FROM documents WHERE n_chars > 0) t " +
       "WHERE rank <= 100 ORDER BY doc_id"
+
+  /** x37's LIVE oracle (shared by x86's TVF form): the per-stratum
+    * md5-ordered top-5 re-derived as a DuckDB window.
+    */
+  private lazy val stratifiedOracleSql: String =
+    "SELECT lang, doc_id, rank FROM (" +
+      "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) t " +
+      "WHERE rank <= 5 ORDER BY lang, rank"
+
+  /** x51's LIVE oracle (shared by x87's TVF form): md5("seed:id") shard
+    * hash + within-shard (hash, id) rank re-derived in DuckDB.
+    */
+  private lazy val shardsOracleSql: String =
+    "SELECT doc_id, shard, " +
+      "CAST(row_number() OVER (PARTITION BY shard " +
+      "ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) " +
+      "AS BIGINT) AS pos FROM (" +
+      "SELECT doc_id, ('0x' || substring(" +
+      "md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 " +
+      "AS shard FROM documents) t ORDER BY shard, pos"
+
+  /** x55's LIVE oracle (shared by x88's TVF form): greedy best-first
+    * budget fill re-derived as a running-sum window in DuckDB.
+    */
+  private lazy val budgetOracleSql: String =
+    "SELECT doc_id, source, n_tokens, cum_tokens FROM (" +
+      "SELECT doc_id, source, n_tokens, b, " +
+      "CAST(sum(n_tokens) OVER (PARTITION BY source " +
+      "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) " +
+      "AS BIGINT) AS cum_tokens FROM (" +
+      "SELECT doc_id, source, n_chars, " +
+      "CASE WHEN trim(text) = '' THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+      "CASE source WHEN 'src1' THEN 800 WHEN 'src2' THEN 700 " +
+      "WHEN 'src3' THEN 100000 ELSE -1 END AS b FROM documents) t " +
+      "WHERE b >= 0) t2 WHERE cum_tokens <= b " +
+      "ORDER BY source, cum_tokens, doc_id"
+
+  /** x38's LIVE oracle (shared by x89's TVF form): generate_series grid
+    * + rank-1 inequality-join fill re-derived in DuckDB.
+    */
+  private lazy val locfOracleSql: String =
+    "SELECT user_id, gns // 1000000 AS grid_ms, value, src_event_id FROM (" +
+      "SELECT g.user_id, g.gns, e.value, e.event_id AS src_event_id, " +
+      "row_number() OVER (PARTITION BY g.user_id, g.gns " +
+      "ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn " +
+      "FROM (SELECT user_id, unnest(generate_series(" +
+      "epoch_ns(mn) // 21600000000000 * 21600000000000, epoch_ns(mx), 21600000000000)) AS gns " +
+      "FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM events " +
+      "WHERE user_id < 40 GROUP BY user_id) b) g " +
+      "LEFT JOIN (SELECT * FROM events WHERE user_id < 40) e " +
+      "ON g.user_id = e.user_id AND epoch_ns(e.ts) <= g.gns) t " +
+      "WHERE rn = 1 ORDER BY user_id, grid_ms"
 
   /** x22's LIVE oracle (shared by x84's TVF form): the sliding-window
     * token chunking re-derived via array slicing in DuckDB.

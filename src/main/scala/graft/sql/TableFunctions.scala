@@ -61,6 +61,10 @@ object TableFunctions {
     reg("sessionize", sessionize)
     reg("chunk_docs", chunkDocs)
     reg("pack_sequences", packSequences)
+    reg("stratified_sample", stratifiedSample)
+    reg("shuffle_shards", shuffleShards)
+    reg("budget_select", budgetSelect)
+    reg("resample_locf", resampleLocf)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -260,7 +264,9 @@ object TableFunctions {
   // empties refused so `'a,,b'` fails loudly instead of planning a
   // phantom column
   private def litCols(e: Expression, what: String): Seq[String] = {
-    val parts = litString(e).split(',').map(_.trim).toSeq
+    // split with limit -1: plain split(',') DROPS trailing empty fields,
+    // so `'user_id,'` would pass the non-empty check silently
+    val parts = litString(e).split(",", -1).map(_.trim).toSeq
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"$what must be a non-empty comma-separated column list")
     parts
@@ -354,6 +360,94 @@ object TableFunctions {
         s"arguments, got ${exprs.length}")
     graft.operators.Pack.packSequences(table(litString(exprs(0))),
       litString(exprs(1)), litString(exprs(2)), budget = litInt(exprs(3)))
+      .queryExecution.logical
+  }
+
+  /** `stratified_sample(docsView, idCol, stratumCol, perStratum)` →
+    * (stratumCol, idCol, rank).
+    *
+    * Deterministic per-stratum uniform sample ([[graft.operators.TextOps
+    * .stratifiedSample]] verbatim: md5-of-id order, id tiebreak, dense
+    * 1-based rank) — the balanced per-stratum draw as one SQL statement.
+    */
+  def stratifiedSample(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "stratified_sample(docsView, idCol, stratumCol, perStratum) takes " +
+        s"4 arguments, got ${exprs.length}")
+    graft.operators.TextOps.stratifiedSample(table(litString(exprs(0))),
+      litString(exprs(1)), litString(exprs(2)), perStratum = litInt(exprs(3)))
+      .queryExecution.logical
+  }
+
+  /** `shuffle_shards(docsView, idCol, nShards, seed)` → (idCol, shard,
+    * pos).
+    *
+    * Deterministic global corpus shuffle + training-shard assignment
+    * ([[graft.operators.TextOps.shuffleShards]] verbatim: md5("seed:id")
+    * shard hash, (hash, id) order within shard) — the reproducible
+    * export-shuffle step as one SQL statement.
+    */
+  def shuffleShards(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "shuffle_shards(docsView, idCol, nShards, seed) takes 4 " +
+        s"arguments, got ${exprs.length}")
+    graft.operators.TextOps.shuffleShards(table(litString(exprs(0))),
+      litString(exprs(1)), nShards = litInt(exprs(2)),
+      seed = litString(exprs(3)))
+      .queryExecution.logical
+  }
+
+  /** `budget_select(docsView, idCol, sourceCol, textCol, budgetsCsv,
+    * qualityCol)` → kept rows + (n_tokens, cum_tokens).
+    *
+    * Token-budget mixture selection ([[graft.operators.TextOps
+    * .budgetSelect]] verbatim: greedy best-first per source until the
+    * source's token budget is spent; unlisted sources drop). `budgetsCsv`
+    * is the SQL-native encoding of the per-source Map:
+    * `'src1:800,src2:700'` — names trimmed, budgets non-negative longs,
+    * malformed entries refused at analysis. `qualityCol` names the
+    * best-first ordering column.
+    */
+  def budgetSelect(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6,
+      "budget_select(docsView, idCol, sourceCol, textCol, budgetsCsv, " +
+        s"qualityCol) takes 6 arguments, got ${exprs.length}")
+    val budgets = litCols(exprs(4), "budgetsCsv").map { spec =>
+      spec.split(':') match {
+        case Array(src, b) if src.trim.nonEmpty =>
+          val n = try b.trim.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"budgetsCsv entry '$spec': budget '$b' is not a long")
+          }
+          src.trim -> n
+        case _ => throw new IllegalArgumentException(
+          s"budgetsCsv entry '$spec' must be 'source:tokenBudget'")
+      }
+    }.toMap
+    graft.operators.TextOps.budgetSelect(table(litString(exprs(0))),
+      litString(exprs(1)), litString(exprs(2)), litString(exprs(3)),
+      budgets = budgets,
+      quality = org.apache.spark.sql.functions.col(litString(exprs(5))))
+      .queryExecution.logical
+  }
+
+  /** `resample_locf(eventsView, keyCol, tsCol, valueCol, step,
+    * tieBreak)` → (keyCol, grid_ts, asof_ts, valueCol, src_<tieBreak>).
+    *
+    * Fixed-grid LOCF resample ([[graft.operators.Resample.resampleLocf]]
+    * verbatim: per-key grid from floor(min/step)*step to max at `step`
+    * spacing, each point carrying the most recent event at-or-before it
+    * through the as-of machinery — union + keyed window, no join node).
+    * `step` is in the timestamp column's own units (the engine's events
+    * tables carry epoch-nanos longs).
+    */
+  def resampleLocf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6,
+      "resample_locf(eventsView, keyCol, tsCol, valueCol, step, " +
+        s"tieBreak) takes 6 arguments, got ${exprs.length}")
+    graft.operators.Resample.resampleLocf(table(litString(exprs(0))),
+      litString(exprs(1)), litString(exprs(2)), litString(exprs(3)),
+      step = litLong(exprs(4)), tieBreak = litString(exprs(5)))
       .queryExecution.logical
   }
 }

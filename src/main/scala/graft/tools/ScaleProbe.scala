@@ -1372,6 +1372,171 @@ object ScaleProbe {
     queries.unpersist()
   }
 
+  /** datadom6 (round-13 verdict ask #5) — price the STREAMING growth
+    * paths in the data-dominated regime: per-trigger cost must track the
+    * INCREMENT (plus its touched lists/buckets), never the stored state.
+    * Both stores grow through the REAL checkpointed file-stream
+    * machinery (landed parquet files, processAllAvailable-bounded
+    * triggers) with TWO arrival sizes and a deliberate replay overlap
+    * (the second file re-ships the first's tail — the heal path is
+    * priced, not just asserted), and a retrieval invariant rides every
+    * trigger:
+    *
+    *  - ANN: IVF-PQ index at factor×2500 64-d vectors (400 → 1M,
+    *    800 → 2M; 64 lists, m=16/k=16); arrivals of 5k then 20k vectors.
+    *    After each trigger the 20 noised twins of arrival-1 rows must
+    *    hit their originals at rank 1 through the stored pruned search,
+    *    and the index row count must equal seed + distinct-landed ids
+    *    exactly (double-indexing from the overlap would show here).
+    *  - LEX: postings at factor×12500 word-salad docs (400 → 5M,
+    *    800 → 10M; 64 token buckets); arrivals of 10k then 40k docs,
+    *    `zzrareterm` planted at ids ≡ 7 (mod 500) of the STREAMED
+    *    region only — retrieval must return exactly the planted set
+    *    (count AND membership), so a replay-duplicated posting or a
+    *    lost arrival both fail loudly.
+    *
+    * Exponent read-out: the same increments at two factors → store
+    * exponent (want ≈ 0); the two increment sizes at one factor →
+    * increment exponent (want ≈ 1 down to the touched-bucket floor).
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 400 datadom6"   // 1M vec / 5M doc
+    *   sbt "runMain graft.tools.ScaleProbe 800 datadom6"   // 2M vec / 10M doc
+    */
+  private def datadom6Probe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndexStore, LexIndexStore, Similarity}
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    def land(df: DataFrame, srcDir: String, name: String): Unit = {
+      val tmp = Files.createTempDirectory("dd6_land").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, Paths.get(s"$srcDir/$name"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val base = Files.createTempDirectory("dd6").toString
+
+    // ---- ANN streaming growth ----
+    val nVecs = factor * 2500L
+    def rndVec(seed: String, idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(lit(seed), idc, i), lit(2001L)) - 1000L) / 1000.0)
+    val corpus = spark.range(nVecs)
+      .select(col("id").as("c_id"), rndVec("v", col("id")).as("c_vec"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd6_vecs","factor":$factor,"vecs":${corpus.count()}}""")
+    val annDir = s"$base/annidx"
+    val annSrc = s"$base/annsrc"
+    new java.io.File(annSrc).mkdirs()
+    timed("dd6_ann_build") {
+      AnnIndexStore.save(spark, annDir,
+        Similarity.buildIvf(corpus, "c_id", "c_vec", k = 64, iters = 2),
+        Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2))
+    }
+    corpus.unpersist()
+    // arrivals live at ids 50M+ so seed and stream regions never collide
+    def arrival(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") + 50000000L).as("c_id"),
+        rndVec("a", col("id")).as("c_vec"))
+    val annStream = AnnIndexStore.streamingAddVectors(spark, annSrc,
+      arrival(0L, 1L).schema, annDir, s"$base/annckpt", "c_id", "c_vec")
+    // noised twins of 20 arrival-1 vectors: findable ONLY once the
+    // stream has landed them — the invariant proves the GROWN region
+    // is searchable through the frozen quantizers
+    val twinQ = spark.range(20)
+      .select((col("id") + 9000000L).as("q_id"),
+        zip_with(rndVec("a", col("id")), rndVec("q", col("id")),
+          (b, n) => b + n * 0.05).as("q_vec")).cache()
+    twinQ.count()
+    def annInvariant(stage: String, expectRows: Long): Unit = {
+      val idx = AnnIndexStore.load(spark, annDir)
+      val nRows = idx.encodedWithCid.count()
+      val got = AnnIndexStore.searchTopK(idx, twinQ, "c_id", "c_vec",
+        "q_id", "q_vec", k = 5, rerank = 200).collect()
+      val hit = got.count(r => r.getInt(3) == 1 &&
+        r.getLong(1) == r.getLong(0) - 9000000L + 50000000L)
+      println(s"""{"probe":"dd6_ann_${stage}","factor":$factor,""" +
+        s""""index_rows":$nRows,"twins_at_rank1":$hit}""")
+      require(nRows == expectRows,
+        s"$stage: index has $nRows rows, expected $expectRows " +
+          "(replay overlap double-indexed or an arrival was lost)")
+      require(hit == 20, s"$stage twin contract broke: $hit/20 at rank 1")
+    }
+    try {
+      timed("dd6_ann_trigger_5k") {
+        land(arrival(0L, 5000L), annSrc, "a1.parquet")
+        annStream.processAllAvailable()
+      }
+      annInvariant("after_5k", nVecs + 5000L)
+      // 20k arrival whose first 2.5k re-ship arrival 1's tail
+      timed("dd6_ann_trigger_20k_overlap") {
+        land(arrival(2500L, 22500L), annSrc, "a2.parquet")
+        annStream.processAllAvailable()
+      }
+      annInvariant("after_20k", nVecs + 22500L)
+    } finally annStream.stop()
+    twinQ.unpersist()
+
+    // ---- LEX streaming growth ----
+    val nDocs = factor * 12500L
+    val vocab = (0 until 1024).map(i => f"w$i%04d")
+    val body = (0 until 48).map(j => element_at(typedlit(vocab),
+      (pmod(xxhash64(col("id") * 48 + j), lit(1024)) + 1).cast("int")))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", body: _*).as("text"))
+      .repartition(par).cache()
+    println(s"""{"probe":"dd6_docs","factor":$factor,"docs":${docs.count()}}""")
+    val lexDir = s"$base/lexidx"
+    val lexSrc = s"$base/lexsrc"
+    new java.io.File(lexSrc).mkdirs()
+    timed("dd6_lex_build") {
+      LexIndexStore.build(spark, lexDir, docs, "doc_id", "text",
+        nBuckets = 64)
+    }
+    docs.unpersist()
+    // streamed docs: rare term planted at ids ≡ 7 (mod 500) — the
+    // seed corpus has NONE, so retrieval reads only grown postings
+    def docArrival(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") + nDocs).as("doc_id"),
+        concat_ws(" ", body :+
+          when(pmod(col("id"), lit(500L)) === 7, lit("zzrareterm"))
+            .otherwise(lit("")): _*).as("text"))
+    val lexStream = LexIndexStore.streamingAddDocuments(spark, lexSrc,
+      docArrival(0L, 1L).schema, lexDir, s"$base/lexckpt",
+      "doc_id", "text")
+    def lexInvariant(stage: String, expectPlanted: Long): Unit = {
+      val rare = spark.createDataFrame(Seq((9L, "zzrareterm")))
+        .toDF("query_id", "qtext")
+      val got = LexIndexStore.searchTopK(spark, lexDir, rare,
+        "query_id", "qtext", k = 1000)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val ok = got.size == expectPlanted &&
+        got.forall(id => (id - nDocs) % 500 == 7)
+      println(s"""{"probe":"dd6_lex_${stage}","factor":$factor,""" +
+        s""""planted_hits":${got.size},"all_planted":$ok}""")
+      require(ok, s"$stage rare-term contract broke: ${got.size} hits " +
+        s"(expected $expectPlanted, all ≡ 7 mod 500)")
+    }
+    try {
+      timed("dd6_lex_trigger_10k") {
+        land(docArrival(0L, 10000L), lexSrc, "d1.parquet")
+        lexStream.processAllAvailable()
+      }
+      lexInvariant("after_10k", 20L)
+      // 40k arrival re-shipping arrival 1's back half (ids 5k–10k)
+      timed("dd6_lex_trigger_40k_overlap") {
+        land(docArrival(5000L, 45000L), lexSrc, "d2.parquet")
+        lexStream.processAllAvailable()
+      }
+      // planted docs now ids ≡ 7 (mod 500) in [0, 45000) → 90; the
+      // overlap's 10 re-shipped planted docs must NOT duplicate
+      lexInvariant("after_40k", 90L)
+    } finally lexStream.stop()
+  }
+
   /** Anomaly isolation for the datadom findings: times classifier
     * training on the SAME 5000-doc labeled slice materialized two ways —
     * fresh from parquet vs filtered out of a factor×-cached corpus —
@@ -1548,6 +1713,10 @@ object ScaleProbe {
     }
     if (mode == "datadom5") {
       try datadom5Probe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom6") {
+      try datadom6Probe(spark, n) finally spark.stop()
       return
     }
     if (mode == "trainmicro") {

@@ -1619,36 +1619,73 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(e.getSeq[Double](0).forall(_ == 0.0) && e.getSeq[Double](1).forall(_ == 0.0))
     assert(e.isNullAt(2), "null text must stay null, not a zero vector")
     // end-to-end near-dup linkage: index the corpus embeddings, query
-    // with the planted truncated-tail copies (not in the corpus) — each
-    // copy's rank-1 neighbor must be its original at cosine near 1
+    // with the planted truncated-tail copies (not in the corpus). The
+    // corpus carries genuine near-identical twin FAMILIES (the testdata
+    // generator plants them), so a copy's original may be LEGITIMATELY
+    // outranked by a twin that is closer — measured on this corpus, even
+    // exact brute force puts copy 1000012's top-3 at (120, 8, 360), all
+    // true cos ≥ 0.99, its own original at 0.983. The honest contract is
+    // therefore anchored on ground truth, in two independent halves:
+    //   (1) embedding linkage, index-free — every copy's original scores
+    //       true cos > 0.9 via a direct pair dot product;
+    //   (2) pruned-search recall — the persisted IVF-PQ rank-1 answer
+    //       equals brute force for EVERY query (the near-dup-linkage
+    //       answer), and set recall@3 ≥ 0.9 (deep ranks sit in the
+    //       0.78–0.83 cos mid-pack where PQ's ADC ordering is allowed
+    //       to blur — measured: probing ALL 16 lists leaves the same 5
+    //       rank-2/3 swaps, so the blur is quantization, not routing).
+    //       (The m=8/k=8 regime this spec first shipped with was too
+    //       distorting even for rank-1 over 64-dim hashed-TF vectors;
+    //       the x85 entry's own m=16/k=16 + rerank=50 regime is the one
+    //       the library actually ships.)
     val corpus = docs.select(col("doc_id").as("c_id"),
       hashed_tf_vec(col("text"), 64).as("c_vec"))
-    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 4, iters = 2)
-    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 8, k = 8, iters = 2)
+    val ivf = Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2)
+    val pq = Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("tfvec_ann").toString + "/idx"
     AnnIndexStore.save(spark, dir, ivf, pq)
     val queries = graft.queries.ExtensionQueries.plantTextDups(docs)
       .filter(col("doc_id") >= 1000000L)
       .select(col("doc_id").as("q_id"), hashed_tf_vec(col("text"), 64).as("q_vec"))
+    // (1) direct copy↔original cosine, no index in the loop
+    val pairCos = corpus.join(queries, col("c_id") === col("q_id") - 1000000L)
+      .select(col("q_id"),
+        aggregate(zip_with(col("c_vec"), col("q_vec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pairCos.size == 20)
+    pairCos.foreach { case (qid, c) =>
+      assert(c > 0.9, s"copy $qid: true cos to its original is $c")
+    }
+    // (2) pruned persisted search ≡ exact brute force, rank for rank
     val top = AnnIndexStore.searchTopK(AnnIndexStore.load(spark, dir),
-      queries, "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 20)
+      queries, "c_id", "c_vec", "q_id", "q_vec", k = 3, rerank = 50)
       .collect()
-    assert(top.nonEmpty)
-    // the corpus itself carries planted near-identical twins (e.g. doc 50
-    // is doc 0 minus a " dup" suffix), so a copy's rank-1 hit may
-    // legitimately be a twin that is CLOSER than the original — genuine
-    // near-dup discovery, the thing the embedding exists for. The
-    // contract: the original appears in the top-3 at cosine near 1, and
-    // whatever outranks it scores at least as high.
-    top.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
-      val orig = rows.find(_.getLong(1) == qid - 1000000L)
-      assert(orig.isDefined, s"copy $qid: original not in its top-3: " +
-        rows.map(r => (r.getLong(1), r.getDouble(2))).mkString(", "))
-      assert(orig.get.getDouble(2) > 0.9,
-        s"copy $qid vs original cos ${orig.get.getDouble(2)}")
-      rows.filter(_.getInt(3) < orig.get.getInt(3)).foreach { r =>
-        assert(r.getDouble(2) >= orig.get.getDouble(2),
-          s"copy $qid: ${r.getLong(1)} outranked the original with a LOWER cos")
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "c_id", "c_vec", "q_id", "q_vec", 3).collect()
+    assert(top.length == 60 && brute.length == 60)
+    def rank1(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank1(top) == rank1(brute),
+      "pruned IVF-PQ rank-1 drifted from brute-force ground truth: " +
+        (rank1(top).toSet diff rank1(brute).toSet).mkString(", "))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall3 = (pairs(top) & pairs(brute)).size.toDouble / 60
+    assert(recall3 >= 0.9, f"pruned recall@3 = $recall3%.3f")
+    // and the ground truth itself carries the near-dup linkage: each
+    // copy's original is in the brute top-3, or everything outranking it
+    // is a genuinely-closer twin (true cos ≥ the original's own)
+    brute.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      rows.find(_.getLong(1) == qid - 1000000L) match {
+        case Some(orig) =>
+          assert(orig.getDouble(2) > 0.9,
+            s"copy $qid vs original cos ${orig.getDouble(2)}")
+        case None => rows.foreach { r =>
+          assert(r.getDouble(2) >= pairCos(qid) - 1e-9,
+            s"copy $qid: ${r.getLong(1)} (cos ${r.getDouble(2)}) beat the " +
+              s"original (cos ${pairCos(qid)}) without being closer")
+        }
       }
     }
   }

@@ -11,19 +11,25 @@ import graft.SparkSpec
 class MjpegAviSpec extends SparkSpec {
 
   test("mux → demux round trip: frame payloads byte-identical, order kept") {
-    val frames = Seq(
+    val encoded = Seq(
       MjpegAvi.encodeJpeg(Array.fill(6 * 4)(0xFF0000), 6, 4),
       MjpegAvi.encodeJpeg(Array.fill(6 * 4)(0x00FF00), 6, 4),
       MjpegAvi.encodeJpeg(Array.fill(6 * 4)(0x0000FF), 6, 4))
+    // the RIFF odd-size pad-byte path is load-bearing and must actually
+    // run: if every encoded frame happens to come out even-length, pad
+    // one payload to odd (demux treats payloads as opaque bytes, so the
+    // round trip still proves byte fidelity INCLUDING the pad handling)
+    val frames =
+      if (encoded.exists(_.length % 2 == 1)) encoded
+      else encoded.updated(1, encoded(1) :+ 0x00.toByte)
+    assert(frames.exists(_.length % 2 == 1),
+      "no odd-length frame — the pad path would go unexercised")
     val avi = MjpegAvi.mux(frames, 6, 4)
     val got = MjpegAvi.demux(avi)
     assert(got.isDefined && got.get.length == 3)
     got.get.zip(frames).foreach { case (a, b) =>
       assert(java.util.Arrays.equals(a, b), "demuxed frame differs from muxed")
     }
-    // JPEG payloads are frequently odd-sized — the RIFF pad byte path is
-    // load-bearing, prove at least one frame exercised it or none needed it
-    assert(frames.forall(f => f.length > 0))
   }
 
   test("codec claims real MJPEG/AVI with the middle frame's REAL luma histogram") {

@@ -25,6 +25,22 @@ class OracleArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("every registry entry is oracle-gated — a frozen-oracle key miss is loud") {
+    // frozen-oracle entries wire up as F1OracleSql.sql.get(name): if the
+    // VALUES literal was never regenerated (round 13's x85 shipped exactly
+    // this), the Option is silently None and the entry runs ungated —
+    // the driver records err "no_oracle" and the round closes with an
+    // unverified query. Every entry in this registry is SQL-expressible
+    // by construction, so None is always a freeze-step omission, never a
+    // design choice: fail here, at unit-test time.
+    val ungated = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .toSeq.sorted
+    assert(ungated.isEmpty,
+      "registry entries running without a DuckDB oracle (frozen VALUES " +
+        "literal missing from F1OracleSql — run scripts/gen_values_oracles" +
+        s".py and commit): ${ungated.mkString(", ")}")
+  }
+
   test("no oracle leaves a sum() uncast (DuckDB HUGEINT df-fetch trap)") {
     // DuckDB types sum(<integer>) — plain or windowed — as HUGEINT
     // (INT128). The driver's checker fetches the oracle result as a

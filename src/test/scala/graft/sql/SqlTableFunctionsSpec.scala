@@ -306,4 +306,82 @@ class SqlTableFunctionsSpec extends SparkSpec {
       assert(viaSql.nonEmpty && viaSql == viaScala)
     }
   }
+
+  test("stratified_sample TVF ≡ TextOps.stratifiedSample") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_strat_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM stratified_sample('tvf_strat_docs', 'doc_id', " +
+          "'lang', 4) ORDER BY lang, rank"))
+      val viaScala = rows(graft.operators.TextOps.stratifiedSample(
+        docs, "doc_id", "lang", perStratum = 4)
+        .orderBy("lang", "rank"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // every stratum is capped, ranks dense from 1
+      viaSql.groupBy(_.getString(0)).foreach { case (_, rs) =>
+        assert(rs.length <= 4)
+        assert(rs.map(_.getLong(2)).sorted == (1L to rs.length.toLong))
+      }
+    }
+  }
+
+  test("shuffle_shards TVF ≡ TextOps.shuffleShards") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_shard_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM shuffle_shards('tvf_shard_docs', 'doc_id', 4, " +
+          "'seedX') ORDER BY shard, pos"))
+      val viaScala = rows(graft.operators.TextOps.shuffleShards(
+        docs, "doc_id", nShards = 4, seed = "seedX")
+        .orderBy("shard", "pos"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // total: every document landed in exactly one shard
+      assert(viaSql.map(_.getLong(0)).distinct.length ==
+        docs.count().toInt)
+    }
+  }
+
+  test("budget_select TVF ≡ TextOps.budgetSelect (budgetsCsv form, malformed refused)") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_budget_docs")
+      val viaSql = rows(s.sql(
+        "SELECT doc_id, source, n_tokens, cum_tokens FROM budget_select(" +
+          "'tvf_budget_docs', 'doc_id', 'source', 'text', " +
+          "'src1:500,src2:300', 'n_chars') ORDER BY source, cum_tokens, doc_id"))
+      val viaScala = rows(graft.operators.TextOps.budgetSelect(
+        docs, "doc_id", "source", "text",
+        Map("src1" -> 500L, "src2" -> 300L), quality = col("n_chars"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // unlisted sources drop entirely
+      assert(viaSql.map(_.getString(1)).toSet == Set("src1", "src2"))
+      // malformed budget entries are analysis-time refusals
+      intercept[Exception](s.sql(
+        "SELECT * FROM budget_select('tvf_budget_docs', 'doc_id', " +
+          "'source', 'text', 'src1:oops', 'n_chars')"))
+      intercept[Exception](s.sql(
+        "SELECT * FROM budget_select('tvf_budget_docs', 'doc_id', " +
+          "'source', 'text', 'src1', 'n_chars')"))
+    }
+  }
+
+  test("resample_locf TVF ≡ Resample.resampleLocf") {
+    withExtSession { s =>
+      val ev = Tables.events(s, sf).filter(col("user_id") < 10)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      ev.createOrReplaceTempView("tvf_locf_ev")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM resample_locf('tvf_locf_ev', 'user_id', 'ts', " +
+          "'value', 21600000000000, 'event_id') " +
+          "ORDER BY user_id, grid_ts"))
+      val viaScala = rows(graft.operators.Resample.resampleLocf(
+        ev, "user_id", "ts", "value", step = 21600000000000L,
+        tieBreak = "event_id").orderBy("user_id", "grid_ts"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
 }
