@@ -258,6 +258,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("resample_locf"),
       new ExpressionInfo(TableFunctions.getClass.getName, "resample_locf"),
       (exprs: Seq[Expression]) => TableFunctions.resampleLocf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("hybrid_topk"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "hybrid_topk"),
+      (exprs: Seq[Expression]) => TableFunctions.hybridTopK(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

@@ -2500,6 +2500,46 @@ object ExtensionQueries {
           "ORDER BY user_id, grid_ms")
       }, Some(locfOracleSql)),
 
+    // Hybrid retrieval from NOTHING but text — the RAG first-stage
+    // retriever shape: BM25 postings (lexical recall, exact/rare terms)
+    // and IVF-PQ ANN over in-engine hashed-TF embeddings (semantic
+    // recall) build over the SAME corpus, each searched pruned, and
+    // reciprocal-rank fusion (Cormack et al. 2009) merges them
+    // rank-only — BM25 scores and cosines are not commensurable, their
+    // ranks are. The query mix makes BOTH sides load-bearing: three
+    // doc-prefix queries (the semantic side's home regime) plus the
+    // term-probe batch (rare-term lexical hits, plus one vocabulary
+    // miss exercising the single-sided outer-join path). Runs as one
+    // SQL statement through the hybrid_topk TVF. Frozen oracle (both
+    // stores are engine-internal).
+    Q("x90_hybrid_rrf",
+      (s, d) => {
+        import graft.functions.TextVectorExpressions.hashed_tf_vec
+        val docs = Tables.documents(s, d)
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x90_${s.sparkContext.applicationId}").toString
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val corpus = docs.select(col("doc_id").as("c_id"),
+          hashed_tf_vec(col("text"), 64).as("c_vec"))
+        AnnIndexStore.save(s, s"$base/ann",
+          Similarity.buildIvf(corpus, "c_id", "c_vec", k = 16, iters = 2),
+          Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 16,
+            iters = 2))
+        LexIndexStore.build(s, s"$base/lex",
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          nBuckets = 16)
+        docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 9100L).as("query_id"),
+            substring(col("text"), 1, 80).as("qtext"))
+          .unionByName(bm25QueryBatch(s))
+          .createOrReplaceTempView("x90_queries")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT query_id, doc_id, rrf, ann_rank, lex_rank, rank " +
+          s"FROM hybrid_topk('$base/ann', '$base/lex', 'x90_queries', " +
+          "'query_id', 'qtext', 64, 5, 20, 60, 50) " +
+          "ORDER BY query_id, rank")
+      }, F1OracleSql.sql.get("x90_hybrid_rrf")),
+
     // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
     // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
     // JPEG frames — flip OFF the stub path via [[graft.operators

@@ -65,6 +65,7 @@ object TableFunctions {
     reg("shuffle_shards", shuffleShards)
     reg("budget_select", budgetSelect)
     reg("resample_locf", resampleLocf)
+    reg("hybrid_topk", hybridTopK)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -448,6 +449,32 @@ object TableFunctions {
     graft.operators.Resample.resampleLocf(table(litString(exprs(0))),
       litString(exprs(1)), litString(exprs(2)), litString(exprs(3)),
       step = litLong(exprs(4)), tieBreak = litString(exprs(5)))
+      .queryExecution.logical
+  }
+
+  /** `hybrid_topk(annIndexPath, lexIndexPath, queriesView, qidCol,
+    * qtextCol, dim, k [, nCand, kRrf, rerank])` → (query_id, doc_id,
+    * rrf, ann_rank, lex_rank, rank).
+    *
+    * Reciprocal-rank fusion of the two persisted search stores
+    * ([[graft.operators.Retrieval.hybridTopK]] verbatim: the query
+    * embeds in-engine via `hashed_tf_vec(qtext, dim)`, BM25 postings
+    * and IVF-PQ lists are each read pruned, and the rank-only fusion
+    * joins two nCand-bounded frames) — the RAG first-stage hybrid
+    * retriever as one SQL statement.
+    */
+  def hybridTopK(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length >= 7 && exprs.length <= 10,
+      "hybrid_topk(annIndexPath, lexIndexPath, queriesView, qidCol, " +
+        "qtextCol, dim, k [, nCand, kRrf, rerank]) takes 7 to 10 " +
+        s"arguments, got ${exprs.length}")
+    graft.operators.Retrieval.hybridTopK(SparkSession.active,
+      litString(exprs(0)), litString(exprs(1)), table(litString(exprs(2))),
+      litString(exprs(3)), litString(exprs(4)),
+      dim = litInt(exprs(5)), k = litInt(exprs(6)),
+      nCand = if (exprs.length > 7) litInt(exprs(7)) else 20,
+      kRrf = if (exprs.length > 8) litInt(exprs(8)) else 60,
+      rerank = if (exprs.length > 9) litInt(exprs(9)) else 50)
       .queryExecution.logical
   }
 }

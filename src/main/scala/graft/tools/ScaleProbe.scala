@@ -1388,19 +1388,20 @@ object ScaleProbe {
     *    hit their originals at rank 1 through the stored pruned search,
     *    and the index row count must equal seed + distinct-landed ids
     *    exactly (double-indexing from the overlap would show here).
-    *  - LEX: postings at factor×12500 word-salad docs (400 → 5M,
-    *    800 → 10M; 64 token buckets); arrivals of 10k then 40k docs,
-    *    `zzrareterm` planted at ids ≡ 7 (mod 500) of the STREAMED
-    *    region only — retrieval must return exactly the planted set
-    *    (count AND membership), so a replay-duplicated posting or a
-    *    lost arrival both fail loudly.
+    *  - LEX (mode `datadom6lex`, its own JVM — see
+    *    [[datadom6LexProbe]]): postings at factor×12500 word-salad docs
+    *    (400 → 5M, 800 → 10M; 64 token buckets); arrivals of 10k then
+    *    40k docs, `zzrareterm` planted at ids ≡ 7 (mod 500) of the
+    *    STREAMED region only — retrieval must return exactly the
+    *    planted set (count AND membership), so a replay-duplicated
+    *    posting or a lost arrival both fail loudly.
     *
     * Exponent read-out: the same increments at two factors → store
     * exponent (want ≈ 0); the two increment sizes at one factor →
     * increment exponent (want ≈ 1 down to the touched-bucket floor).
     *
-    *   sbt "runMain graft.tools.ScaleProbe 400 datadom6"   // 1M vec / 5M doc
-    *   sbt "runMain graft.tools.ScaleProbe 800 datadom6"   // 2M vec / 10M doc
+    *   sbt "runMain graft.tools.ScaleProbe 400 datadom6"   // 1M vectors
+    *   sbt "runMain graft.tools.ScaleProbe 800 datadom6"   // 2M vectors
     */
   private def datadom6Probe(spark: SparkSession, factor: Int): Unit = {
     import org.apache.spark.sql.DataFrame
@@ -1479,15 +1480,42 @@ object ScaleProbe {
       annInvariant("after_20k", nVecs + 22500L)
     } finally annStream.stop()
     twinQ.unpersist()
+  }
 
-    // ---- LEX streaming growth ----
+  /** The lexical half of datadom6, in its own JVM (mode `datadom6lex`):
+    * the ANN phase's block-manager residue plus a 5M-doc cached corpus
+    * and the postings shuffle would not co-fit one local[32] heap — and
+    * a fresh JVM is the honest shape anyway (one probe, one store).
+    * Same contract as the ANN half: two arrival sizes through the real
+    * checkpointed stream, a replay overlap, and exact planted-set
+    * retrieval after every trigger.
+    *
+    *   sbt "runMain graft.tools.ScaleProbe 400 datadom6lex"  //  5M docs
+    *   sbt "runMain graft.tools.ScaleProbe 800 datadom6lex"  // 10M docs
+    */
+  private def datadom6LexProbe(spark: SparkSession, factor: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.LexIndexStore
+    def timed[T](name: String)(f: => T): T = timedJson(name, factor)(f)
+    val par = spark.sparkContext.defaultParallelism
+    def land(df: DataFrame, srcDir: String, name: String): Unit = {
+      val tmp = Files.createTempDirectory("dd6_land").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, Paths.get(s"$srcDir/$name"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val base = Files.createTempDirectory("dd6lex").toString
     val nDocs = factor * 12500L
     val vocab = (0 until 1024).map(i => f"w$i%04d")
     val body = (0 until 48).map(j => element_at(typedlit(vocab),
       (pmod(xxhash64(col("id") * 48 + j), lit(1024)) + 1).cast("int")))
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
       concat_ws(" ", body: _*).as("text"))
-      .repartition(par).cache()
+      .repartition(par)
     println(s"""{"probe":"dd6_docs","factor":$factor,"docs":${docs.count()}}""")
     val lexDir = s"$base/lexidx"
     val lexSrc = s"$base/lexsrc"
@@ -1496,7 +1524,6 @@ object ScaleProbe {
       LexIndexStore.build(spark, lexDir, docs, "doc_id", "text",
         nBuckets = 64)
     }
-    docs.unpersist()
     // streamed docs: rare term planted at ids ≡ 7 (mod 500) — the
     // seed corpus has NONE, so retrieval reads only grown postings
     def docArrival(lo: Long, hi: Long) = spark.range(lo, hi)
@@ -1717,6 +1744,10 @@ object ScaleProbe {
     }
     if (mode == "datadom6") {
       try datadom6Probe(spark, n) finally spark.stop()
+      return
+    }
+    if (mode == "datadom6lex") {
+      try datadom6LexProbe(spark, n) finally spark.stop()
       return
     }
     if (mode == "trainmicro") {
