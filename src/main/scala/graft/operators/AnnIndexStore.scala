@@ -123,6 +123,10 @@ object AnnIndexStore {
       ivf.assigned.select(col(idCol)), idCol, m, s"ANN index at $indexPath"))
     def withMeta(df: DataFrame): DataFrame =
       metadata.fold(df)(m => df.join(m, Seq(idCol)))
+    // stored-id sidecar FIRST (probe authority — the IdSidecar
+    // commit-order contract), then the data tables
+    IdSidecar.append(indexPath, ivf.assigned.select(col(idCol)), idCol,
+      engine)
     // cluster by list id before the partitioned write: without it every
     // upstream task sprays a file into every cid=N/ directory
     // (tasks × lists tiny files); clustered, each list lands contiguously
@@ -226,6 +230,9 @@ object AnnIndexStore {
           s"but the increment carries ${got.toSeq.sorted.mkString(",")} — supply " +
           "the same metadata columns the index was built with")
     }
+    // sidecar first — see the IdSidecar commit-order contract
+    IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)), corpusId,
+      engine)
     engine.appendPartitioned(assignedPath(indexPath),
       newAssigned.repartition(col("cid")), "cid")
     val enc0 = Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
@@ -293,6 +300,10 @@ object AnnIndexStore {
           finally Dedup.releaseLocalCheckpoint(kept)
         }
       }
+      // the sidecar drops the purged ids too (O(touched ib buckets)) —
+      // a purged id's re-arrival must re-index, so it must leave the
+      // probe authority here and not before
+      IdSidecar.purge(spark, indexPath, del.select(idc), idc, engine)
       engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
     }
   }
@@ -308,6 +319,7 @@ object AnnIndexStore {
       targetBytes: Long = 128L << 20): Unit = {
     engine.compact(spark, assignedPath(indexPath), targetBytes)
     engine.compact(spark, encodedPath(indexPath), targetBytes)
+    IdSidecar.compact(spark, indexPath, engine, targetBytes)
   }
 
   /** Streaming index growth: new vectors arriving on a file stream are
@@ -348,8 +360,13 @@ object AnnIndexStore {
         val fresh = batch.select(col(corpusId), col(corpusVec))
           .dropDuplicates(corpusId)
           // broadcast-semi probe, not a corpus-shuffling anti-join
-          // ([[Dedup.presentIds]] — the batch is small, the index huge)
-          .join(broadcast(Dedup.presentIds(existing, batch, corpusId)),
+          // ([[Dedup.presentIds]] — the batch is small, the index huge),
+          // and bucket-pruned through the [[IdSidecar]]: the stored-id
+          // read touches only the increment's ib partitions, so the
+          // per-trigger probe cost tracks the INCREMENT, not the store
+          // (datadom6's finding; full-scan fallback for old indexes)
+          .join(broadcast(IdSidecar.presentIds(s, indexPath, existing,
+            batch, corpusId, engine)),
             Seq(corpusId), "left_anti")
           // materialize BEFORE the appends: the probe join reads the
           // table the first append writes to

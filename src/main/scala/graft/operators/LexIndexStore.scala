@@ -98,13 +98,16 @@ object LexIndexStore {
   /** Tokenize `docs` and append their lengths + postings. The tf frame is
     * pinned once (two consumers) and released after.
     *
-    * Commit ORDER is the crash contract: doclens FIRST, postings second.
-    * [[addDocuments]] dedups replayed batches against doclens, so a crash
-    * between the two appends makes the replay skip the batch — the ids
-    * degrade to missing-postings (searchable-but-unscorable, the
-    * [[AnnIndexStore]] failure shape) instead of the reverse order's
-    * duplicated (id, token, tf) rows, which would inflate df and
-    * double-sum those docs' BM25 contributions forever.
+    * Commit ORDER is the crash contract: id sidecar FIRST (the probe
+    * authority — [[IdSidecar]]), doclens second, postings last.
+    * [[addDocuments]] dedups replayed batches against the sidecar, so a
+    * crash anywhere in the chain makes the replay SKIP the batch, and
+    * each crash window degrades monotonically: after sidecar only, the
+    * batch is absent-and-uncounted (clean loss — n_docs/avgdl see
+    * nothing); after doclens too, it is counted-but-unscorable. The
+    * REVERSE order would instead re-append on replay — duplicated
+    * (id, token, tf) rows that inflate df and double-sum those docs'
+    * BM25 contributions forever, the one unrecoverable corruption.
     */
   private def appendCorpus(indexPath: String, docs: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, engine: MergeEngine,
@@ -140,6 +143,10 @@ object LexIndexStore {
             s"${got.toSeq.sorted.mkString(",")} — supply the same metadata " +
             "columns the index was built with")
       }
+      // stored-id sidecar FIRST (probe authority — the IdSidecar
+      // commit-order contract), then doclens, then postings: each crash
+      // window degrades to absent-from-search, never to duplicated rows
+      IdSidecar.append(indexPath, dl0.select(col(idCol)), idCol, engine)
       engine.append(doclensPath(indexPath), dl)
       // cluster by bucket before the partitioned write (the AnnIndexStore
       // save rationale: unclustered, every task sprays a file into every
@@ -204,7 +211,11 @@ object LexIndexStore {
         s"no lexical index at $indexPath"))
     val fresh = docs.select(col(idCol), col(textCol))
       .dropDuplicates(idCol)
-      .join(broadcast(Dedup.presentIds(existing, docs, idCol)),
+      // bucket-pruned stored-id probe ([[IdSidecar]]): per-trigger cost
+      // tracks the increment, not the store (full-scan fallback for
+      // indexes written before the sidecar existed)
+      .join(broadcast(IdSidecar.presentIds(spark, indexPath, existing,
+        docs, idCol, engine)),
         Seq(idCol), "left_anti")
       // materialize BEFORE the appends: the probe join reads the table
       // the doclens append writes to
@@ -313,6 +324,10 @@ object LexIndexStore {
           try engine.overwrite(spark, doclensPath(indexPath), keptLens)
           finally Dedup.releaseLocalCheckpoint(keptLens)
           refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine)
+          // sidecar drops the purged ids (O(touched ib buckets)) so a
+          // purged id's re-arrival re-indexes — and not before the data
+          // rewrites, or a crash between would re-admit a still-stored id
+          IdSidecar.purge(spark, indexPath, delIds, idc, engine)
           engine.overwrite(spark, deletedPath(indexPath), del.limit(0))
         } finally Dedup.releaseLocalCheckpoint(delIds)
       }
@@ -330,6 +345,7 @@ object LexIndexStore {
       targetBytes: Long = 128L << 20): Unit = {
     engine.compact(spark, postingsPath(indexPath), targetBytes)
     engine.compact(spark, doclensPath(indexPath), targetBytes)
+    IdSidecar.compact(spark, indexPath, engine, targetBytes)
   }
 
   /** BM25 top-`k` against the STORED index — identical output to

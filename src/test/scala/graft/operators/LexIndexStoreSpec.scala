@@ -369,33 +369,43 @@ class LexIndexStoreSpec extends SparkSpec {
     assert(e4.getMessage.contains("predates"), e4.getMessage)
   }
 
-  test("interrupted add (doclens landed, postings lost) degrades, never corrupts") {
+  test("interrupted add degrades, never corrupts (both reachable crash windows)") {
     val all = docs(300)
     val dir = tmpIndex()
     LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
       "doc_id", "text", nBuckets = 16, engine = engine)
 
-    // emulate the crash window appendCorpus documents: the increment's
-    // doclens commit landed, the postings commit did not
+    // crash window 2 of the appendCorpus order (sidecar + doclens
+    // landed, postings lost): the replay must SKIP — no duplicate
+    // postings, which would double-sum BM25 contributions forever
     val lost = all.filter(col("doc_id") >= 200 && col("doc_id") < 250)
     val lostDl = Terms.tokens(lost, "doc_id", "text")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    IdSidecar.append(dir, lostDl.select(col("doc_id")), "doc_id", engine)
     engine.append(s"$dir/doclens", lostDl)
-
-    // the replay of that batch must SKIP (ids present in doclens): no
-    // duplicate postings, which would double-sum BM25 contributions
     LexIndexStore.addDocuments(spark, dir, lost, "doc_id", "text",
       engine = engine)
     val post = engine.read(spark, s"$dir/postings").get
     assert(post.filter(col("doc_id") >= 200).isEmpty,
-      "replayed batch re-appended postings for doclens-present ids")
+      "replayed batch re-appended postings for sidecar-present ids")
     assert(post.groupBy("doc_id", "token").count()
       .filter(col("count") > 1).isEmpty)
+
+    // crash window 1 (sidecar landed alone): the replay skips too — the
+    // batch is absent-and-uncounted, the CLEAN loss shape (doclens and
+    // postings agree it never happened; n_docs/avgdl see nothing)
+    val lost2 = all.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+    IdSidecar.append(dir, lost2.select(col("doc_id")), "doc_id", engine)
+    LexIndexStore.addDocuments(spark, dir, lost2, "doc_id", "text",
+      engine = engine)
+    val dl1 = engine.read(spark, s"$dir/doclens").get
+    assert(dl1.filter(col("doc_id") >= 250).isEmpty,
+      "sidecar-present ids re-entered doclens")
 
     // a DIFFERENT batch still lands normally and meta covers everything
     // physically in doclens (the recompute contract)
     LexIndexStore.addDocuments(spark, dir,
-      all.filter(col("doc_id") >= 250), "doc_id", "text", engine = engine)
+      all.filter(col("doc_id") >= 260), "doc_id", "text", engine = engine)
     val m = meta(dir)
     val dl = engine.read(spark, s"$dir/doclens").get
     assert(m.getLong(0) == dl.count())
