@@ -6,47 +6,61 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.sinks.MergeEngine
 
-/** Id-hash-bucketed stored-id sidecar — the table that makes a store's
-  * REPLAY PROBE O(increment + touched buckets) instead of O(store).
+/** Id-hash-bucketed stored-id sidecar — the structure that makes a
+  * store's REPLAY PROBE cost per trigger O(increment + touched buckets
+  * + pending), never O(store).
   *
   * Both persisted search stores dedup streaming arrivals against their
   * stored ids (checkpoint replay must heal, not double-index). The
   * natural probe — semi-join the increment against the main data
   * table's id column — scans the WHOLE store every trigger: measured in
   * `ScaleProbe datadom6`, the 5k-vector trigger wall grew 5.6 → 6.5 s
-  * from a 1M- to a 2M-row store, i.e. a per-trigger cost term linear in
-  * store size that a 100 ms-cadence ingest cannot carry at billions of
-  * rows. The main tables cannot re-partition to fix it (`cid`/`tb`
-  * layouts are what make SEARCH pruning work), so the store keeps this
-  * slim sidecar — ids only, partitioned by `ib = pmod(xxhash64(id),
-  * buckets)`, the [[Dedup.streamingMinhashDedup]] `sb`/`bb` state-store
-  * discipline — and the probe reads only the increment's own buckets:
-  * a literal `ib IN (…)` partition filter, ≤ min(|increment|, buckets)
-  * partitions (plan-guarded in the store specs). The pruning pays off
-  * exactly in the high-cadence regime that needs it: a 200-row trigger
-  * against a 4096-bucket billion-row store reads ≤ 200/4096 ≈ 5% of the
-  * ids; a bulk million-row backfill touches every bucket and amortizes
-  * the scan over its own size.
+  * from a 1M- to a 2M-row store, a per-trigger term linear in store
+  * size that a 100 ms-cadence ingest cannot carry at billions of rows.
+  * The main tables cannot re-partition to fix it (`cid`/`tb` layouts
+  * are what make SEARCH pruning work), so the store keeps a sidecar of
+  * ids only, in the LSM shape the problem actually has:
+  *
+  *  - `ids/` — the FOLDED layout, partitioned by `ib = pmod(xxhash64(
+  *    id), buckets)` (the [[Dedup.streamingMinhashDedup]] `sb`/`bb`
+  *    state-store discipline). The probe reads only the increment's own
+  *    buckets as a literal `ib IN (…)` partition filter (plan-guarded
+  *    in the store specs).
+  *  - `ids_pending/` — the per-trigger APPEND LOG: each grow appends
+  *    one small unpartitioned file. A first-cut design appended every
+  *    increment directly into the bucketed layout; that pays a
+  *    min(|increment|, buckets)-directory fanout write per trigger,
+  *    measured SLOWER than the scan it replaced at 5k-row arrivals.
+  *    One log file per trigger is O(1); the probe scans the pending log
+  *    whole (expected small between maintenance passes).
+  *  - [[compact]] FOLDS pending into the bucketed layout — the same
+  *    maintenance cadence that already compacts the stores' small
+  *    files. A crash between the fold's append and the log clear
+  *    re-folds on the next pass: duplicate ids in the layout are
+  *    harmless for a presence probe and coalesce at the next compact.
   *
   * The bucket count is FROZEN per store at first append, sized from the
-  * seed corpus (`buckets ≈ nIds / 4096`, clamped to [16, 4096]) and
-  * persisted in `ids_meta` — a fixture-sized store writes 16 small
-  * directories instead of thousands of near-empty files (a fixed 1024
-  * cost every save 4-7× in the sf0.1 bench), while a billion-row store
-  * gets the full pruning factor. Later appends MUST bucket with the
-  * stored modulus, which is why it rides the store and not a parameter.
+  * seed corpus (`buckets ≈ nIds / 1024`, clamped to [16, 4096]) and
+  * persisted in `ids_meta` — a fixture-sized store folds into 16 small
+  * directories while a billion-row store gets a ~4096-way pruning
+  * factor. The win regime is the one that needs it: a 250-row trigger
+  * against a 4096-bucket billion-row store reads ≤ 250/4096 ≈ 6% of
+  * the folded ids plus the pending log; a bulk million-row backfill
+  * touches every bucket and amortizes the read over its own size (the
+  * probe skips the `isin` when the increment covers all buckets).
   *
   * Commit-order contract (the [[LexIndexStore.appendCorpus]]
   * doclens-first rationale, one level up): the sidecar is the probe
-  * AUTHORITY, so it is appended FIRST in every grow path. A crash after
-  * the sidecar append but before the data appends leaves the batch's
-  * ids recorded-but-dataless — the replay skips them and the batch
-  * degrades to absent-from-search (clean loss: no table ever counts
-  * it), instead of the reverse order's re-appended DUPLICATE data rows,
-  * which would corrupt every future search and aggregate. Tombstoned
-  * ids stay in the sidecar until purge — a deleted id's re-arrival is
-  * filtered while its rows are still stored, and re-enters only after
-  * [[purge]] physically drops it (the existing re-arrival contract).
+  * AUTHORITY, so its append lands FIRST in every grow path. A crash
+  * after the sidecar append but before the data appends leaves the
+  * batch's ids recorded-but-dataless — the replay skips them and the
+  * batch degrades to absent-from-search (clean loss: no table ever
+  * counts it), instead of the reverse order's re-appended DUPLICATE
+  * data rows, which would corrupt every future search and aggregate.
+  * Tombstoned ids stay in the sidecar until purge — a deleted id's
+  * re-arrival is filtered while its rows are still stored, and
+  * re-enters only after [[purge]] physically drops it (the existing
+  * re-arrival contract).
   *
   * Pre-sidecar stores (no `ids/` table) fall back to the exact
   * full-scan probe — older indexes keep working, they just pay the old
@@ -55,52 +69,61 @@ import graft.sinks.MergeEngine
 private[graft] object IdSidecar {
 
   private[graft] def path(indexPath: String) = s"$indexPath/ids"
+  private[graft] def pendingPath(indexPath: String) = s"$indexPath/ids_pending"
   private[graft] def metaPath(indexPath: String) = s"$indexPath/ids_meta"
 
   private[graft] def ib(idCol: String, buckets: Int): Column =
     pmod(xxhash64(col(idCol)), lit(buckets.toLong))
 
-  /** Seed-corpus sizing: ~4096 ids per bucket, clamped so fixture-sized
-    * stores stay at 16 directories and even a 100B-row store caps at
-    * 4096 (a probe's `ib IN (…)` literal must stay driver-trivial).
+  /** Seed-corpus sizing: ~1024 ids per folded bucket, clamped so
+    * fixture-sized stores stay at 16 directories and even a 100B-row
+    * store caps at 4096 (a probe's `ib IN (…)` literal must stay
+    * driver-trivial).
     */
   private def sizeBuckets(nIds: Long): Int =
-    math.min(4096L, math.max(16L, nIds / 4096L)).toInt
+    math.min(4096L, math.max(16L, nIds / 1024L)).toInt
 
   private def readBuckets(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Option[Int] =
-    engine.read(spark, metaPath(indexPath)).map(_.select("buckets").head().getInt(0))
+    engine.read(spark, metaPath(indexPath))
+      .map(_.select("buckets").head().getInt(0))
 
   /** Record `ids` (idCol only) into the sidecar. Call FIRST in every
     * grow path — see the commit-order contract above. The first append
     * (the store build) freezes the bucket modulus from its own row
-    * count and persists it; every later append reuses it.
+    * count and writes the FOLDED layout directly; every later append is
+    * one small file into the pending log.
     */
   def append(indexPath: String, ids: DataFrame, idCol: String,
       engine: MergeEngine): Unit = {
     require(idCol != "ib",
       "id column may not be named 'ib' (reserved for the sidecar bucket)")
     val spark = ids.sparkSession
-    val buckets = readBuckets(spark, indexPath, engine).getOrElse {
-      val b = sizeBuckets(ids.count())
-      val schema = StructType(Seq(StructField("buckets", IntegerType,
-        nullable = false)))
-      engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
-        java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(b)), schema).coalesce(1))
-      b
+    readBuckets(spark, indexPath, engine) match {
+      case Some(_) =>
+        // steady-state grow: one log file, O(1) write fanout
+        engine.append(pendingPath(indexPath),
+          ids.select(col(idCol)).coalesce(1))
+      case None =>
+        val b = sizeBuckets(ids.count())
+        val schema = StructType(Seq(StructField("buckets", IntegerType,
+          nullable = false)))
+        engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(b)), schema).coalesce(1))
+        engine.appendPartitioned(path(indexPath),
+          ids.select(col(idCol)).withColumn("ib", ib(idCol, b))
+            .repartition(col("ib")), "ib")
     }
-    engine.appendPartitioned(path(indexPath),
-      ids.select(col(idCol)).withColumn("ib", ib(idCol, buckets))
-        .repartition(col("ib")), "ib")
   }
 
   /** The increment's already-stored ids — [[Dedup.presentIds]] over the
-    * bucket-pruned sidecar when it exists, over `fallback` (the main
-    * table) when it does not. The `ib` value set is collected to the
-    * driver (≤ the stored bucket count) and pushed as a literal
-    * partition filter, so the stored-id scan reads only the increment's
-    * buckets.
+    * bucket-pruned folded layout UNION the pending log when the sidecar
+    * exists, over `fallback` (the main table) when it does not. The
+    * `ib` value set is collected to the driver (≤ the stored bucket
+    * count) and pushed as a literal partition filter; when the
+    * increment covers every bucket anyway (a bulk backfill), the filter
+    * is skipped — same rows read, no pointless isin evaluation.
     */
   def presentIds(spark: SparkSession, indexPath: String,
       fallback: => DataFrame, increment: DataFrame, idCol: String,
@@ -110,13 +133,16 @@ private[graft] object IdSidecar {
       case (Some(buckets), Some(ids)) =>
         val ibs = increment.select(ib(idCol, buckets).as("ib")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        Dedup.presentIds(
-          ids.filter(col("ib").isin(ibs: _*)).select(col(idCol)),
-          increment, idCol)
+        val folded =
+          if (ibs.length >= buckets) ids.select(col(idCol))
+          else ids.filter(col("ib").isin(ibs: _*)).select(col(idCol))
+        val stored = engine.read(spark, pendingPath(indexPath))
+          .fold(folded)(p => folded.unionByName(p.select(col(idCol))))
+        Dedup.presentIds(stored, increment, idCol)
       case _ => Dedup.presentIds(fallback, increment, idCol)
     }
 
-  /** Physically drop purged ids — O(touched buckets), the
+  /** Physically drop purged ids — O(touched buckets + pending), the
     * [[MergeEngine.replacePartitions]] machinery the main tables' purge
     * already uses. No-op on sidecar-less stores.
     */
@@ -136,14 +162,39 @@ private[graft] object IdSidecar {
             touched)
           finally Dedup.releaseLocalCheckpoint(kept)
         }
+        engine.read(spark, pendingPath(indexPath)).foreach { p =>
+          val keptP = p.join(deletedIds.select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti").localCheckpoint(true)
+          try engine.overwrite(spark, pendingPath(indexPath), keptP)
+          finally Dedup.releaseLocalCheckpoint(keptP)
+        }
       case _ => ()
     }
 
-  /** Small-file maintenance alongside the stores' own [[MergeEngine
-    * .compact]] passes. No-op on sidecar-less stores.
+  /** Maintenance: FOLD the pending log into the bucketed layout (then
+    * clear it) and compact the layout's small files — rides the stores'
+    * own [[MergeEngine.compact]] cadence. Crash-idempotent in the
+    * presence sense: a crash between the fold-append and the log clear
+    * re-folds on the next pass; duplicated ids cannot change any probe
+    * verdict and coalesce at the next compact's rewrite. No-op on
+    * sidecar-less stores.
     */
   def compact(spark: SparkSession, indexPath: String, engine: MergeEngine,
       targetBytes: Long): Unit =
-    if (engine.read(spark, path(indexPath)).isDefined)
-      engine.compact(spark, path(indexPath), targetBytes)
+    readBuckets(spark, indexPath, engine).foreach { buckets =>
+      engine.read(spark, pendingPath(indexPath)).foreach { p =>
+        if (!p.isEmpty) {
+          val idCol = p.columns.head
+          val pinned = p.localCheckpoint(true)
+          try {
+            engine.appendPartitioned(path(indexPath),
+              pinned.withColumn("ib", ib(idCol, buckets))
+                .repartition(col("ib")), "ib")
+            engine.overwrite(spark, pendingPath(indexPath), pinned.limit(0))
+          } finally Dedup.releaseLocalCheckpoint(pinned)
+        }
+      }
+      if (engine.read(spark, path(indexPath)).isDefined)
+        engine.compact(spark, path(indexPath), targetBytes)
+    }
 }

@@ -1467,17 +1467,24 @@ object ScaleProbe {
       require(hit == 20, s"$stage twin contract broke: $hit/20 at rank 1")
     }
     try {
+      // the high-cadence regime the sidecar exists for: a SMALL trigger
+      // whose bucket set is a real fraction of the folded layout
+      timed("dd6_ann_trigger_250") {
+        land(arrival(0L, 250L), annSrc, "a0.parquet")
+        annStream.processAllAvailable()
+      }
+      annInvariant("after_250", nVecs + 250L)
       timed("dd6_ann_trigger_5k") {
-        land(arrival(0L, 5000L), annSrc, "a1.parquet")
+        land(arrival(250L, 5250L), annSrc, "a1.parquet")
         annStream.processAllAvailable()
       }
-      annInvariant("after_5k", nVecs + 5000L)
-      // 20k arrival whose first 2.5k re-ship arrival 1's tail
+      annInvariant("after_5k", nVecs + 5250L)
+      // 20k arrival whose first 2.5k re-ship arrival 2's tail
       timed("dd6_ann_trigger_20k_overlap") {
-        land(arrival(2500L, 22500L), annSrc, "a2.parquet")
+        land(arrival(2750L, 22750L), annSrc, "a2.parquet")
         annStream.processAllAvailable()
       }
-      annInvariant("after_20k", nVecs + 22500L)
+      annInvariant("after_20k", nVecs + 22750L)
     } finally annStream.stop()
     twinQ.unpersist()
   }
@@ -1548,19 +1555,25 @@ object ScaleProbe {
         s"(expected $expectPlanted, all ≡ 7 mod 500)")
     }
     try {
+      // small-trigger regime first (one planted doc: id 7)
+      timed("dd6_lex_trigger_500") {
+        land(docArrival(0L, 500L), lexSrc, "d0.parquet")
+        lexStream.processAllAvailable()
+      }
+      lexInvariant("after_500", 1L)
       timed("dd6_lex_trigger_10k") {
-        land(docArrival(0L, 10000L), lexSrc, "d1.parquet")
+        land(docArrival(500L, 10500L), lexSrc, "d1.parquet")
         lexStream.processAllAvailable()
       }
-      lexInvariant("after_10k", 20L)
-      // 40k arrival re-shipping arrival 1's back half (ids 5k–10k)
+      lexInvariant("after_10k", 21L)
+      // 40k arrival re-shipping arrival 2's back half (ids 5.5k–10.5k)
       timed("dd6_lex_trigger_40k_overlap") {
-        land(docArrival(5000L, 45000L), lexSrc, "d2.parquet")
+        land(docArrival(5500L, 45500L), lexSrc, "d2.parquet")
         lexStream.processAllAvailable()
       }
-      // planted docs now ids ≡ 7 (mod 500) in [0, 45000) → 90; the
+      // planted docs now ids ≡ 7 (mod 500) in [0, 45500) → 91; the
       // overlap's 10 re-shipped planted docs must NOT duplicate
-      lexInvariant("after_40k", 90L)
+      lexInvariant("after_40k", 91L)
     } finally lexStream.stop()
   }
 

@@ -69,6 +69,42 @@ class IdSidecarSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("LSM shape: grow appends land in the pending log, probe unions it, compact folds it") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_lsm").toString + "/idx"
+    AnnIndexStore.save(spark, dir,
+      Similarity.buildIvf(emb, "c_id", "c_vec", k = 4, iters = 1),
+      Similarity.buildPq(emb, "c_id", "c_vec", m = 8, k = 8, iters = 1))
+    // grow: the increment's ids must land in the PENDING log (one-file
+    // appends — the bucketed-fanout-per-trigger design measured slower
+    // than the scan it replaced), not the folded layout
+    val inc = emb.filter(col("c_id") < 5)
+      .select((col("c_id") + 800000L).as("c_id"), col("c_vec"))
+    AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec")
+    val pending = engine.read(spark, s"$dir/ids_pending").get
+    assert(pending.count() == 5, "grow ids missing from the pending log")
+    val probe = Seq((800001L, "p"), (1L, "q"), (999999L, "r")).toDF("c_id", "pad")
+    def present(): Seq[Long] = IdSidecar.presentIds(spark, dir,
+      engine.read(spark, s"$dir/assigned").get, probe, "c_id", engine)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // union semantics: folded (1) + pending (800001) both answer
+    assert(present() == Seq(1L, 800001L))
+    // compact folds pending into the bucketed layout and clears the log
+    AnnIndexStore.compact(spark, dir)
+    assert(engine.read(spark, s"$dir/ids_pending").forall(_.isEmpty),
+      "compact left the pending log unfolded")
+    assert(present() == Seq(1L, 800001L),
+      "fold changed a probe verdict")
+    // purge drops from the folded layout too, post-fold
+    AnnIndexStore.deleteVectors(spark, dir, Seq(800001L).toDF("c_id"), "c_id")
+    AnnIndexStore.purgeDeleted(spark, dir)
+    assert(present() == Seq(1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("sidecar-less store falls back to the exact full-scan probe") {
     import spark.implicits._
     val fallback = spark.range(0, 100).select(col("id").as("doc_id"))
