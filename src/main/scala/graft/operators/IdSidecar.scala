@@ -111,19 +111,32 @@ private[graft] object IdSidecar {
         engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
           java.util.Collections.singletonList(
             org.apache.spark.sql.Row(b)), schema).coalesce(1))
+        // id-sorted within each bucket — see the fold in [[compact]]
         engine.appendPartitioned(path(indexPath),
           ids.select(col(idCol)).withColumn("ib", ib(idCol, b))
-            .repartition(col("ib")), "ib")
+            .repartition(col("ib"))
+            .sortWithinPartitions(col("ib"), col(idCol)), "ib")
     }
   }
 
-  /** The increment's already-stored ids — [[Dedup.presentIds]] over the
+  /** Increments at or below this id count probe by LITERAL `id IN (…)`
+    * pushed to the parquet reader — with [[compact]] sorting each folded
+    * bucket by id, row-group min/max stats prune WITHIN the touched
+    * buckets, so the read is O(|increment| × touched row-groups) rather
+    * than the touched buckets whole. Bigger increments (bulk backfills)
+    * fall back to the semi-join form, whose scan they amortize anyway.
+    */
+  private val IsinProbeMax = 10000
+
+  /** The increment's already-stored ids — probed against the
     * bucket-pruned folded layout UNION the pending log when the sidecar
-    * exists, over `fallback` (the main table) when it does not. The
+    * exists, against `fallback` (the main table) when it does not. The
     * `ib` value set is collected to the driver (≤ the stored bucket
-    * count) and pushed as a literal partition filter; when the
-    * increment covers every bucket anyway (a bulk backfill), the filter
-    * is skipped — same rows read, no pointless isin evaluation.
+    * count) and pushed as a literal partition filter (skipped when a
+    * bulk backfill covers every bucket anyway); small increments
+    * additionally push their id set as a row-group-pruning IN filter
+    * ([[IsinProbeMax]]), larger ones ride [[Dedup.presentIds]]'
+    * broadcast-semi.
     */
   def presentIds(spark: SparkSession, indexPath: String,
       fallback: => DataFrame, increment: DataFrame, idCol: String,
@@ -138,7 +151,13 @@ private[graft] object IdSidecar {
           else ids.filter(col("ib").isin(ibs: _*)).select(col(idCol))
         val stored = engine.read(spark, pendingPath(indexPath))
           .fold(folded)(p => folded.unionByName(p.select(col(idCol))))
-        Dedup.presentIds(stored, increment, idCol)
+        // capped collect: a bulk backfill stops at the threshold and
+        // rides the broadcast-semi instead of a driver-sized literal
+        val incIds = increment.select(col(idCol)).distinct()
+          .limit(IsinProbeMax + 1).collect().map(_.get(0)).toSeq
+        if (incIds.length <= IsinProbeMax)
+          stored.filter(col(idCol).isin(incIds: _*)).distinct()
+        else Dedup.presentIds(stored, increment, idCol)
       case _ => Dedup.presentIds(fallback, increment, idCol)
     }
 
@@ -187,9 +206,12 @@ private[graft] object IdSidecar {
           val idCol = p.columns.head
           val pinned = p.localCheckpoint(true)
           try {
+            // id-sorted within each bucket so parquet row-group min/max
+            // stats prune the literal IN probes INSIDE touched buckets
             engine.appendPartitioned(path(indexPath),
               pinned.withColumn("ib", ib(idCol, buckets))
-                .repartition(col("ib")), "ib")
+                .repartition(col("ib"))
+                .sortWithinPartitions(col("ib"), col(idCol)), "ib")
             engine.overwrite(spark, pendingPath(indexPath), pinned.limit(0))
           } finally Dedup.releaseLocalCheckpoint(pinned)
         }

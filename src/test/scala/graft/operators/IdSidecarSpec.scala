@@ -42,6 +42,11 @@ class IdSidecarSpec extends SparkSpec {
     assert(pf.nonEmpty, s"no partition filters in sidecar probe plan:\n$plan")
     assert(pf.exists(l => l.contains("ib") && l.contains(" IN (")),
       s"ib bucket set not pushed as a partition filter:\n${pf.mkString("\n")}")
+    // and the small-increment literal probe reaches the parquet reader
+    // as an id IN (...) — with id-sorted buckets, row-group min/max
+    // stats prune INSIDE each touched bucket
+    assert(plan.contains("PushedFilters: [In(c_id"),
+      s"increment id set not pushed for row-group pruning:\n$plan")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }

@@ -328,4 +328,34 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("NestedLoopJoin"), p)
   }
+
+  test("x86-x89 sampling TVFs: same physical shape as their Scala siblings") {
+    // the TVF layer is a calling convention — a plan regression here
+    // means the builder wrapped the operator in something extra
+    val strat = plan("x86_sql_stratified_sample")
+    assert(!strat.contains("Exchange SinglePartition"), strat)
+    val shards = plan("x87_sql_shuffle_shards")
+    assert(!shards.contains("Exchange SinglePartition"), shards)
+    val budget = plan("x88_sql_budget_select")
+    assert(!budget.contains("Exchange SinglePartition"), budget)
+    assert(!budget.contains("NestedLoopJoin"), budget)
+    val locf = plan("x89_sql_resample_locf")
+    // x38's guard verbatim: the gap-fill is a window pass, never a join
+    assert(!locf.contains("SortMergeJoin") && !locf.contains("BroadcastHashJoin") &&
+      !locf.contains("NestedLoopJoin"), locf)
+    assert(locf.contains("Window"), locf)
+  }
+
+  test("x90 hybrid rrf: bounded fusion — no cartesian, no single-partition collapse") {
+    val p = plan("x90_hybrid_rrf")
+    // both sides are pruned store reads; the fusion joins two
+    // (queries × nCand)-bounded frames and ranks per query — a
+    // NestedLoop/Cartesian or an Exchange SinglePartition would mean
+    // the fusion stopped being candidate-bounded
+    assert(!p.contains("NestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the stored scans keep their pruning under the TVF
+    assert(p.contains("PartitionFilters: ["), p)
+  }
 }
