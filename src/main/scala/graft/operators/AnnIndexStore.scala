@@ -49,6 +49,16 @@ object AnnIndexStore {
   final case class PersistedAnnIndex(ivf: IvfIndex, pq: PqModel,
       encodedWithCid: DataFrame)
 
+  /** Store-default manifest engine: gcEvery=16 amortizes the O(store
+    * files) orphan sweep over 16 commits — a streaming grow commits
+    * 3-4 tables per trigger, and a per-commit sweep was the per-trigger
+    * term that tracked STORE size in datadom6 (round-14 verdict ask #1b).
+    * [[compact]]'s engine.compact still forces a sweep, so a maintained
+    * store reclaims promptly.
+    */
+  private[operators] def defaultEngine: MergeEngine =
+    new ManifestMergeEngine(gcEvery = 16)
+
   private def centroidsPath(p: String) = s"$p/centroids"
   private def codebooksPath(p: String) = s"$p/codebooks"
   private def assignedPath(p: String) = s"$p/assigned"
@@ -110,7 +120,7 @@ object AnnIndexStore {
     * filtered search).
     */
   def save(spark: SparkSession, indexPath: String, ivf: IvfIndex, pq: PqModel,
-      engine: MergeEngine = new ManifestMergeEngine(),
+      engine: MergeEngine = AnnIndexStore.defaultEngine,
       metadata: Option[DataFrame] = None): Unit = {
     require(engine.read(spark, centroidsPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
@@ -156,7 +166,7 @@ object AnnIndexStore {
     * probed lists' rows (list-id filter → pushed to the scan).
     */
   def load(spark: SparkSession, indexPath: String,
-      engine: MergeEngine = new ManifestMergeEngine()): PersistedAnnIndex = {
+      engine: MergeEngine = AnnIndexStore.defaultEngine): PersistedAnnIndex = {
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
     val cb = engine.read(spark, codebooksPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
@@ -194,7 +204,7 @@ object AnnIndexStore {
     */
   def addVectors(spark: SparkSession, indexPath: String, vectors: DataFrame,
       corpusId: String, corpusVec: String,
-      engine: MergeEngine = new ManifestMergeEngine(),
+      engine: MergeEngine = AnnIndexStore.defaultEngine,
       metadata: Option[DataFrame] = None): Unit = {
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
     val cb = engine.read(spark, codebooksPath(indexPath))
@@ -222,24 +232,35 @@ object AnnIndexStore {
     val newAssigned0 = Similarity.assignCid(proj, corpusVec, centroids)
     val newAssigned = metadata.fold(newAssigned0)(m0 =>
       newAssigned0.join(m0, Seq(corpusId)))
-    engine.read(vectors.sparkSession, assignedPath(indexPath)).foreach { stored =>
-      val want = stored.columns.toSet
+    val stored = engine.read(vectors.sparkSession, assignedPath(indexPath))
+    stored.foreach { st =>
+      val want = st.columns.toSet
       val got = newAssigned.columns.toSet
       require(got == want,
         s"index at $indexPath stores columns ${want.toSeq.sorted.mkString(",")} " +
           s"but the increment carries ${got.toSeq.sorted.mkString(",")} — supply " +
           "the same metadata columns the index was built with")
     }
-    // sidecar first — see the IdSidecar commit-order contract
-    IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)), corpusId,
-      engine)
-    engine.appendPartitioned(assignedPath(indexPath),
-      newAssigned.repartition(col("cid")), "cid")
+    // sidecar first — see the IdSidecar commit-order contract. This is a
+    // GROW path, so a pre-sidecar store's first grow BACKFILLS the fold
+    // from the complete stored-id set (one full id-column scan, once) —
+    // seeding from the increment alone would make every LATER grow
+    // re-admit replayed original ids as new (double-indexed rows).
+    graft.tools.PhaseTimer("ann_sidecar_append") {
+      IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)), corpusId,
+        engine, backfillFrom = stored.map(_.select(col(corpusId))))
+    }
+    graft.tools.PhaseTimer("ann_assigned_append") {
+      engine.appendPartitioned(assignedPath(indexPath),
+        newAssigned.repartition(col("cid")), "cid")
+    }
     val enc0 = Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
       .join(newAssigned0.select(col(corpusId), col("cid")), corpusId)
-    engine.appendPartitioned(encodedPath(indexPath),
-      metadata.fold(enc0)(m0 => enc0.join(m0, Seq(corpusId)))
-        .repartition(col("cid")), "cid")
+    graft.tools.PhaseTimer("ann_encoded_append") {
+      engine.appendPartitioned(encodedPath(indexPath),
+        metadata.fold(enc0)(m0 => enc0.join(m0, Seq(corpusId)))
+          .repartition(col("cid")), "cid")
+    }
   }
 
   /** Delete vectors from a stored index: TOMBSTONES, not rewrites — the
@@ -259,7 +280,7 @@ object AnnIndexStore {
     */
   def deleteVectors(spark: SparkSession, indexPath: String, ids: DataFrame,
       corpusId: String,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = AnnIndexStore.defaultEngine): Unit = {
     // the tombstone table is (corpusId, cid) by construction and load/
     // purge recover the id column as "the non-cid one" — an id column
     // literally named "cid" would silently mis-key every later
@@ -283,7 +304,7 @@ object AnnIndexStore {
     * snapshot-isolated by the manifest backend.
     */
   def purgeDeleted(spark: SparkSession, indexPath: String,
-      engine: MergeEngine = new ManifestMergeEngine()): Unit = {
+      engine: MergeEngine = AnnIndexStore.defaultEngine): Unit = {
     engine.read(spark, deletedPath(indexPath)).foreach { del =>
       val idc = del.columns.filterNot(_ == "cid").head
       val touched = del.select("cid").distinct().collect().map(_.get(0)).toSeq
@@ -315,7 +336,7 @@ object AnnIndexStore {
     * pruned search keeps its partition filters after compaction.
     */
   def compact(spark: SparkSession, indexPath: String,
-      engine: MergeEngine = new ManifestMergeEngine(),
+      engine: MergeEngine = AnnIndexStore.defaultEngine,
       targetBytes: Long = 128L << 20): Unit = {
     engine.compact(spark, assignedPath(indexPath), targetBytes)
     engine.compact(spark, encodedPath(indexPath), targetBytes)
@@ -334,10 +355,12 @@ object AnnIndexStore {
   def streamingAddVectors(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, indexPath: String,
       checkpointDir: String, corpusId: String, corpusVec: String,
-      engine: MergeEngine = new ManifestMergeEngine(),
+      engine: MergeEngine = AnnIndexStore.defaultEngine,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      foldEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(foldEvery >= 1, "foldEvery must be >= 1")
     // the models are FROZEN by contract — load them once at stream start
     // (a per-trigger reload would pay the manifest read + driver collect
     // on every micro-batch for state that cannot change)
@@ -347,6 +370,14 @@ object AnnIndexStore {
         s"no index at $indexPath — build and save it before streaming growth"))
     val mk = cb.select("m", "k").head()
     val codebooks = matrixOf(cb)
+    // in-stream sidecar maintenance cadence (round-14 verdict ask #1a):
+    // without it the pending log grows ONE FILE PER TRIGGER until an
+    // external compact runs — O(triggers-since-maintenance) probe cost
+    // at exactly the 100 ms-cadence regime the sidecar exists for. The
+    // fold is O(pending), crash-idempotent (a replayed fold's duplicate
+    // ids cannot change a presence verdict), and counted per PROCESSED
+    // batch so a crash-restarted stream just restarts the cadence.
+    val sinceFold = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .queryName("graft_ann_ingest")
@@ -357,25 +388,33 @@ object AnnIndexStore {
         val existing = engine.read(s, assignedPath(indexPath))
           .getOrElse(throw new IllegalStateException(
             s"no index at $indexPath — build and save it before streaming growth"))
-        val fresh = batch.select(col(corpusId), col(corpusVec))
-          .dropDuplicates(corpusId)
-          // broadcast-semi probe, not a corpus-shuffling anti-join
-          // ([[Dedup.presentIds]] — the batch is small, the index huge),
-          // and bucket-pruned through the [[IdSidecar]]: the stored-id
-          // read touches only the increment's ib partitions, so the
-          // per-trigger probe cost tracks the INCREMENT, not the store
-          // (datadom6's finding; full-scan fallback for old indexes)
-          .join(broadcast(IdSidecar.presentIds(s, indexPath, existing,
-            batch, corpusId, engine)),
-            Seq(corpusId), "left_anti")
-          // materialize BEFORE the appends: the probe join reads the
-          // table the first append writes to
-          .localCheckpoint(true)
+        val fresh = graft.tools.PhaseTimer("ann_probe") {
+          batch.select(col(corpusId), col(corpusVec))
+            .dropDuplicates(corpusId)
+            // broadcast-semi probe, not a corpus-shuffling anti-join
+            // ([[Dedup.presentIds]] — the batch is small, the index huge),
+            // and bucket-pruned through the [[IdSidecar]]: the stored-id
+            // read touches only the increment's ib partitions, so the
+            // per-trigger probe cost tracks the INCREMENT, not the store
+            // (datadom6's finding; full-scan fallback for old indexes)
+            .join(broadcast(IdSidecar.presentIds(s, indexPath, existing,
+              batch, corpusId, engine)),
+              Seq(corpusId), "left_anti")
+            // materialize BEFORE the appends: the probe join reads the
+            // table the first append writes to
+            .localCheckpoint(true)
+        }
         try {
           if (!fresh.isEmpty)
             appendEncoded(indexPath, fresh, corpusId, corpusVec,
               centroids, codebooks, mk.getInt(0), mk.getInt(1), engine)
         } finally Dedup.releaseLocalCheckpoint(fresh)
+        if (sinceFold.incrementAndGet() >= foldEvery) {
+          sinceFold.set(0)
+          graft.tools.PhaseTimer("ann_sidecar_fold") {
+            IdSidecar.fold(s, indexPath, engine)
+          }
+        }
       }
       .start()
   }

@@ -90,12 +90,33 @@ private[graft] object IdSidecar {
 
   /** Record `ids` (idCol only) into the sidecar. Call FIRST in every
     * grow path — see the commit-order contract above. The first append
-    * (the store build) freezes the bucket modulus from its own row
-    * count and writes the FOLDED layout directly; every later append is
-    * one small file into the pending log.
+    * freezes the bucket modulus from the seed's row count and writes
+    * the FOLDED layout directly; every later append is one small file
+    * into the pending log.
+    *
+    * `backfillFrom` is the GROW-path guard: a grow against a store
+    * written before the sidecar existed must NOT seed the fold from its
+    * own increment — the first such grow would dedup via the full-scan
+    * fallback, but every later grow would probe a sidecar missing the
+    * ORIGINAL corpus, re-admitting replayed original ids as "new"
+    * (duplicated doclens/postings, double-indexed vectors — permanent).
+    * So grow callers pass the store's COMPLETE stored-id frame here; a
+    * sidecar-less store's first grow pays one full id-column scan to
+    * BACKFILL the fold (the same scan the fallback probe pays every
+    * trigger today), and every grow after that is O(increment). Build
+    * callers pass None — at build the increment IS the corpus.
+    *
+    * Seed commit order: folded layout FIRST, `ids_meta` LAST. The meta
+    * row is what flips every reader (probe, pending-append, fold) onto
+    * the sidecar, so a crash between the two appends must leave meta
+    * absent — the next attempt re-seeds (duplicate folded ids are
+    * harmless for presence and coalesce at compact) and only then
+    * publishes. The reverse order would publish a fold that may be
+    * EMPTY: probes would still fall back (ids/ missing) but the first
+    * [[fold]] would materialize a layout missing the whole seed corpus.
     */
   def append(indexPath: String, ids: DataFrame, idCol: String,
-      engine: MergeEngine): Unit = {
+      engine: MergeEngine, backfillFrom: Option[DataFrame] = None): Unit = {
     require(idCol != "ib",
       "id column may not be named 'ib' (reserved for the sidecar bucket)")
     val spark = ids.sparkSession
@@ -105,17 +126,19 @@ private[graft] object IdSidecar {
         engine.append(pendingPath(indexPath),
           ids.select(col(idCol)).coalesce(1))
       case None =>
-        val b = sizeBuckets(ids.count())
+        val seed = backfillFrom.fold(ids.select(col(idCol)))(stored =>
+          stored.select(col(idCol)).unionByName(ids.select(col(idCol))))
+        val b = sizeBuckets(seed.count())
+        // id-sorted within each bucket — see the fold in [[compact]]
+        engine.appendPartitioned(path(indexPath),
+          seed.withColumn("ib", ib(idCol, b))
+            .repartition(col("ib"))
+            .sortWithinPartitions(col("ib"), col(idCol)), "ib")
         val schema = StructType(Seq(StructField("buckets", IntegerType,
           nullable = false)))
         engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
           java.util.Collections.singletonList(
             org.apache.spark.sql.Row(b)), schema).coalesce(1))
-        // id-sorted within each bucket — see the fold in [[compact]]
-        engine.appendPartitioned(path(indexPath),
-          ids.select(col(idCol)).withColumn("ib", ib(idCol, b))
-            .repartition(col("ib"))
-            .sortWithinPartitions(col("ib"), col(idCol)), "ib")
     }
   }
 
@@ -190,16 +213,19 @@ private[graft] object IdSidecar {
       case _ => ()
     }
 
-  /** Maintenance: FOLD the pending log into the bucketed layout (then
-    * clear it) and compact the layout's small files — rides the stores'
-    * own [[MergeEngine.compact]] cadence. Crash-idempotent in the
-    * presence sense: a crash between the fold-append and the log clear
-    * re-folds on the next pass; duplicated ids cannot change any probe
-    * verdict and coalesce at the next compact's rewrite. No-op on
-    * sidecar-less stores.
+  /** FOLD the pending log into the bucketed layout, then clear it —
+    * O(pending + touched buckets) work, NEVER O(store), which is what
+    * lets the streaming loops run it in-stream on a batch cadence
+    * (without it the log grows one file per trigger forever and every
+    * probe reads it whole — O(triggers-since-maintenance) at the 100 ms
+    * cadence the feature exists for). Crash-idempotent in the presence
+    * sense: a crash between the fold-append and the log clear re-folds
+    * on the next pass; duplicated ids cannot change any probe verdict
+    * and coalesce at the next [[compact]]'s rewrite. No-op on
+    * sidecar-less stores and empty logs.
     */
-  def compact(spark: SparkSession, indexPath: String, engine: MergeEngine,
-      targetBytes: Long): Unit =
+  def fold(spark: SparkSession, indexPath: String,
+      engine: MergeEngine): Unit =
     readBuckets(spark, indexPath, engine).foreach { buckets =>
       engine.read(spark, pendingPath(indexPath)).foreach { p =>
         if (!p.isEmpty) {
@@ -216,6 +242,18 @@ private[graft] object IdSidecar {
           } finally Dedup.releaseLocalCheckpoint(pinned)
         }
       }
+    }
+
+  /** Full maintenance: [[fold]] the pending log, then compact the folded
+    * layout's small files (an O(stored-ids) rewrite — which is why only
+    * the fold rides the in-stream cadence and THIS rides the stores' own
+    * [[MergeEngine.compact]] maintenance pass). No-op on sidecar-less
+    * stores.
+    */
+  def compact(spark: SparkSession, indexPath: String, engine: MergeEngine,
+      targetBytes: Long): Unit =
+    readBuckets(spark, indexPath, engine).foreach { _ =>
+      fold(spark, indexPath, engine)
       if (engine.read(spark, path(indexPath)).isDefined)
         engine.compact(spark, path(indexPath), targetBytes)
     }

@@ -127,4 +127,154 @@ class IdSidecarSpec extends SparkSpec {
     intercept[IllegalArgumentException](IdSidecar.append(dir,
       Seq(1L).toDF("ib"), "ib", engine))
   }
+
+  private def dropSidecar(dir: String): Unit =
+    Seq("ids", "ids_pending", "ids_meta").foreach(t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/$t")))
+
+  test("growing a pre-sidecar ANN store backfills the fold from the " +
+      "complete stored-id set — later grows filter replayed ORIGINAL ids") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val nSeed = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_pre").toString + "/idx"
+    AnnIndexStore.save(spark, dir,
+      Similarity.buildIvf(emb, "c_id", "c_vec", k = 4, iters = 1),
+      Similarity.buildPq(emb, "c_id", "c_vec", m = 8, k = 8, iters = 1))
+    // simulate a store written before the sidecar existed
+    dropSidecar(dir)
+    // grow #1: 5 genuinely new ids — the round-14 bug seeded the fold
+    // from THESE alone, so every later grow re-admitted original ids
+    val g1 = emb.filter(col("c_id") < 5)
+      .select((col("c_id") + 800000L).as("c_id"), col("c_vec"))
+    AnnIndexStore.addVectors(spark, dir, g1, "c_id", "c_vec")
+    // the rebuilt sidecar must answer for the ORIGINAL corpus, not just
+    // the increment
+    val probe = emb.filter(col("c_id") < 3).select(col("c_id"))
+      .unionByName(g1.select(col("c_id")).limit(1))
+    val present = IdSidecar.presentIds(spark, dir,
+      engine.read(spark, s"$dir/assigned").get, probe, "c_id", engine)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(present == Seq(0L, 1L, 2L, 800000L),
+      s"backfilled sidecar missing original/new ids: $present")
+    // grow #2 re-ships originals + grow-1 rows + 3 new: the streaming
+    // ingest's presentIds filter must pass ONLY the new rows (admitting
+    // a replayed original here was the round-14 ADVICE bug — the fold
+    // had been seeded from grow #1's increment alone)
+    val g2 = emb.limit(10).unionByName(g1).unionByName(
+      emb.filter(col("c_id") < 3)
+        .select((col("c_id") + 900000L).as("c_id"), col("c_vec")))
+    val fresh = g2.dropDuplicates("c_id")
+      .join(broadcast(IdSidecar.presentIds(spark, dir,
+        engine.read(spark, s"$dir/assigned").get, g2, "c_id", engine)),
+        Seq("c_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fresh == Seq(900000L, 900001L, 900002L),
+      s"pre-sidecar grow would re-admit replayed ids: $fresh " +
+        s"(store holds ${nSeed + 5} rows)")
+  }
+
+  test("growing a pre-sidecar LEX store backfills from stored doclens") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"alpha bravo w$i common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_prelex")
+      .toString + "/idx"
+    LexIndexStore.build(spark, dir, docs, "doc_id", "text", nBuckets = 8)
+    dropSidecar(dir)
+    val g1 = Seq((100L, "alpha new one")).toDF("doc_id", "text")
+    LexIndexStore.addDocuments(spark, dir, g1, "doc_id", "text")
+    // replay of originals + g1 + one new doc: exactly one new doclens row
+    val g2 = docs.limit(7).unionByName(g1)
+      .unionByName(Seq((101L, "bravo new two")).toDF("doc_id", "text"))
+    LexIndexStore.addDocuments(spark, dir, g2, "doc_id", "text")
+    val n = engine.read(spark, s"$dir/doclens").get.count()
+    assert(n == 42, s"pre-sidecar lex grow duplicated doclens: $n vs 42")
+  }
+
+  test("a fold replay (crash between fold-append and log clear) changes no verdict") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_crash")
+      .toString + "/idx"
+    AnnIndexStore.save(spark, dir,
+      Similarity.buildIvf(emb, "c_id", "c_vec", k = 4, iters = 1),
+      Similarity.buildPq(emb, "c_id", "c_vec", m = 8, k = 8, iters = 1))
+    val inc = emb.filter(col("c_id") < 4)
+      .select((col("c_id") + 800000L).as("c_id"), col("c_vec"))
+    AnnIndexStore.addVectors(spark, dir, inc, "c_id", "c_vec")
+    val pendingRows = engine.read(spark, s"$dir/ids_pending").get
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pendingRows.nonEmpty)
+    IdSidecar.fold(spark, dir, engine)
+    // simulate the crash window: the fold-append landed but the clear
+    // was lost — re-append the already-folded ids to the pending log
+    engine.append(s"$dir/ids_pending",
+      pendingRows.toDF("c_id").coalesce(1))
+    val probe = Seq((800001L, "p"), (2L, "q"), (999999L, "r"))
+      .toDF("c_id", "pad")
+    def present(): Seq[Long] = IdSidecar.presentIds(spark, dir,
+      engine.read(spark, s"$dir/assigned").get, probe, "c_id", engine)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // duplicated ids (folded layout + replayed pending) are harmless for
+    // presence — and a streaming re-delivery must still filter them all
+    assert(present() == Seq(2L, 800001L))
+    val fresh = inc.join(broadcast(IdSidecar.presentIds(spark, dir,
+      engine.read(spark, s"$dir/assigned").get, inc, "c_id", engine)),
+      Seq("c_id"), "left_anti").count()
+    assert(fresh == 0L,
+      s"fold replay let $fresh re-delivered ids through the probe")
+    // the re-fold coalesces: pending clears, verdicts hold
+    IdSidecar.fold(spark, dir, engine)
+    assert(engine.read(spark, s"$dir/ids_pending").forall(_.isEmpty))
+    assert(present() == Seq(2L, 800001L))
+  }
+
+  test("streaming growth folds the pending log on the foldEvery cadence") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_cad")
+      .toString + "/idx"
+    AnnIndexStore.save(spark, dir,
+      Similarity.buildIvf(emb, "c_id", "c_vec", k = 4, iters = 1),
+      Similarity.buildPq(emb, "c_id", "c_vec", m = 8, k = 8, iters = 1))
+    val srcBase = java.nio.file.Files.createTempDirectory("sidecar_cads").toString
+    val src = s"$srcBase/src"
+    new java.io.File(src).mkdirs()
+    def land(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cadarr").toString
+      emb.filter(col("c_id") >= lo && col("c_id") < hi)
+        .select((col("c_id") + 800000L).as("c_id"), col("c_vec"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name"))
+    }
+    val q = AnnIndexStore.streamingAddVectors(spark, src,
+      emb.select((col("c_id") + 800000L).as("c_id"), col("c_vec")).schema,
+      dir, s"$srcBase/ckpt", "c_id", "c_vec", foldEvery = 2)
+    try {
+      land(0L, 3L, "a1.parquet")
+      q.processAllAvailable()
+      // batch 1: pending holds the increment (no fold yet)
+      assert(engine.read(spark, s"$dir/ids_pending").exists(!_.isEmpty),
+        "first trigger should append to the pending log, not fold")
+      land(3L, 6L, "a2.parquet")
+      q.processAllAvailable()
+      // batch 2 trips the cadence: the log folds and clears IN-STREAM
+      assert(engine.read(spark, s"$dir/ids_pending").forall(_.isEmpty),
+        "foldEvery=2 cadence did not fold the pending log in-stream")
+    } finally q.stop()
+    // folded ids still answer the probe (replay keeps healing)
+    val probe = emb.filter(col("c_id") < 6)
+      .select((col("c_id") + 800000L).as("c_id"))
+    val present = IdSidecar.presentIds(spark, dir,
+      engine.read(spark, s"$dir/assigned").get, probe, "c_id", engine)
+      .count()
+    assert(present == 6L, s"folded ids lost from the probe: $present/6")
+  }
 }
