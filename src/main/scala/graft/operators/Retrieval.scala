@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   * (e.g. symmetric rank pairs) break on doc id, so the output order is
   * total and replay-stable.
   *
+  * The score arithmetic is EXACT-INTEGER end to end (the
+  * [[Terms.ratioRound4]] discipline): each term is the 10¹⁵-scaled
+  * HALF_UP integer of 1/(kRrf+rank) — `(10¹⁵ + d div 2) div d` — the
+  * terms sum as longs (≤ 2·nCand terms of ≤ 10¹⁵/(kRrf+1) each, far
+  * inside Long), ranking orders on that exact sum, and the reported
+  * `rrf` is the exact 6-decimal HALF_UP of it. A double-arithmetic
+  * round(sum, 6) instead sits one representability accident from the
+  * midpoint seam every avg-scored query already defused (round 12):
+  * kRrf + rank = 128 makes 1/128 = 0.0078125 an exact 6-decimal
+  * midpoint, and kRrf is caller-chosen. In integer space both engines
+  * (and any future live oracle) agree bit for bit; the DuckDB mirror is
+  * `(1000000000000000 + d//2)//d` summed, then `(S + 500000000)
+  * //1000000000 / 1e6`.
+  *
   * Scale posture: each side is its own pruned store read (token-bucket
   * postings / probed inverted lists — never a corpus scan); the fusion
   * joins two (queries × nCand)-bounded frames and ranks with a window
@@ -67,20 +81,32 @@ object Retrieval {
         // normalize to INT alongside the ANN side's rank — a mixed
         // int/bigint rank pair would be a schema wart in every consumer
         col("rank").cast("int").as("lex_rank"))
+    // exact 10¹⁵-scaled HALF_UP integer of 1/(kRrf + rank) — a missing
+    // side's NULL rank coalesces to a 0 term (see the class doc for why
+    // integer space, not round(double, 6))
+    def rrfTerm(rank: org.apache.spark.sql.Column) = {
+      val d = lit(kRrf.toLong) + rank.cast("long")
+      coalesce(call_function("div",
+        lit(1000000000000000L) + call_function("div", d, lit(2L)), d),
+        lit(0L))
+    }
     // full outer: a doc surfaced by one side only still fuses (its
     // missing side contributes 0) — hybrid recall is the UNION of the
     // two candidate sets, which is the whole point of running both
     val fused = ann.join(lex, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(kRrf) + col("ann_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)))
+      .withColumn("rrf_s", rrfTerm(col("ann_rank")) + rrfTerm(col("lex_rank")))
     // per-query candidate frames are ≤ 2·nCand rows — the window is
-    // bounded by construction, never a global sort
+    // bounded by construction, never a global sort; ordering on the
+    // EXACT integer sum keeps ranking and reported score one arithmetic
     val w = Window.partitionBy("query_id")
-      .orderBy(col("rrf").desc, col("doc_id"))
+      .orderBy(col("rrf_s").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+      .select(col("query_id"), col("doc_id"),
+        // exact 6-decimal HALF_UP of the 10⁻¹⁵-unit sum; the quotient
+        // (≤ 2·nCand·10⁶/(kRrf+1)) is double-exact
+        (call_function("div", col("rrf_s") + lit(500000000L),
+          lit(1000000000L)).cast("double") / 1000000.0).as("rrf"),
         col("ann_rank"), col("lex_rank"), col("rank"))
   }
 }

@@ -1442,8 +1442,11 @@ object ScaleProbe {
     def arrival(lo: Long, hi: Long) = spark.range(lo, hi)
       .select((col("id") + 50000000L).as("c_id"),
         rndVec("a", col("id")).as("c_vec"))
+    // foldEvery=2 so the in-stream sidecar maintenance is PRICED inside
+    // this probe's six triggers, not deferred past them
     val annStream = AnnIndexStore.streamingAddVectors(spark, annSrc,
-      arrival(0L, 1L).schema, annDir, s"$base/annckpt", "c_id", "c_vec")
+      arrival(0L, 1L).schema, annDir, s"$base/annckpt", "c_id", "c_vec",
+      foldEvery = 2)
     // noised twins of 20 arrival-1 vectors: findable ONLY once the
     // stream has landed them — the invariant proves the GROWN region
     // is searchable through the frozen quantizers
@@ -1485,6 +1488,20 @@ object ScaleProbe {
         annStream.processAllAvailable()
       }
       annInvariant("after_20k", nVecs + 22750L)
+      // FLAT-TRIGGER samples (round-14 verdict ask #1): three SAME-SIZE
+      // 5k triggers against the (~)same store — the cell compared across
+      // factors. If the 1M and 2M stores' sample means agree within
+      // noise, the per-trigger wall is store-flat; if not, the phase
+      // decomposition (GRAFT_PHASE_TIMING) names the term that grows.
+      var sLo = 22750L
+      (1 to 3).foreach { i =>
+        timed(s"dd6_ann_trigger_5k_s$i") {
+          land(arrival(sLo, sLo + 5000L), annSrc, s"s$i.parquet")
+          annStream.processAllAvailable()
+        }
+        sLo += 5000L
+      }
+      annInvariant("after_samples", nVecs + 37750L)
     } finally annStream.stop()
     twinQ.unpersist()
   }
@@ -1540,7 +1557,7 @@ object ScaleProbe {
             .otherwise(lit("")): _*).as("text"))
     val lexStream = LexIndexStore.streamingAddDocuments(spark, lexSrc,
       docArrival(0L, 1L).schema, lexDir, s"$base/lexckpt",
-      "doc_id", "text")
+      "doc_id", "text", foldEvery = 2)
     def lexInvariant(stage: String, expectPlanted: Long): Unit = {
       val rare = spark.createDataFrame(Seq((9L, "zzrareterm")))
         .toDF("query_id", "qtext")
@@ -1574,6 +1591,18 @@ object ScaleProbe {
       // planted docs now ids ≡ 7 (mod 500) in [0, 45500) → 91; the
       // overlap's 10 re-shipped planted docs must NOT duplicate
       lexInvariant("after_40k", 91L)
+      // flat-trigger samples (the ANN half's rationale): three SAME-SIZE
+      // 10k triggers — the cross-factor cell, 3 samples each
+      var sLo = 45500L
+      (1 to 3).foreach { i =>
+        timed(s"dd6_lex_trigger_10k_s$i") {
+          land(docArrival(sLo, sLo + 10000L), lexSrc, s"s$i.parquet")
+          lexStream.processAllAvailable()
+        }
+        sLo += 10000L
+      }
+      // 30k more streamed ids → 60 more planted
+      lexInvariant("after_samples", 151L)
     } finally lexStream.stop()
   }
 

@@ -105,4 +105,41 @@ class ThresholdExactnessSpec extends SparkSpec {
     assert(Dedup.embeddingDups(emb, "vec_id", "embedding",
       minCos = 1.0).filter(col("cos") >= math.nextUp(1.0)).count() == 0)
   }
+
+  test("x90 rrf: kRrf + rank = 128 lands EXACTLY on the 1/128 = 0.0078125 " +
+      "midpoint and HALF_UPs to 0.007813 (exact-integer pipeline witness)") {
+    import spark.implicits._
+    import graft.functions.TextVectorExpressions.hashed_tf_vec
+    // kRrf is caller-chosen: 127 makes the rank-1 term 1/128 — an exact
+    // 6-decimal midpoint, the round-12 hazard class. The exact-integer
+    // rrf pipeline ((10¹⁵ + d div 2) div d summed, then 6-decimal integer
+    // HALF_UP) must round UP here on every engine; the retired
+    // round(double, 6) formulation sat one representability accident
+    // from disagreeing with any future live oracle.
+    val docs = (0L to 7L).map(d => (d, s"alpha w${d}a w${d}b w${d}c"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_rrf128").toString
+    val corpus = docs.select(col("doc_id").as("c_id"),
+      hashed_tf_vec(col("text"), 64).as("c_vec"))
+    AnnIndexStore.save(spark, s"$base/ann",
+      Similarity.buildIvf(corpus, "c_id", "c_vec", k = 2, iters = 1),
+      Similarity.buildPq(corpus, "c_id", "c_vec", m = 16, k = 4, iters = 1))
+    LexIndexStore.build(spark, s"$base/lex", docs, "doc_id", "text",
+      nBuckets = 4)
+    // the query token appears in NO document: the lexical side returns
+    // nothing, so every fused candidate is single-sided at its pure ANN
+    // rank — rank r's rrf is exactly HALF_UP₆(1/(127+r))
+    val q = Seq((9L, "qqqabsent")).toDF("query_id", "qtext")
+    val rows = Retrieval.hybridTopK(spark, s"$base/ann", s"$base/lex",
+      q, "query_id", "qtext", dim = 64, k = 3, nCand = 3, kRrf = 127,
+      rerank = 8)
+      .orderBy("rank").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.isNullAt(4)), "lexical side should be empty here")
+    // 1/128 = .0078125 → UP; 1/129 = .00775193… → .007752; 1/130 → .007692
+    assert(rows.map(_.getDouble(2)).toSeq ==
+      Seq(0.007813, 0.007752, 0.007692),
+      s"rrf midpoint witness broke: ${rows.map(_.getDouble(2)).toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
