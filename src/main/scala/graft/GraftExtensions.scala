@@ -262,6 +262,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hybrid_topk"),
       new ExpressionInfo(TableFunctions.getClass.getName, "hybrid_topk"),
       (exprs: Seq[Expression]) => TableFunctions.hybridTopK(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "pii_scrub"),
+      (exprs: Seq[Expression]) => TableFunctions.piiScrub(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("decontaminate"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "decontaminate"),
+      (exprs: Seq[Expression]) => TableFunctions.decontaminate(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("containment_decontaminate"),
+      new ExpressionInfo(TableFunctions.getClass.getName,
+        "containment_decontaminate"),
+      (exprs: Seq[Expression]) => TableFunctions.containmentDecontaminate(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("semdedup_keep"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "semdedup_keep"),
+      (exprs: Seq[Expression]) => TableFunctions.semdedupKeep(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("mix_sample"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "mix_sample"),
+      (exprs: Seq[Expression]) => TableFunctions.mixSample(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("split_assign"),
+      new ExpressionInfo(TableFunctions.getClass.getName, "split_assign"),
+      (exprs: Seq[Expression]) => TableFunctions.splitAssign(exprs)))
 
     // aggregate kernels (scalar-function block above covers expressions;
     // this is the repo's first native AggregateFunction)

@@ -26,18 +26,27 @@ import graft.sinks.MergeEngine
   *    state-store discipline). The probe reads only the increment's own
   *    buckets as a literal `ib IN (…)` partition filter (plan-guarded
   *    in the store specs).
-  *  - `ids_pending/` — the per-trigger APPEND LOG: each grow appends
-  *    one small unpartitioned file. A first-cut design appended every
-  *    increment directly into the bucketed layout; that pays a
+  *  - `ids_pending/` — the per-trigger APPEND LOG (L0): each grow
+  *    appends one small unpartitioned file. A first-cut design appended
+  *    every increment directly into the bucketed layout; that pays a
   *    min(|increment|, buckets)-directory fanout write per trigger,
   *    measured SLOWER than the scan it replaced at 5k-row arrivals.
   *    One log file per trigger is O(1); the probe scans the pending log
-  *    whole (expected small between maintenance passes).
-  *  - [[compact]] FOLDS pending into the bucketed layout — the same
-  *    maintenance cadence that already compacts the stores' small
-  *    files. A crash between the fold's append and the log clear
-  *    re-folds on the next pass: duplicate ids in the layout are
-  *    harmless for a presence probe and coalesce at the next compact.
+  *    whole (expected small between folds).
+  *  - `ids_runs/` — the FOLDED RUNS (L1): [[fold]] drains pending into
+  *    ONE id-sorted file per pass, so the in-stream cadence is O(pending)
+  *    with a single file create. A first-cut fold went straight into the
+  *    bucketed layout; at datadom6 scale that paid the same per-bucket
+  *    fanout the pending log exists to avoid (~1k tiny files and ~12 s
+  *    per fold at a 1M-id base, and every probe slowed as folds
+  *    accreted). Probes prune runs by the pushed `id IN (…)` filter
+  *    against each run's id-sorted row-group stats — no partition dirs
+  *    needed at run sizes.
+  *  - [[compact]] merges runs into the bucketed layout and rewrites its
+  *    small files — the O(store-ids) pass that stays on the stores' own
+  *    maintenance cadence. A crash between any fold/merge append and its
+  *    log clear re-folds on the next pass: duplicate ids are harmless
+  *    for a presence probe and coalesce at the next compact.
   *
   * The bucket count is FROZEN per store at first append, sized from the
   * seed corpus (`buckets ≈ nIds / 1024`, clamped to [16, 4096]) and
@@ -70,18 +79,22 @@ private[graft] object IdSidecar {
 
   private[graft] def path(indexPath: String) = s"$indexPath/ids"
   private[graft] def pendingPath(indexPath: String) = s"$indexPath/ids_pending"
+  private[graft] def runsPath(indexPath: String) = s"$indexPath/ids_runs"
   private[graft] def metaPath(indexPath: String) = s"$indexPath/ids_meta"
 
   private[graft] def ib(idCol: String, buckets: Int): Column =
     pmod(xxhash64(col(idCol)), lit(buckets.toLong))
 
-  /** Seed-corpus sizing: ~1024 ids per folded bucket, clamped so
-    * fixture-sized stores stay at 16 directories and even a 100B-row
-    * store caps at 4096 (a probe's `ib IN (…)` literal must stay
-    * driver-trivial).
+  /** Seed-corpus sizing: ~64k ids per folded bucket (≈0.5 MB parquet),
+    * clamped to [16, 4096]. Round 15 re-sized this from ~1k ids/bucket:
+    * the measured probe cost at datadom6 scale was FILE-COUNT overhead,
+    * not bytes — a 1M-id base in 976 8-KB files cost every 5k-row probe
+    * a thousand footer reads while the whole column is 8 MB. Coarser
+    * buckets keep partition pruning meaningful at the billion-row end
+    * (4096-way) without shattering the small end.
     */
   private def sizeBuckets(nIds: Long): Int =
-    math.min(4096L, math.max(16L, nIds / 1024L)).toInt
+    math.min(4096L, math.max(16L, nIds / 65536L)).toInt
 
   private def readBuckets(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Option[Int] =
@@ -152,13 +165,14 @@ private[graft] object IdSidecar {
   private val IsinProbeMax = 10000
 
   /** The increment's already-stored ids — probed against the
-    * bucket-pruned folded layout UNION the pending log when the sidecar
-    * exists, against `fallback` (the main table) when it does not. The
-    * `ib` value set is collected to the driver (≤ the stored bucket
-    * count) and pushed as a literal partition filter (skipped when a
-    * bulk backfill covers every bucket anyway); small increments
-    * additionally push their id set as a row-group-pruning IN filter
-    * ([[IsinProbeMax]]), larger ones ride [[Dedup.presentIds]]'
+    * bucket-pruned folded layout UNION the runs UNION the pending log
+    * when the sidecar exists, against `fallback` (the main table) when
+    * it does not. The `ib` value set is collected to the driver (≤ the
+    * stored bucket count) and pushed as a literal partition filter over
+    * the base layout (skipped when a bulk backfill covers every bucket
+    * anyway); small increments additionally push their id set as a
+    * row-group-pruning IN filter ([[IsinProbeMax]]) — which is also what
+    * prunes the id-sorted runs — larger ones ride [[Dedup.presentIds]]'
     * broadcast-semi.
     */
   def presentIds(spark: SparkSession, indexPath: String,
@@ -172,8 +186,10 @@ private[graft] object IdSidecar {
         val folded =
           if (ibs.length >= buckets) ids.select(col(idCol))
           else ids.filter(col("ib").isin(ibs: _*)).select(col(idCol))
-        val stored = engine.read(spark, pendingPath(indexPath))
-          .fold(folded)(p => folded.unionByName(p.select(col(idCol))))
+        val stored = Seq(engine.read(spark, runsPath(indexPath)),
+          engine.read(spark, pendingPath(indexPath)))
+          .flatten.map(_.select(col(idCol)))
+          .foldLeft(folded)(_ unionByName _)
         // capped collect: a bulk backfill stops at the threshold and
         // rides the broadcast-semi instead of a driver-sized literal
         val incIds = increment.select(col(idCol)).distinct()
@@ -204,33 +220,63 @@ private[graft] object IdSidecar {
             touched)
           finally Dedup.releaseLocalCheckpoint(kept)
         }
-        engine.read(spark, pendingPath(indexPath)).foreach { p =>
-          val keptP = p.join(deletedIds.select(col(idCol)).distinct(),
-            Seq(idCol), "left_anti").localCheckpoint(true)
-          try engine.overwrite(spark, pendingPath(indexPath), keptP)
-          finally Dedup.releaseLocalCheckpoint(keptP)
+        Seq(runsPath(indexPath), pendingPath(indexPath)).foreach { p0 =>
+          engine.read(spark, p0).foreach { p =>
+            val keptP = p.join(deletedIds.select(col(idCol)).distinct(),
+              Seq(idCol), "left_anti").localCheckpoint(true)
+            try engine.overwrite(spark, p0, keptP)
+            finally Dedup.releaseLocalCheckpoint(keptP)
+          }
         }
       case _ => ()
     }
 
-  /** FOLD the pending log into the bucketed layout, then clear it —
-    * O(pending + touched buckets) work, NEVER O(store), which is what
-    * lets the streaming loops run it in-stream on a batch cadence
-    * (without it the log grows one file per trigger forever and every
-    * probe reads it whole — O(triggers-since-maintenance) at the 100 ms
-    * cadence the feature exists for). Crash-idempotent in the presence
-    * sense: a crash between the fold-append and the log clear re-folds
-    * on the next pass; duplicated ids cannot change any probe verdict
-    * and coalesce at the next [[compact]]'s rewrite. No-op on
-    * sidecar-less stores and empty logs.
+  /** FOLD the pending log into ONE id-sorted run file, then clear it —
+    * O(pending) work and a single file create, NEVER O(store) or
+    * O(buckets), which is what lets the streaming loops run it in-stream
+    * on a batch cadence (without it the log grows one file per trigger
+    * forever and every probe reads it whole — O(triggers-since-
+    * maintenance) at the 100 ms cadence the feature exists for). The run
+    * is sorted by id so the probes' pushed `IN` filter prunes it at
+    * row-group stats. Crash-idempotent in the presence sense: a crash
+    * between the run-append and the log clear re-folds on the next pass;
+    * duplicated ids cannot change any probe verdict and coalesce at the
+    * next [[compact]]'s merge. No-op on sidecar-less stores and empty
+    * logs.
     */
   def fold(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Unit =
-    readBuckets(spark, indexPath, engine).foreach { buckets =>
+    readBuckets(spark, indexPath, engine).foreach { _ =>
       engine.read(spark, pendingPath(indexPath)).foreach { p =>
         if (!p.isEmpty) {
           val idCol = p.columns.head
           val pinned = p.localCheckpoint(true)
+          try {
+            engine.append(runsPath(indexPath),
+              pinned.coalesce(1).sortWithinPartitions(col(idCol)))
+            engine.overwrite(spark, pendingPath(indexPath), pinned.limit(0))
+          } finally Dedup.releaseLocalCheckpoint(pinned)
+        }
+      }
+    }
+
+  /** Full maintenance: [[fold]] the pending log, MERGE the accumulated
+    * runs into the bucketed base layout (clearing them), then compact
+    * the layout's small files — the O(stored-ids) passes that stay on
+    * the stores' own [[MergeEngine.compact]] maintenance cadence while
+    * the in-stream cadence runs only the O(pending) fold. Each step is
+    * crash-idempotent in the presence sense (re-merged duplicates cannot
+    * change a probe verdict and coalesce at the next rewrite). No-op on
+    * sidecar-less stores.
+    */
+  def compact(spark: SparkSession, indexPath: String, engine: MergeEngine,
+      targetBytes: Long): Unit =
+    readBuckets(spark, indexPath, engine).foreach { buckets =>
+      fold(spark, indexPath, engine)
+      engine.read(spark, runsPath(indexPath)).foreach { r =>
+        if (!r.isEmpty) {
+          val idCol = r.columns.head
+          val pinned = r.localCheckpoint(true)
           try {
             // id-sorted within each bucket so parquet row-group min/max
             // stats prune the literal IN probes INSIDE touched buckets
@@ -238,22 +284,10 @@ private[graft] object IdSidecar {
               pinned.withColumn("ib", ib(idCol, buckets))
                 .repartition(col("ib"))
                 .sortWithinPartitions(col("ib"), col(idCol)), "ib")
-            engine.overwrite(spark, pendingPath(indexPath), pinned.limit(0))
+            engine.overwrite(spark, runsPath(indexPath), pinned.limit(0))
           } finally Dedup.releaseLocalCheckpoint(pinned)
         }
       }
-    }
-
-  /** Full maintenance: [[fold]] the pending log, then compact the folded
-    * layout's small files (an O(stored-ids) rewrite — which is why only
-    * the fold rides the in-stream cadence and THIS rides the stores' own
-    * [[MergeEngine.compact]] maintenance pass). No-op on sidecar-less
-    * stores.
-    */
-  def compact(spark: SparkSession, indexPath: String, engine: MergeEngine,
-      targetBytes: Long): Unit =
-    readBuckets(spark, indexPath, engine).foreach { _ =>
-      fold(spark, indexPath, engine)
       if (engine.read(spark, path(indexPath)).isDefined)
         engine.compact(spark, path(indexPath), targetBytes)
     }

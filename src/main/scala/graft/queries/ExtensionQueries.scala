@@ -499,41 +499,7 @@ object ExtensionQueries {
           bench, "bench_id", "prompt", n = 13, minRatio = 0.9)
           .orderBy("doc_id", "benchmark_id")
       },
-      Some("WITH corpus AS (" +
-        "SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, " +
-        "substring(text, 1, greatest(length(text) - 15, 1)) AS text " +
-        "FROM documents WHERE doc_id < 20), " +
-        "bench AS (SELECT doc_id + 5000 AS benchmark_id, " +
-        "substring(text, greatest(length(text) - 399, 1), 400) AS prompt " +
-        "FROM documents WHERE doc_id < 10), " +
-        "bt AS (SELECT benchmark_id, " +
-        "regexp_split_to_array(trim(lower(prompt)), '\\s+') AS toks " +
-        "FROM bench WHERE trim(prompt) <> ''), " +
-        "bg AS (SELECT DISTINCT benchmark_id, " +
-        "array_to_string(toks[i:i+12], ' ') AS gram " +
-        "FROM bt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
-        "btot AS (SELECT benchmark_id, count(DISTINCT gram) AS n_bench_grams " +
-        "FROM bg GROUP BY 1), " +
-        "dt AS (SELECT doc_id, " +
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks " +
-        "FROM corpus WHERE trim(text) <> ''), " +
-        "dg AS (SELECT DISTINCT doc_id, " +
-        "array_to_string(toks[i:i+12], ' ') AS gram " +
-        "FROM dt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
-        "m AS (SELECT doc_id, benchmark_id, " +
-        "CAST(count(*) AS BIGINT) AS n_matched " +
-        "FROM dg JOIN bg USING (gram) GROUP BY 1, 2) " +
-        "SELECT m.doc_id, m.benchmark_id, m.n_matched, " +
-        "CAST(btot.n_bench_grams AS BIGINT) AS n_bench_grams, " +
-        // exact-rational 4-decimal HALF_UP (Terms.ratioRound4 mirror) —
-        // round(k/m, 4) on the double would re-round midpoints
-        "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
-        "//btot.n_bench_grams AS DOUBLE)/10000 AS containment, " +
-        "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
-        "//btot.n_bench_grams AS DOUBLE)/10000 >= 0.9 AS contaminated " +
-        "FROM m JOIN btot USING (benchmark_id) " +
-        "ORDER BY doc_id, benchmark_id")),
+      Some(containmentOracleSql)),
 
     // Pairs → verdicts: connected components over the LSH pair graph, one
     // keep/drop row per document (transitive closure picks up A~C via B).
@@ -884,11 +850,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split"),
-      Some("SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id " +
-        "FROM (SELECT doc_id, CASE " +
-        "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' " +
-        "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
-        "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split")),
+      Some(splitOracleSql)),
 
     // Table profile (ANALYZE-style data-quality pass, C-family
     // extension): per-column null/distinct counts + min/max over the
@@ -1139,13 +1101,7 @@ object ExtensionQueries {
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
           .orderBy("source")
       },
-      Some("SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, " +
-        "max(doc_id) AS max_id FROM (" +
-        "SELECT doc_id, source, " +
-        "((doc_id % 1000003) * 2654435761 + 777777) % 4294967296 / 4294967296.0 AS frac, " +
-        "CASE (CAST(substr(source, 4) AS INT) % 4) " +
-        "WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate " +
-        "FROM documents) t WHERE frac < rate GROUP BY source ORDER BY source")),
+      Some(mixSampleOracleSql)),
 
     // Context-window chunking: 64-token windows every 32 tokens
     // (overlapping), re-derived verbatim in SQL — tokenization parity
@@ -2551,6 +2507,92 @@ object ExtensionQueries {
           "ORDER BY query_id, rank")
       }, F1OracleSql.sql.get("x90_hybrid_rrf")),
 
+    // The corpus-CLEANING SQL surface (round-14 verdict ask #3): the
+    // highest-traffic operations a training-data pipeline runs — PII
+    // scrub, the two decontamination regimes, SemDeDup verdicts, mixture
+    // sampling, split assignment — were the last Scala-only remainder.
+    // Each runs as ONE pure spark.sql statement under its Scala
+    // sibling's oracle VERBATIM (frozen where the sibling's is frozen,
+    // live where live), so the TVF twin is gated by exactly what gates
+    // the operator; TVF ≡ operator is additionally spec-pinned in
+    // SqlTableFunctionsSpec. Fixture planting stays Scala-side (the
+    // x84/x85 view convention — the plant is test scaffolding, not the
+    // operator under test).
+    Q("x91_sql_pii_scrub",
+      (s, d) => {
+        plantPii(Tables.documents(s, d))
+          .repartition(s.sparkContext.defaultParallelism) // the x26 rationale
+          .createOrReplaceTempView("x91_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT doc_id, n_email, n_phone, n_ip, n_ssn, " +
+          "xxhash64(redacted) AS redacted_hash " +
+          "FROM pii_scrub('x91_docs', 'doc_id', 'text') " +
+          "WHERE n_email + n_phone + n_ip + n_ssn > 0 ORDER BY doc_id")
+      }, F1OracleSql.sql.get("x26_pii_scrub")),
+
+    Q("x92_sql_decontaminate",
+      (s, d) => {
+        plantTextDups(Tables.documents(s, d))
+          .createOrReplaceTempView("x92_corpus")
+        Tables.documents(s, d).filter(col("doc_id") < 10).select(
+          (col("doc_id") + 5000L).as("bench_id"),
+          substring(col("text"), lit(1), lit(120)).as("prompt"))
+          .createOrReplaceTempView("x92_bench")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT * FROM decontaminate('x92_corpus', 'doc_id', 'text', " +
+          "'x92_bench', 'bench_id', 'prompt', 8, true) " +
+          "ORDER BY doc_id, benchmark_id, span_start")
+      }, F1OracleSql.sql.get("x25_decontaminate")),
+
+    Q("x93_sql_containment",
+      (s, d) => {
+        plantTextDups(Tables.documents(s, d))
+          .createOrReplaceTempView("x93_corpus")
+        Tables.documents(s, d).filter(col("doc_id") < 10).select(
+          (col("doc_id") + 5000L).as("bench_id"),
+          expr("substring(text, greatest(length(text) - 399, 1), 400)")
+            .as("prompt"))
+          .createOrReplaceTempView("x93_bench")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT * FROM containment_decontaminate('x93_corpus', " +
+          "'doc_id', 'text', 'x93_bench', 'bench_id', 'prompt', 13, 0.9) " +
+          "ORDER BY doc_id, benchmark_id")
+      }, Some(containmentOracleSql)),
+
+    Q("x94_sql_semdedup",
+      (s, d) => {
+        plantVecDups(Tables.embeddings(s, d))
+          .createOrReplaceTempView("x94_emb")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT * FROM semdedup_keep('x94_emb', 'vec_id', " +
+          "'embedding', 16, 0.99, 2) ORDER BY vec_id")
+      }, F1OracleSql.sql.get("x59_semdedup")),
+
+    Q("x95_sql_mix_sample",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x95_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        // the x28 rate table, encoded as the TVF's ratesCsv argument
+        val csv = (0 until 20).map(i => s"src$i:" + (i % 4 match {
+          case 0 => "1.0"
+          case 1 => "0.5"
+          case 2 => "0.25"
+          case _ => "0.1"
+        })).mkString(",")
+        s.sql("SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, " +
+          "max(doc_id) AS max_id FROM mix_sample('x95_docs', 'doc_id', " +
+          s"'source', '$csv') GROUP BY source ORDER BY source")
+      }, Some(mixSampleOracleSql)),
+
+    Q("x96_sql_split_assign",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("x96_docs")
+        graft.sql.TableFunctions.registerOnce(s)
+        s.sql("SELECT split, count(*) AS n, min(doc_id) AS min_id, " +
+          "max(doc_id) AS max_id FROM split_assign('x96_docs', 'doc_id') " +
+          "GROUP BY split ORDER BY split")
+      }, Some(splitOracleSql)),
+
     // A REAL codec in the MediaCodec seam (round-12 verdict ask #3):
     // MJPEG/AVI assets — genuine RIFF/AVI containers carrying real
     // JPEG frames — flip OFF the stub path via [[graft.operators
@@ -2781,6 +2823,70 @@ object ExtensionQueries {
       "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c " +
       "ON p.user_id = c.user_id AND c.ts <= p.ts) t " +
       "WHERE rn = 1 ORDER BY event_id"
+
+  /** x58's LIVE oracle (shared by x93's TVF form): the whole containment
+    * operator — gram canonicalization, verbatim containment count, exact
+    * HALF_UP ratio, threshold — recomputed independently in DuckDB.
+    */
+  private lazy val containmentOracleSql: String =
+    "WITH corpus AS (" +
+      "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, " +
+      "substring(text, 1, greatest(length(text) - 15, 1)) AS text " +
+      "FROM documents WHERE doc_id < 20), " +
+      "bench AS (SELECT doc_id + 5000 AS benchmark_id, " +
+      "substring(text, greatest(length(text) - 399, 1), 400) AS prompt " +
+      "FROM documents WHERE doc_id < 10), " +
+      "bt AS (SELECT benchmark_id, " +
+      "regexp_split_to_array(trim(lower(prompt)), '\\s+') AS toks " +
+      "FROM bench WHERE trim(prompt) <> ''), " +
+      "bg AS (SELECT DISTINCT benchmark_id, " +
+      "array_to_string(toks[i:i+12], ' ') AS gram " +
+      "FROM bt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
+      "btot AS (SELECT benchmark_id, count(DISTINCT gram) AS n_bench_grams " +
+      "FROM bg GROUP BY 1), " +
+      "dt AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks " +
+      "FROM corpus WHERE trim(text) <> ''), " +
+      "dg AS (SELECT DISTINCT doc_id, " +
+      "array_to_string(toks[i:i+12], ' ') AS gram " +
+      "FROM dt, unnest(generate_series(1, len(toks) - 12)) AS t(i)), " +
+      "m AS (SELECT doc_id, benchmark_id, " +
+      "CAST(count(*) AS BIGINT) AS n_matched " +
+      "FROM dg JOIN bg USING (gram) GROUP BY 1, 2) " +
+      "SELECT m.doc_id, m.benchmark_id, m.n_matched, " +
+      "CAST(btot.n_bench_grams AS BIGINT) AS n_bench_grams, " +
+      // exact-rational 4-decimal HALF_UP (Terms.ratioRound4 mirror) —
+      // round(k/m, 4) on the double would re-round midpoints
+      "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
+      "//btot.n_bench_grams AS DOUBLE)/10000 AS containment, " +
+      "CAST((10000*m.n_matched + btot.n_bench_grams//2)" +
+      "//btot.n_bench_grams AS DOUBLE)/10000 >= 0.9 AS contaminated " +
+      "FROM m JOIN btot USING (benchmark_id) " +
+      "ORDER BY doc_id, benchmark_id"
+
+  /** x28's LIVE oracle (shared by x95's TVF form): the id hash and the
+    * cycling rate table recomputed verbatim in SQL — sf-independent.
+    */
+  private lazy val mixSampleOracleSql: String =
+    "SELECT source, count(*) AS n_kept, min(doc_id) AS min_id, " +
+      "max(doc_id) AS max_id FROM (" +
+      "SELECT doc_id, source, " +
+      "((doc_id % 1000003) * 2654435761 + 777777) % 4294967296 / 4294967296.0 AS frac, " +
+      "CASE (CAST(substr(source, 4) AS INT) % 4) " +
+      "WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate " +
+      "FROM documents) t WHERE frac < rate GROUP BY source ORDER BY source"
+
+  /** x20's LIVE oracle (shared by x96's TVF form): the split hash
+    * arithmetic recomputed verbatim in SQL — exact integer ops on both
+    * engines, sf-independent.
+    */
+  private lazy val splitOracleSql: String =
+    "SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id " +
+      "FROM (SELECT doc_id, CASE " +
+      "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' " +
+      "WHEN ((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents) t GROUP BY split ORDER BY split"
 
   /** x30's LIVE oracle (shared by x81's TVF form): gap-based session
     * boundaries via lag + running CASE sum, re-derived in DuckDB.

@@ -66,6 +66,12 @@ object TableFunctions {
     reg("budget_select", budgetSelect)
     reg("resample_locf", resampleLocf)
     reg("hybrid_topk", hybridTopK)
+    reg("pii_scrub", piiScrub)
+    reg("decontaminate", decontaminate)
+    reg("containment_decontaminate", containmentDecontaminate)
+    reg("semdedup_keep", semdedupKeep)
+    reg("mix_sample", mixSample)
+    reg("split_assign", splitAssign)
   }
 
   private def litString(e: Expression): String = e.eval(null) match {
@@ -463,6 +469,151 @@ object TableFunctions {
     * joins two nCand-bounded frames) — the RAG first-stage hybrid
     * retriever as one SQL statement.
     */
+  private def litBool(e: Expression): Boolean = e.eval(null) match {
+    case b: java.lang.Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"expected boolean literal, got $other")
+  }
+
+  /** `pii_scrub(docsView, idCol, textCol)` → (doc_id, n_email, n_phone,
+    * n_ip, n_ssn, redacted).
+    *
+    * One-pass PII detection + redaction ([[TextOps.piiScrub]] verbatim:
+    * the codegen'd scan kernel counts emails/phones/IPs/SSNs and emits
+    * the redacted text in the same pass) — the scrub every training-data
+    * pipeline runs before export, as one SQL statement.
+    */
+  def piiScrub(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      s"pii_scrub(docsView, idCol, textCol) takes 3 arguments, got ${exprs.length}")
+    TextOps.piiScrub(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)))
+      .queryExecution.logical
+  }
+
+  /** `decontaminate(corpusView, idCol, textCol, benchView, benchIdCol,
+    * promptCol, n [, verify])` → (doc_id, benchmark_id, span_start,
+    * span_end, n_tokens).
+    *
+    * Benchmark decontamination ([[Dedup.decontaminate]] verbatim:
+    * maximal ≥n-token spans of corpus docs appearing verbatim in the
+    * held-out benchmark, positional rolling hashes, optional two-sided
+    * verbatim verification) — the eval-leak scan as one SQL statement.
+    */
+  def decontaminate(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 7 || exprs.length == 8,
+      "decontaminate(corpusView, idCol, textCol, benchView, benchIdCol, " +
+        s"promptCol, n [, verify]) takes 7 or 8 arguments, got ${exprs.length}")
+    Dedup.decontaminate(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)), table(litString(exprs(3))), litString(exprs(4)),
+      litString(exprs(5)), n = litInt(exprs(6)),
+      verify = if (exprs.length == 8) litBool(exprs(7)) else false)
+      .queryExecution.logical
+  }
+
+  /** `containment_decontaminate(corpusView, idCol, textCol, benchView,
+    * benchIdCol, promptCol, n, minRatio)` → (doc_id, benchmark_id,
+    * n_matched, n_bench_grams, containment, contaminated).
+    *
+    * Containment-ratio decontamination at the published n-gram recipe
+    * ([[Dedup.containmentDecontaminate]] verbatim: distinct-gram
+    * containment of each benchmark doc in each training doc, exact
+    * 4-decimal HALF_UP ratio, whole-doc drop/keep verdict) — the
+    * Brown et al. 2020 appendix-C gate as one SQL statement.
+    */
+  def containmentDecontaminate(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 8,
+      "containment_decontaminate(corpusView, idCol, textCol, benchView, " +
+        "benchIdCol, promptCol, n, minRatio) takes 8 arguments, " +
+        s"got ${exprs.length}")
+    Dedup.containmentDecontaminate(table(litString(exprs(0))),
+      litString(exprs(1)), litString(exprs(2)), table(litString(exprs(3))),
+      litString(exprs(4)), litString(exprs(5)), n = litInt(exprs(6)),
+      minRatio = litDouble(exprs(7)))
+      .queryExecution.logical
+  }
+
+  /** `semdedup_keep(embView, idCol, vecCol, nClusters, minCos, iters)` →
+    * (idCol, cid, cluster_size, dup_group, keep, paired).
+    *
+    * SemDeDup whole-corpus semantic dedup ([[Dedup.semDeDup]] verbatim:
+    * k-means clusters scope the pair search, transitive groups, one
+    * keeper per group, a verdict row for EVERY vector; oversize clusters
+    * refine recursively at the defaults) — the embedding-space
+    * curation verdict as one SQL statement.
+    */
+  def semdedupKeep(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6,
+      "semdedup_keep(embView, idCol, vecCol, nClusters, minCos, iters) " +
+        s"takes 6 arguments, got ${exprs.length}")
+    Dedup.semDeDup(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)), nClusters = litInt(exprs(3)),
+      minCos = litDouble(exprs(4)), iters = litInt(exprs(5)))
+      .queryExecution.logical
+  }
+
+  /** `mix_sample(docsView, idCol, sourceCol, ratesCsv)` → the kept rows.
+    *
+    * Deterministic per-source mixture sampling ([[TextOps.mixSample]]
+    * verbatim: id-hash-decided keep verdicts, growth-stable). `ratesCsv`
+    * is the SQL-native encoding of the rate table: `'web:0.5,books:1.0'`
+    * — names trimmed, rates in [0,1], malformed entries refused at
+    * analysis (the `budget_select` convention).
+    */
+  def mixSample(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 4,
+      "mix_sample(docsView, idCol, sourceCol, ratesCsv) takes 4 " +
+        s"arguments, got ${exprs.length}")
+    val rates = litCols(exprs(3), "ratesCsv").map { spec =>
+      spec.split(':') match {
+        case Array(src, r) if src.trim.nonEmpty =>
+          val v = try r.trim.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"ratesCsv entry '$spec': rate '$r' is not a double")
+          }
+          src.trim -> v
+        case _ => throw new IllegalArgumentException(
+          s"ratesCsv entry '$spec' must be 'source:rate'")
+      }
+    }.toMap
+    TextOps.mixSample(table(litString(exprs(0))), litString(exprs(1)),
+      litString(exprs(2)), rates)
+      .queryExecution.logical
+  }
+
+  /** `split_assign(docsView, idCol [, weightsCsv])` → (idCol, split).
+    *
+    * Deterministic train/val/test assignment ([[TextOps.splitAssign]]
+    * verbatim: exact-integer-range id hash, cross-engine-reproducible;
+    * default weights train:0.8,val:0.1,test:0.1). `weightsCsv` follows
+    * the `mix_sample` encoding and must sum to 1.
+    */
+  def splitAssign(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2 || exprs.length == 3,
+      "split_assign(docsView, idCol [, weightsCsv]) takes 2 or 3 " +
+        s"arguments, got ${exprs.length}")
+    val idCol = litString(exprs(1))
+    val weights =
+      if (exprs.length == 2) Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      else litCols(exprs(2), "weightsCsv").map { spec =>
+        spec.split(':') match {
+          case Array(name, w) if name.trim.nonEmpty =>
+            val v = try w.trim.toDouble catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"weightsCsv entry '$spec': weight '$w' is not a double")
+            }
+            name.trim -> v
+          case _ => throw new IllegalArgumentException(
+            s"weightsCsv entry '$spec' must be 'split:weight'")
+        }
+      }
+    val docs = table(litString(exprs(0)))
+    docs.select(org.apache.spark.sql.functions.col(idCol),
+      TextOps.splitAssign(
+        org.apache.spark.sql.functions.col(idCol), weights).as("split"))
+      .queryExecution.logical
+  }
+
   def hybridTopK(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length >= 7 && exprs.length <= 10,
       "hybrid_topk(annIndexPath, lexIndexPath, queriesView, qidCol, " +

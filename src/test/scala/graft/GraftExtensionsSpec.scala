@@ -110,6 +110,25 @@ class GraftExtensionsSpec extends SparkSpec {
       val e2 = intercept[Exception](
         s.sql("SELECT * FROM dedup_keep('nope')").collect())
       assert(e2.getMessage.contains("7 arguments"))
+      // the round-15 cleaning family rides the extensions route too
+      val e3 = intercept[Exception](
+        s.sql("SELECT * FROM pii_scrub('nope')").collect())
+      assert(e3.getMessage.contains("3 arguments"))
+      val e4 = intercept[Exception](
+        s.sql("SELECT * FROM containment_decontaminate('nope')").collect())
+      assert(e4.getMessage.contains("8 arguments"))
+      val e5 = intercept[Exception](
+        s.sql("SELECT * FROM semdedup_keep('nope')").collect())
+      assert(e5.getMessage.contains("6 arguments"))
+      val e6 = intercept[Exception](
+        s.sql("SELECT * FROM decontaminate('nope')").collect())
+      assert(e6.getMessage.contains("7 or 8 arguments"))
+      val e7 = intercept[Exception](
+        s.sql("SELECT * FROM mix_sample('nope')").collect())
+      assert(e7.getMessage.contains("4 arguments"))
+      val e8 = intercept[Exception](
+        s.sql("SELECT * FROM split_assign('nope')").collect())
+      assert(e8.getMessage.contains("2 or 3 arguments"))
     }
   }
 }

@@ -384,4 +384,126 @@ class SqlTableFunctionsSpec extends SparkSpec {
       assert(viaSql.nonEmpty && viaSql == viaScala)
     }
   }
+
+  test("pii_scrub TVF ≡ TextOps.piiScrub, detections load-bearing") {
+    withExtSession { s =>
+      import s.implicits._
+      val docs = Seq(
+        (1L, "mail me at jo.doe@example.com or call 555-123-4567 today"),
+        (2L, "server at 10.0.0.1 holds ssn 123-45-6789"),
+        (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+      docs.createOrReplaceTempView("tvf_pii_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM pii_scrub('tvf_pii_docs', 'doc_id', 'text') " +
+          "ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.TextOps.piiScrub(
+        docs, "doc_id", "text").orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      // the fixture is load-bearing: detections actually fire
+      assert(viaSql.head.getAs[Number]("n_email").longValue() == 1L)
+    }
+  }
+
+  test("decontaminate TVF ≡ Dedup.decontaminate (verify arg honored)") {
+    withExtSession { s =>
+      import s.implicits._
+      val toks = (1 to 40).map(i => s"t$i").mkString(" ")
+      val corpus = Seq((1L, toks), (2L, "wholly unrelated text body here"))
+        .toDF("doc_id", "text")
+      val bench = Seq((100L, (5 to 20).map(i => s"t$i").mkString(" ")))
+        .toDF("bench_id", "prompt")
+      corpus.createOrReplaceTempView("tvf_dec_corpus")
+      bench.createOrReplaceTempView("tvf_dec_bench")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM decontaminate('tvf_dec_corpus', 'doc_id', 'text', " +
+          "'tvf_dec_bench', 'bench_id', 'prompt', 8, true) " +
+          "ORDER BY doc_id, benchmark_id, span_start"))
+      val viaScala = rows(graft.operators.Dedup.decontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "prompt",
+        n = 8, verify = true)
+        .orderBy("doc_id", "benchmark_id", "span_start"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("containment_decontaminate TVF ≡ Dedup.containmentDecontaminate") {
+    withExtSession { s =>
+      import s.implicits._
+      val toks = (1 to 40).map(i => s"t$i").mkString(" ")
+      val corpus = Seq((1L, toks), (2L, "wholly unrelated text body here"))
+        .toDF("doc_id", "text")
+      val bench = Seq((100L, (1 to 26).map(i => s"t$i").mkString(" ")))
+        .toDF("bench_id", "prompt")
+      corpus.createOrReplaceTempView("tvf_cont_corpus")
+      bench.createOrReplaceTempView("tvf_cont_bench")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM containment_decontaminate('tvf_cont_corpus', " +
+          "'doc_id', 'text', 'tvf_cont_bench', 'bench_id', 'prompt', " +
+          "13, 0.9) ORDER BY doc_id, benchmark_id"))
+      val viaScala = rows(graft.operators.Dedup.containmentDecontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "prompt",
+        n = 13, minRatio = 0.9).orderBy("doc_id", "benchmark_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      assert(viaSql.head.getAs[Boolean]("contaminated"))
+    }
+  }
+
+  test("semdedup_keep TVF ≡ Dedup.semDeDup") {
+    withExtSession { s =>
+      val emb = Tables.embeddings(s, sf)
+      emb.createOrReplaceTempView("tvf_sem_emb")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM semdedup_keep('tvf_sem_emb', 'vec_id', " +
+          "'embedding', 8, 0.99, 2) ORDER BY vec_id"))
+      val viaScala = rows(Dedup.semDeDup(emb, "vec_id", "embedding",
+        nClusters = 8, minCos = 0.99, iters = 2).orderBy("vec_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+    }
+  }
+
+  test("mix_sample TVF ≡ TextOps.mixSample (ratesCsv form, malformed refused)") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_mix_docs")
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      val viaSql = rows(s.sql(
+        "SELECT * FROM mix_sample('tvf_mix_docs', 'doc_id', 'source', " +
+          "'src0:1.0,src1:0.5,src2:0.25') ORDER BY doc_id"))
+      val viaScala = rows(graft.operators.TextOps.mixSample(
+        docs, "doc_id", "source", rates).orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      val e = intercept[Exception](s.sql(
+        "SELECT * FROM mix_sample('tvf_mix_docs', 'doc_id', 'source', " +
+          "'src0:notanumber')").collect())
+      assert(e.getMessage.contains("not a double"))
+    }
+  }
+
+  test("split_assign TVF ≡ splitAssign (default + custom weights, bad sum refused)") {
+    withExtSession { s =>
+      val docs = Tables.documents(s, sf)
+      docs.createOrReplaceTempView("tvf_split_docs")
+      val viaSql = rows(s.sql(
+        "SELECT * FROM split_assign('tvf_split_docs', 'doc_id') " +
+          "ORDER BY doc_id"))
+      val viaScala = rows(docs.select(col("doc_id"),
+        graft.operators.TextOps.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id"))
+      assert(viaSql.nonEmpty && viaSql == viaScala)
+      val custom = rows(s.sql(
+        "SELECT * FROM split_assign('tvf_split_docs', 'doc_id', " +
+          "'train:0.5,test:0.5') ORDER BY doc_id"))
+      val customScala = rows(docs.select(col("doc_id"),
+        graft.operators.TextOps.splitAssign(col("doc_id"),
+          Seq(("train", 0.5), ("test", 0.5))).as("split"))
+        .orderBy("doc_id"))
+      assert(custom.nonEmpty && custom == customScala)
+      // weights that don't sum to 1 are the operator's own refusal,
+      // surfaced at analysis
+      val e = intercept[Exception](s.sql(
+        "SELECT * FROM split_assign('tvf_split_docs', 'doc_id', " +
+          "'train:0.5,test:0.4')").collect())
+      assert(e.getMessage.contains("sum to 1"))
+    }
+  }
 }
