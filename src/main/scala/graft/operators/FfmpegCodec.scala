@@ -79,7 +79,23 @@ object FfmpegCodec {
     val ftyp = at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p'
     val mkv = at(0) == 0x1A && at(1) == 0x45 && at(2) == 0xDF && at(3) == 0xA3
     val id3 = at(0) == 'I' && at(1) == 'D' && at(2) == '3'
-    val mpegSync = at(0) == 0xFF && (at(1) & 0xE0) == 0xE0
+    // MPEG frame sync: a bare FF Ex prefix matches too many non-media
+    // files — any UTF-16LE BOM (FF FE) validates byte-for-byte as an
+    // MPEG1 Layer-I header, so at billions of rows that whole class of
+    // text would pay a process spawn each. Validate the reserved
+    // version/layer/bitrate/samplerate fields AND require a SECOND
+    // frame sync within the first 2 KB (adjacent MPEG audio frames sit
+    // ≤ ~1.5 KB apart at any legal bitrate/samplerate pair; text that
+    // happens to start FF Ex essentially never repeats the pattern).
+    def syncAt(i: Int): Boolean =
+      i + 3 < content.length &&
+        at(i) == 0xFF && (at(i + 1) & 0xE0) == 0xE0 &&
+        ((at(i + 1) >> 3) & 3) != 1 && // version 01 reserved
+        ((at(i + 1) >> 1) & 3) != 0 && // layer 00 reserved
+        (at(i + 2) >> 4) != 0xF && // bitrate index 1111 invalid
+        ((at(i + 2) >> 2) & 3) != 3 // samplerate index 11 reserved
+    val mpegSync = syncAt(0) &&
+      (21 until math.min(content.length - 3, 2048)).exists(syncAt)
     val ogg = at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S'
     val flac = at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C'
     ftyp || mkv || id3 || mpegSync || ogg || flac
@@ -138,8 +154,19 @@ object FfmpegCodec {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); None
       } finally {
-        if (proc != null && proc.isAlive) proc.destroyForcibly()
-        if (dir != null)
+        // await the kill before removing the working dir: destroyForcibly
+        // is async, and deleting files a dying ffmpeg still holds open
+        // leaks the directory (accumulating on long-lived executors fed
+        // adversarial inputs). SIGKILL needs no cooperation — a short
+        // bounded wait suffices; if even that fails, skip the delete
+        // rather than strand a half-removed tree.
+        if (proc != null && proc.isAlive) {
+          proc.destroyForcibly()
+          try proc.waitFor(5, TimeUnit.SECONDS)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt() }
+        }
+        if (dir != null && (proc == null || !proc.isAlive))
           org.apache.commons.io.FileUtils.deleteQuietly(dir)
       }
     }

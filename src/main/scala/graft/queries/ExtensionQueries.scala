@@ -118,21 +118,51 @@ object ExtensionQueries {
     */
   private def corpusFingerprint(d: String, table: String): String = {
     val root = new java.io.File(d, s"$table.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName)
-      else Array(root)
+    // RECURSIVE walk: a corpus laid out with partition subdirectories
+    // must fingerprint by its leaf files, not by an empty top-level
+    // listing — a flat listFiles() would fingerprint identically after
+    // content changes and silently reuse a stale artifact
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
-    files.foreach { f =>
-      md.update(f.getName.getBytes("UTF-8"))
+    walk(root).foreach { f =>
+      md.update(f.getPath.stripPrefix(root.getPath).getBytes("UTF-8"))
       md.update(java.nio.file.Files.readAllBytes(f.toPath))
     }
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Automatic code-version key component: md5 over the graft class
+    * tree's bytes (or the enclosing jar), computed once per JVM. A
+    * trainer/hyperparameter/planting change used to require a MANUAL
+    * `ver` bump — forget it and a stale cross-JVM artifact silently
+    * masks the code change until a frozen oracle goes red downstream.
+    * Hashing the compiled classes folds every code change into the key
+    * automatically; the cost is over-invalidation (any graft change
+    * retrains all published artifacts once), which is the safe
+    * direction — reuse is for same-code multi-JVM workflows (the
+    * driver's Verify/Bench runs at one HEAD), not across edits.
+    */
+  private lazy val codeVersion: String = {
+    val src = ExtensionQueries.getClass.getProtectionDomain.getCodeSource
+    val root = new java.io.File(src.getLocation.toURI)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      else if (f.getName.endsWith(".class") || !root.isDirectory) {
+        md.update(f.getPath.stripPrefix(root.getPath).getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+    walk(root)
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
   private def publishedModelDir(tag: String, ver: Int, d: String,
       table: String = "documents")(
       train: String => Unit): String = {
-    val key = s"graft_${tag}_v${ver}_${corpusFingerprint(d, table)}"
+    val key =
+      s"graft_${tag}_v${ver}_${codeVersion}_${corpusFingerprint(d, table)}"
     val fin = new java.io.File(System.getProperty("java.io.tmpdir"), key)
     if (!fin.exists()) {
       val tmp = new java.io.File(fin.getParentFile,
