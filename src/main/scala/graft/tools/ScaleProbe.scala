@@ -1591,18 +1591,21 @@ object ScaleProbe {
       // planted docs now ids ≡ 7 (mod 500) in [0, 45500) → 91; the
       // overlap's 10 re-shipped planted docs must NOT duplicate
       lexInvariant("after_40k", 91L)
-      // flat-trigger samples (the ANN half's rationale): three SAME-SIZE
-      // 10k triggers — the cross-factor cell, 3 samples each
+      // flat-trigger samples (the ANN half's rationale): SIX same-size
+      // 10k triggers — the cross-factor cell. Six, not three, because
+      // the lex walls carry GC/ambient variance of the same order as
+      // the signal on a 48 GB heap (the round-14 finding); the sample
+      // spread is the evidence.
       var sLo = 45500L
-      (1 to 3).foreach { i =>
+      (1 to 6).foreach { i =>
         timed(s"dd6_lex_trigger_10k_s$i") {
           land(docArrival(sLo, sLo + 10000L), lexSrc, s"s$i.parquet")
           lexStream.processAllAvailable()
         }
         sLo += 10000L
       }
-      // 30k more streamed ids → 60 more planted
-      lexInvariant("after_samples", 151L)
+      // 60k more streamed ids → 120 more planted
+      lexInvariant("after_samples", 211L)
     } finally lexStream.stop()
   }
 
