@@ -19,6 +19,7 @@ import graft.sinks.{ManifestMergeEngine, MergeEngine}
   * {{{
   *   postings/  tb=<N>/ (<id>, token, tf)   inverted lists, bucketed by token hash
   *   doclens/   (<id>, dl)                  per-document token counts
+  *   doclens_sub/ (file, n_docs, sum_dl)    per-file subtotal cache (derived)
   *   meta/      (n_docs, total_dl, n_buckets)  1-row corpus scalars
   *   deleted/   (<id>, dl)                  tombstones
   * }}}
@@ -59,6 +60,7 @@ object LexIndexStore {
 
   private def postingsPath(p: String) = s"$p/postings"
   private def doclensPath(p: String) = s"$p/doclens"
+  private def doclensSubPath(p: String) = s"$p/doclens_sub"
   private def metaPath(p: String) = s"$p/meta"
   private def deletedPath(p: String) = s"$p/deleted"
 
@@ -199,15 +201,80 @@ object LexIndexStore {
     * under replay: a crash before the meta commit just leaves meta stale
     * until the next maintenance call re-derives the same truth, whereas
     * a re-applied delta skews `avgdl`/idf for every future search.
+    *
+    * COST is bounded by a per-file subtotal cache (`doclens_sub`), not by
+    * the corpus — the round-14 watch-list item (an O(docs) column agg per
+    * streaming trigger; sub-second at 10M docs, minutes at 10B). Doclens
+    * files are immutable and content-addressed (UUID part names), so
+    * `(n_docs, sum_dl)` per FILE is a pure function of the file: the
+    * refresh lists the live file set (via the engine read's inputFiles),
+    * aggregates ONLY files missing from the cache — O(increment) on a
+    * grow trigger, one full pass the first time on a pre-cache store or
+    * right after compact/purge rewrites the filenames — and sums exact
+    * longs driver-side, O(#files), the same scale the manifest already
+    * holds on the driver. The cache is DERIVED state validated against
+    * the live file list on every refresh: it needs no commit atomicity
+    * with the doclens append (a missing row is recomputed, a duplicate
+    * row from a crash-replayed append collapses in the keyed map, a
+    * stale row for a compacted-away file is ignored and pruned). Meta
+    * values are bit-identical to the full re-aggregation: same rows,
+    * same integer sums, grouped by file first.
     */
   private def refreshMeta(spark: SparkSession, indexPath: String,
       nBuckets: Int, idColName: String, engine: MergeEngine): Unit = {
     val dl = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no doclens at $indexPath"))
-    val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    // key on the content-addressed basename: inputFiles and
+    // input_file_name() render the scheme differently (file:/ vs
+    // file:///) and a mismatched key would silently degrade every
+    // refresh back to the full scan (MetaSubtotalSpec pins the hit)
+    def basename(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val live = dl.inputFiles
+    val liveByName = live.iterator.map(p => basename(p) -> p).toMap
+    val subPath = doclensSubPath(indexPath)
+    val subSchema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("sum_dl", LongType, nullable = false)))
+    val cached: Map[String, (Long, Long)] =
+      engine.read(spark, subPath).map(_.collect().iterator.map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))
+      }.toMap).getOrElse(Map.empty)
+    val missing = liveByName.keysIterator.filterNot(cached.contains).toSeq
+    val fresh: Map[String, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else spark.read.parquet(missing.map(liveByName): _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .collect().iterator.map { r =>
+          basename(r.getString(0)) -> (r.getLong(1), r.getLong(2))
+        }.toMap
+    val perFile = liveByName.keysIterator.map { f =>
+      // a zero-row part file produces no group — it counts (0, 0)
+      cached.getOrElse(f, fresh.getOrElse(f, (0L, 0L)))
+    }.toSeq
+    val nDocs = perFile.iterator.map(_._1).sum
+    val sumDl = perFile.iterator.map(_._2).sum
+    if (missing.nonEmpty) {
+      val rows = missing.map { f =>
+        val (n, s) = fresh.getOrElse(f, (0L, 0L)); Row(f, n, s)
+      }
+      engine.append(subPath, spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), subSchema).coalesce(1))
+    }
+    // prune dead cache rows (compact/purge rewrote the filenames) once
+    // they dominate, so the driver-side map stays O(live files)
+    if (cached.size > 2 * liveByName.size + 16) {
+      val keep = (cached ++ fresh).iterator.collect {
+        case (f, (n, s)) if liveByName.contains(f) => Row(f, n, s)
+      }.toSeq
+      engine.overwrite(spark, subPath, spark.createDataFrame(
+        java.util.Arrays.asList(keep: _*), subSchema).coalesce(1))
+    }
     engine.overwrite(spark, metaPath(indexPath),
-      metaRow(spark, m.getLong(0), m.getLong(1), nBuckets, idColName))
+      metaRow(spark, nDocs, sumDl, nBuckets, idColName))
   }
 
   /** Build a fresh index at `indexPath` (must not already hold one — a
@@ -403,6 +470,10 @@ object LexIndexStore {
       targetBytes: Long = 128L << 20): Unit = {
     engine.compact(spark, postingsPath(indexPath), targetBytes)
     engine.compact(spark, doclensPath(indexPath), targetBytes)
+    // the subtotal cache accretes one small file per refresh-with-new-
+    // data; fold it too (its rows for the pre-compact doclens filenames
+    // go stale here — the next refreshMeta ignores and prunes them)
+    engine.compact(spark, doclensSubPath(indexPath), targetBytes)
     IdSidecar.compact(spark, indexPath, engine, targetBytes)
   }
 

@@ -1488,20 +1488,23 @@ object ScaleProbe {
         annStream.processAllAvailable()
       }
       annInvariant("after_20k", nVecs + 22750L)
-      // FLAT-TRIGGER samples (round-14 verdict ask #1): three SAME-SIZE
+      // FLAT-TRIGGER samples (round-14 verdict ask #1): SIX same-size
       // 5k triggers against the (~)same store — the cell compared across
-      // factors. If the 1M and 2M stores' sample means agree within
-      // noise, the per-trigger wall is store-flat; if not, the phase
-      // decomposition (GRAFT_PHASE_TIMING) names the term that grows.
+      // factors, six replicates for the same reason as the lex half
+      // (ambient/GC variance is the same order as any store term; the
+      // spread is the evidence). If the 1M and 2M stores' sample means
+      // agree within noise, the per-trigger wall is store-flat; if not,
+      // the phase decomposition (GRAFT_PHASE_TIMING) names the term
+      // that grows.
       var sLo = 22750L
-      (1 to 3).foreach { i =>
+      (1 to 6).foreach { i =>
         timed(s"dd6_ann_trigger_5k_s$i") {
           land(arrival(sLo, sLo + 5000L), annSrc, s"s$i.parquet")
           annStream.processAllAvailable()
         }
         sLo += 5000L
       }
-      annInvariant("after_samples", nVecs + 37750L)
+      annInvariant("after_samples", nVecs + 52750L)
     } finally annStream.stop()
     twinQ.unpersist()
   }

@@ -411,6 +411,68 @@ class LexIndexStoreSpec extends SparkSpec {
     assert(m.getLong(0) == dl.count())
   }
 
+  test("meta subtotal cache: exact through grow/compact/purge, keyed hit, garbage ignored") {
+    import spark.implicits._
+    val all = docs(400)
+    val dir = tmpIndex()
+    def directAgg = {
+      val dl = engine.read(spark, s"$dir/doclens").get
+      val r = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def metaVals = { val m = meta(dir); (m.getLong(0), m.getLong(1)) }
+
+    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
+      "doc_id", "text", nBuckets = 8, engine = engine)
+    assert(metaVals == directAgg, "meta != full re-aggregation after build")
+
+    // two grows: each refresh must aggregate only files MISSING from the
+    // cache. A scheme-mismatched key (file:/ vs file:///) would silently
+    // re-append every live file per refresh — pinned by the no-duplicate
+    // and full-coverage asserts below.
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 200 && col("doc_id") < 260),
+      "doc_id", "text", engine = engine)
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 260 && col("doc_id") < 300),
+      "doc_id", "text", engine = engine)
+    assert(metaVals == directAgg, "meta != full re-aggregation after grows")
+    val subKeys = engine.read(spark, s"$dir/doclens_sub").get
+      .collect().map(_.getString(0)).toSeq
+    assert(subKeys.distinct.size == subKeys.size,
+      s"duplicate cache keys — basename matching broke: $subKeys")
+    val liveNames = engine.read(spark, s"$dir/doclens").get.inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(liveNames.subsetOf(subKeys.toSet),
+      "live doclens file missing from the subtotal cache after refresh")
+
+    // garbage cache row (crash debris / a compacted-away file): not in
+    // the live set, must not leak into meta
+    engine.append(s"$dir/doclens_sub",
+      Seq(("deadbeef.parquet", 999L, 999999L)).toDF("file", "n_docs", "sum_dl"))
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 300 && col("doc_id") < 310),
+      "doc_id", "text", engine = engine)
+    assert(metaVals == directAgg, "stale cache row leaked into meta")
+
+    // losing the whole cache is a recompute, never a wrong answer
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/doclens_sub"))
+    LexIndexStore.addDocuments(spark, dir,
+      all.filter(col("doc_id") >= 310 && col("doc_id") < 320),
+      "doc_id", "text", engine = engine)
+    assert(metaVals == directAgg, "meta wrong after cache loss")
+
+    // compact + purge rewrite the doclens filenames — refresh must key
+    // off the NEW files, and the dead rows must not count
+    LexIndexStore.compact(spark, dir, engine = engine)
+    LexIndexStore.deleteDocuments(spark, dir,
+      all.filter(col("doc_id") < 50).select("doc_id"), "doc_id", engine)
+    LexIndexStore.purgeDeleted(spark, dir, engine)
+    assert(metaVals == directAgg, "meta != re-aggregation after compact+purge")
+    assert(metaVals._1 == 270L, s"expected 270 surviving docs, got $metaVals")
+  }
+
   test("increment identity probe never shuffles the corpus (broadcast-semi flip)") {
     // the round-12 datadom2 finding: increment.join(corpusIds, anti)
     // can't broadcast (only an anti-join's RIGHT side broadcasts), so
