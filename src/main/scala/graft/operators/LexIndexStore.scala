@@ -219,12 +219,30 @@ object LexIndexStore {
     * stale row for a compacted-away file is ignored and pruned). Meta
     * values are bit-identical to the full re-aggregation: same rows,
     * same integer sums, grouped by file first.
+    *
+    * Below `graft.lex.subCacheMinDocs` stored docs (default 20M, per
+    * meta's own last count) the refresh takes the DIRECT single-job
+    * aggregation instead: the cache path's fixed cost is four small
+    * jobs (~0.6 s measured) while a ≤20M-row column agg is one cheaper
+    * job — both bounded, so the per-trigger cost is capped by
+    * max(threshold-sized scan, cache fixed cost) at every store size.
+    * A stale/corrupt meta only mis-routes ONE refresh (both paths are
+    * exact; the refresh itself repairs the count the next one reads).
     */
   private def refreshMeta(spark: SparkSession, indexPath: String,
-      nBuckets: Int, idColName: String, engine: MergeEngine): Unit = {
+      nBuckets: Int, idColName: String, engine: MergeEngine,
+      prevDocs: Long): Unit = {
     val dl = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no doclens at $indexPath"))
+    val minDocs = java.lang.Long.getLong("graft.lex.subCacheMinDocs",
+      20000000L)
+    if (prevDocs < minDocs) {
+      val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      engine.overwrite(spark, metaPath(indexPath),
+        metaRow(spark, m.getLong(0), m.getLong(1), nBuckets, idColName))
+      return
+    }
     // key on the content-addressed basename: inputFiles and
     // input_file_name() render the scheme differently (file:/ vs
     // file:///) and a mismatched key would silently degrade every
@@ -291,7 +309,10 @@ object LexIndexStore {
     require(engine.read(spark, metaPath(indexPath)).isEmpty,
       s"index already exists at $indexPath — rebuilds go to a new path")
     appendCorpus(indexPath, docs, idCol, textCol, nBuckets, engine, metadata)
-    refreshMeta(spark, indexPath, nBuckets, idCol, engine)
+    // build: prevDocs=0 routes the first refresh through the direct agg —
+    // one more O(corpus) column pass on a path that just scanned the
+    // whole corpus anyway; the cache seeds on the first big-store grow
+    refreshMeta(spark, indexPath, nBuckets, idCol, engine, prevDocs = 0L)
   }
 
   /** Grow a stored index: tokenize ONLY the increment and append —
@@ -336,7 +357,8 @@ object LexIndexStore {
           metadata, backfillIds = Some(existing.select(col(idCol))))
         // recompute, don't ±delta: heals a prior crash-before-meta too
         graft.tools.PhaseTimer("lex_meta_refresh") {
-          refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine)
+          refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine,
+            prevDocs = meta.nDocs)
         }
       }
     } finally Dedup.releaseLocalCheckpoint(fresh)
@@ -378,6 +400,13 @@ object LexIndexStore {
           sinceFold.set(0)
           graft.tools.PhaseTimer("lex_sidecar_fold") {
             IdSidecar.fold(batch.sparkSession, indexPath, engine)
+          }
+          // the per-file subtotal cache appends one small file per
+          // refresh — fold it on the same cadence or a long stream's
+          // refresh pays an O(triggers-since-compact) tiny-file read
+          // (the ids_pending disease, same cure; manifest-scale cost)
+          graft.tools.PhaseTimer("lex_sub_fold") {
+            engine.compact(batch.sparkSession, doclensSubPath(indexPath))
           }
         }
       }
@@ -448,7 +477,8 @@ object LexIndexStore {
             .localCheckpoint(true)
           try engine.overwrite(spark, doclensPath(indexPath), keptLens)
           finally Dedup.releaseLocalCheckpoint(keptLens)
-          refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine)
+          refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine,
+            prevDocs = meta.nDocs)
           // sidecar drops the purged ids (O(touched ib buckets)) so a
           // purged id's re-arrival re-indexes — and not before the data
           // rewrites, or a crash between would re-admit a still-stored id

@@ -413,6 +413,16 @@ class LexIndexStoreSpec extends SparkSpec {
 
   test("meta subtotal cache: exact through grow/compact/purge, keyed hit, garbage ignored") {
     import spark.implicits._
+    // the cache path only engages above graft.lex.subCacheMinDocs stored
+    // docs (small stores take the cheaper direct agg — covered by every
+    // other test here); force it on for this fixture-scale corpus
+    System.setProperty("graft.lex.subCacheMinDocs", "0")
+    try meteSubtotalBody() finally
+      System.clearProperty("graft.lex.subCacheMinDocs")
+  }
+
+  private def meteSubtotalBody(): Unit = {
+    import spark.implicits._
     val all = docs(400)
     val dir = tmpIndex()
     def directAgg = {
