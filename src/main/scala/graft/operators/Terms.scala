@@ -312,6 +312,53 @@ object Terms {
       avgRound4(col("_s"), col("n_trigrams")).as("avg_neg_logprob"))
   }
 
+  /** CCNet-style perplexity gating (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): rank documents by an LM score and bucket them into
+    * `nBuckets` rank-terciles (head/middle/tail), keeping the first
+    * `keepBuckets`. The canonical release-pipeline gate downstream of
+    * [[scoreTrigramKn]].
+    *
+    * Scale + exactness posture: NO corpus-wide sort or single-partition
+    * window. The score column is a 4-decimal average ([[avgRound4]]),
+    * so its exact 1e-4-unit integer has bounded cardinality — the
+    * bucket boundaries come from a rank prefix-sum over the
+    * score-FREQUENCY frame (|distinct scores| rows, the only window),
+    * broadcast back onto the corpus as a map-only join. Bucketing is
+    * exact integer arithmetic — `bucket(s) = (nBuckets · c(s)) div n`
+    * with c(s) = #docs scoring strictly below s — so score-ties share a
+    * bucket (the CCNet by-value property: a threshold never splits
+    * equal-quality docs) and any SQL engine reproduces it bit for bit
+    * (no percentile/midpoint semantics anywhere; `div` is exact on
+    * nonnegative longs).
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int = 3, keepBuckets: Int = 2): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    require(keepBuckets >= 1 && keepBuckets <= nBuckets,
+      s"keepBuckets must be in [1, $nBuckets]")
+    // the 4-decimal double is k/10000.0 for exact integer k; the
+    // round-trip recovers k exactly (|k| far below the 2^52 guard)
+    val s2 = scored.withColumn("_si",
+      round(col(scoreCol) * 10000.0).cast("long"))
+    val freq = s2.groupBy(col("_si")).agg(count(lit(1)).as("_f"))
+    val nDf = freq.agg(sum(col("_f")).as("_n"))
+    // prefix-sum window over the score-frequency frame ONLY (bounded by
+    // distinct-score cardinality, never the corpus)
+    val w = Window.orderBy(col("_si"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = freq
+      .withColumn("_c", coalesce(sum(col("_f")).over(w), lit(0L)))
+      .crossJoin(broadcast(nDf))
+      .withColumn("ppl_bucket",
+        call_function("div", col("_c") * nBuckets.toLong, col("_n")))
+      .select(col("_si"), col("ppl_bucket"))
+    s2.join(broadcast(buckets), Seq("_si"))
+      .withColumn("kept",
+        when(col("ppl_bucket") < keepBuckets.toLong, 1).otherwise(0))
+      .drop("_si")
+  }
+
   /** Persist a trained KN model: the five count tables as parquet plus
     * a meta table carrying the scalars AND the discount — params ride
     * the store so scoring can never run with a different discount than

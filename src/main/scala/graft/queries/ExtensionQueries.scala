@@ -2275,6 +2275,25 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(trigramKnOracleSql)),
 
+    // CCNet-style perplexity gate (Wenzek 2020) — the canonical release-
+    // pipeline use of the LM family: score every doc under the PERSISTED
+    // KN trigram model, bucket by rank-terciles (head/middle/tail), keep
+    // head+middle. Exact end to end: 4-decimal integer scores, bucket =
+    // (3·c)/n in integer division with c = #docs STRICTLY below, so
+    // score-ties share a bucket and the LIVE oracle re-derives the whole
+    // chain (model + scores + buckets) in DuckDB with the same integer
+    // arithmetic. No corpus-wide sort: boundaries come from a window
+    // over the score-frequency frame, broadcast back map-only.
+    Q("x97_perplexity_gate",
+      (s, d) => Terms.perplexityBuckets(
+          Terms.scoreTrigramKn(Terms.loadTrigramKn(s, knModelDirFor(s, d)),
+            Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "avg_neg_logprob", nBuckets = 3, keepBuckets = 2)
+        .select(col("doc_id"), col("n_trigrams"), col("avg_neg_logprob"),
+          col("ppl_bucket"), col("kept"))
+        .orderBy("doc_id"),
+      Some(perplexityGateOracleSql)),
+
     // IVF-Hamming composition: inverted-list pruning + 1-bit in-list
     // scoring + exact rerank — the billion-scale layout with the
     // cheapest in-list distance (8 B codes, popcount). Frozen oracle;
@@ -2757,6 +2776,30 @@ object ExtensionQueries {
       "SELECT doc_id, n_trigrams, sign(s_micro) * " +
       "((abs(s_micro) + 50 * n_trigrams) // (100 * n_trigrams)) / 10000.0 " +
       "+ 0.0 AS avg_neg_logprob FROM agg2 ORDER BY doc_id"
+
+  /** x97's LIVE oracle: the full KN re-derivation (trigramKnOracleSql as
+    * a subquery — its ORDER BY is legal-and-ignored there) + the exact
+    * integer tercile: si = the score's 1e-4-unit integer (the double IS
+    * k/10000.0, so round(·*10000) recovers k exactly on both engines),
+    * c(si) = strictly-below prefix count over the score-frequency frame,
+    * bucket = (3·c) // n. Integer division floors identically on
+    * nonnegative values in Spark (`div`) and DuckDB (`//`).
+    */
+  private lazy val perplexityGateOracleSql: String =
+    "WITH scored AS MATERIALIZED (SELECT doc_id, n_trigrams, " +
+      "avg_neg_logprob, " +
+      "CAST(round(avg_neg_logprob * 10000) AS BIGINT) AS si " +
+      "FROM (" + trigramKnOracleSql + ") t), " +
+      "freq AS (SELECT si, count(*) AS f FROM scored GROUP BY 1), " +
+      "cum AS (SELECT si, coalesce(sum(f) OVER (ORDER BY si " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c " +
+      "FROM freq), " +
+      // CAST: DuckDB windows sum to HUGEINT; the compare needs BIGINT
+      "b AS (SELECT si, CAST((3 * c) // (SELECT count(*) FROM scored) " +
+      "AS BIGINT) AS ppl_bucket FROM cum) " +
+      "SELECT s.doc_id, s.n_trigrams, s.avg_neg_logprob, b.ppl_bucket, " +
+      "CASE WHEN b.ppl_bucket < 2 THEN 1 ELSE 0 END AS kept " +
+      "FROM scored s JOIN b USING (si) ORDER BY s.doc_id"
 
   /** x78's LIVE oracle: the md5-derived 52-bit uniform (dyadic-exact —
     * every step bit-identical across engines), the exponential race

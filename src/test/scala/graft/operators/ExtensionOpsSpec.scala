@@ -1689,4 +1689,46 @@ class ExtensionOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("perplexityBuckets: exact integer terciles, ties share a bucket, map-only gate") {
+    import spark.implicits._
+    // 9 distinct scores -> perfect terciles 0/1/2 by rank
+    val even = (1 to 9).map(i => (i.toLong, 10L, i / 10.0)).toDF(
+      "doc_id", "n_trigrams", "avg_neg_logprob")
+    val b1 = Terms.perplexityBuckets(even, "doc_id", "avg_neg_logprob")
+      .select("doc_id", "ppl_bucket", "kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert((1L to 3L).forall(b1(_) == ((0L, 1))), s"head wrong: $b1")
+    assert((4L to 6L).forall(b1(_) == ((1L, 1))), s"middle wrong: $b1")
+    assert((7L to 9L).forall(b1(_) == ((2L, 0))), s"tail wrong: $b1")
+
+    // a tie STRADDLING the 1/3 boundary: scores [.1 x4, .2 x2, .3 x3];
+    // c(.1)=0 -> 0, c(.2)=4 -> 12 div 9 = 1, c(.3)=6 -> 18 div 9 = 2.
+    // All four .1 docs share bucket 0 (by-value gating: a threshold
+    // never splits equal-quality docs, even past the rank boundary).
+    val tied = (Seq.fill(4)(0.1) ++ Seq.fill(2)(0.2) ++ Seq.fill(3)(0.3))
+      .zipWithIndex.map { case (sc, i) => (i.toLong, 10L, sc) }
+      .toDF("doc_id", "n_trigrams", "avg_neg_logprob")
+    val b2 = Terms.perplexityBuckets(tied, "doc_id", "avg_neg_logprob")
+      .select("avg_neg_logprob", "ppl_bucket").distinct().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(b2 == Map(0.1 -> 0L, 0.2 -> 1L, 0.3 -> 2L), s"tie buckets: $b2")
+
+    // all-equal corpus: one shared bucket 0, everything kept
+    val flat = (1 to 6).map(i => (i.toLong, 10L, 0.5)).toDF(
+      "doc_id", "n_trigrams", "avg_neg_logprob")
+    val b3 = Terms.perplexityBuckets(flat, "doc_id", "avg_neg_logprob")
+    assert(b3.select("ppl_bucket").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(b3.filter(col("kept") === 1).count() == 6)
+
+    // scale shape: the corpus-sized frame is gated by a BROADCAST join
+    // of the score-frequency boundary frame -- no corpus-wide sort or
+    // single-partition exchange on the scored side
+    val plan = Terms.perplexityBuckets(even, "doc_id", "avg_neg_logprob")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"boundary frame not broadcast:\n$plan")
+  }
 }
