@@ -2791,10 +2791,11 @@ object ExtensionQueries {
       "CAST(round(avg_neg_logprob * 10000) AS BIGINT) AS si " +
       "FROM (" + trigramKnOracleSql + ") t), " +
       "freq AS (SELECT si, count(*) AS f FROM scored GROUP BY 1), " +
-      "cum AS (SELECT si, coalesce(sum(f) OVER (ORDER BY si " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c " +
-      "FROM freq), " +
-      // CAST: DuckDB windows sum to HUGEINT; the compare needs BIGINT
+      // CAST on the window sum: DuckDB types it HUGEINT (the
+      // OracleArtifactSpec lint class)
+      "cum AS (SELECT si, coalesce(CAST(sum(f) OVER (ORDER BY si " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) " +
+      "AS c FROM freq), " +
       "b AS (SELECT si, CAST((3 * c) // (SELECT count(*) FROM scored) " +
       "AS BIGINT) AS ppl_bucket FROM cum) " +
       "SELECT s.doc_id, s.n_trigrams, s.avg_neg_logprob, b.ppl_bucket, " +
