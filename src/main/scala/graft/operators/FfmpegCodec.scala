@@ -94,8 +94,18 @@ object FfmpegCodec {
         ((at(i + 1) >> 1) & 3) != 0 && // layer 00 reserved
         (at(i + 2) >> 4) != 0xF && // bitrate index 1111 invalid
         ((at(i + 2) >> 2) & 3) != 3 // samplerate index 11 reserved
+    // Free-format streams (bitrate index 0) have no bitrate-implied frame
+    // bound — a legal frame can exceed 2 KB — so widen the second-sync
+    // window to 64 KB when the FIRST header is free-format (the spec caps
+    // free-format at 320 kbps ⇒ ≤ ~17 KB/frame at 8 kHz Layer II; 64 KB
+    // is comfortably past it while still rejecting sync-less text).
+    // Single-frame clips shorter than one frame remain rejected by
+    // design: a one-frame "file" is indistinguishable from FF-Ex-prefixed
+    // binary noise at sniff time, and the decode it skips is one frame.
+    val freeFormat = content.length > 2 && (at(2) >> 4) == 0
+    val window = if (freeFormat) 65536 else 2048
     val mpegSync = syncAt(0) &&
-      (21 until math.min(content.length - 3, 2048)).exists(syncAt)
+      (21 until math.min(content.length - 3, window)).exists(syncAt)
     val ogg = at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S'
     val flac = at(0) == 'f' && at(1) == 'L' && at(2) == 'a' && at(3) == 'C'
     ftyp || mkv || id3 || mpegSync || ogg || flac
@@ -168,6 +178,34 @@ object FfmpegCodec {
         }
         if (dir != null && (proc == null || !proc.isAlive))
           org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        else if (dir != null)
+          // ffmpeg survived SIGKILL + 5 s (uninterruptible I/O) — park the
+          // dir for the per-executor orphan sweep instead of leaking it
+          // permanently on a long-lived executor
+          Codec.orphans.add(dir)
+        // retry earlier parked dirs now; their processes are long dead
+        Codec.sweepOrphans()
+      }
+    }
+  }
+
+  object Codec {
+    /** Working dirs whose ffmpeg outlived the forced kill: retried on
+      * every later decode on the same executor, and at JVM exit.
+      */
+    private[operators] val orphans =
+      new java.util.concurrent.ConcurrentLinkedQueue[File]
+    sys.addShutdownHook(sweepOrphans())
+    private[operators] def sweepOrphans(): Unit = {
+      // one pass over the entries present at sweep start: a still-pinned
+      // dir re-enqueues for the NEXT sweep, never re-polls in this one
+      var n = orphans.size()
+      while (n > 0) {
+        n -= 1
+        val d = orphans.poll()
+        if (d != null &&
+            !org.apache.commons.io.FileUtils.deleteQuietly(d) && d.exists())
+          orphans.add(d)
       }
     }
   }

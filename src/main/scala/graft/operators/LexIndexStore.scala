@@ -220,7 +220,8 @@ object LexIndexStore {
     * values are bit-identical to the full re-aggregation: same rows,
     * same integer sums, grouped by file first.
     *
-    * Below `graft.lex.subCacheMinDocs` stored docs (default 20M, per
+    * Below `graft.lex.subCacheMinDocs` stored docs (session conf, then
+    * system property, default 20M, per
     * meta's own last count) the refresh takes the DIRECT single-job
     * aggregation instead: the cache path's fixed cost is four small
     * jobs (~0.6 s measured) while a ≤20M-row column agg is one cheaper
@@ -235,8 +236,14 @@ object LexIndexStore {
     val dl = engine.read(spark, doclensPath(indexPath))
       .getOrElse(throw new IllegalStateException(
         s"no doclens at $indexPath"))
-    val minDocs = java.lang.Long.getLong("graft.lex.subCacheMinDocs",
-      20000000L)
+    // session-conf first (scopable per SparkSession — tests override on a
+    // spark.newSession() clone instead of mutating the JVM-global system
+    // property out from under parallel suites), sysprop fallback for
+    // spark-submit --conf-less deployments
+    val minDocs = spark.conf.getOption("graft.lex.subCacheMinDocs")
+      .map(_.toLong)
+      .getOrElse(java.lang.Long.getLong("graft.lex.subCacheMinDocs",
+        20000000L).longValue())
     if (prevDocs < minDocs) {
       val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       engine.overwrite(spark, metaPath(indexPath),
@@ -250,6 +257,13 @@ object LexIndexStore {
     def basename(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val live = dl.inputFiles
     val liveByName = live.iterator.map(p => basename(p) -> p).toMap
+    // UUID part names never collide in practice, but a collision here
+    // would silently DROP a file from the map and undercount meta — fail
+    // loudly instead (the refresh is re-runnable; nothing is committed yet)
+    require(liveByName.size == live.length,
+      s"doclens basename collision among ${live.length} live files at " +
+        s"$indexPath — subtotal cache would undercount; " +
+        "file a distinct-basename layout or compact first")
     val subPath = doclensSubPath(indexPath)
     val subSchema = StructType(Seq(
       StructField("file", StringType, nullable = false),

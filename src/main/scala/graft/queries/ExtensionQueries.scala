@@ -123,7 +123,9 @@ object ExtensionQueries {
     // listing — a flat listFiles() would fingerprint identically after
     // content changes and silently reuse a stale artifact
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq.flatMap(walk)
       else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
     walk(root).foreach { f =>
@@ -145,17 +147,27 @@ object ExtensionQueries {
     * driver's Verify/Bench runs at one HEAD), not across edits.
     */
   private lazy val codeVersion: String = {
-    val src = ExtensionQueries.getClass.getProtectionDomain.getCodeSource
-    val root = new java.io.File(src.getLocation.toURI)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
-      else if (f.getName.endsWith(".class") || !root.isDirectory) {
-        md.update(f.getPath.stripPrefix(root.getPath).getBytes("UTF-8"))
-        md.update(java.nio.file.Files.readAllBytes(f.toPath))
-      }
-    walk(root)
-    md.digest().map("%02x".format(_)).mkString.take(12)
+    // getCodeSource (or its location) is null under non-file classloaders
+    // (shaded boot loaders, some app-image launchers), and listFiles()
+    // returns null for dirs that vanish mid-walk — in either case fall
+    // back to a constant marker rather than NPE: the key degrades to the
+    // manual `ver`-only form (cross-edit reuse risk returns, but only in
+    // environments where class bytes aren't enumerable anyway)
+    scala.util.Try {
+      val src = ExtensionQueries.getClass.getProtectionDomain.getCodeSource
+      val root = new java.io.File(src.getLocation.toURI)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .sortBy(_.getName).foreach(walk)
+        else if (f.getName.endsWith(".class") || !root.isDirectory) {
+          md.update(f.getPath.stripPrefix(root.getPath).getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(f.toPath))
+        }
+      walk(root)
+      md.digest().map("%02x".format(_)).mkString.take(12)
+    }.getOrElse("nocodesrc")
   }
 
   private def publishedModelDir(tag: String, ver: Int, d: String,

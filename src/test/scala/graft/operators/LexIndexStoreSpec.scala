@@ -415,13 +415,15 @@ class LexIndexStoreSpec extends SparkSpec {
     import spark.implicits._
     // the cache path only engages above graft.lex.subCacheMinDocs stored
     // docs (small stores take the cheaper direct agg — covered by every
-    // other test here); force it on for this fixture-scale corpus
-    System.setProperty("graft.lex.subCacheMinDocs", "0")
-    try meteSubtotalBody() finally
-      System.clearProperty("graft.lex.subCacheMinDocs")
+    // other test here); force it on for this fixture-scale corpus via a
+    // CLONED session's conf — a System property would reroute every other
+    // suite's refreshMeta in this JVM for the duration of the test
+    val forced = spark.newSession()
+    forced.conf.set("graft.lex.subCacheMinDocs", "0")
+    meteSubtotalBody(forced)
   }
 
-  private def meteSubtotalBody(): Unit = {
+  private def meteSubtotalBody(forced: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     val all = docs(400)
     val dir = tmpIndex()
@@ -432,7 +434,7 @@ class LexIndexStoreSpec extends SparkSpec {
     }
     def metaVals = { val m = meta(dir); (m.getLong(0), m.getLong(1)) }
 
-    LexIndexStore.build(spark, dir, all.filter(col("doc_id") < 200),
+    LexIndexStore.build(forced, dir, all.filter(col("doc_id") < 200),
       "doc_id", "text", nBuckets = 8, engine = engine)
     assert(metaVals == directAgg, "meta != full re-aggregation after build")
 
@@ -440,10 +442,10 @@ class LexIndexStoreSpec extends SparkSpec {
     // cache. A scheme-mismatched key (file:/ vs file:///) would silently
     // re-append every live file per refresh — pinned by the no-duplicate
     // and full-coverage asserts below.
-    LexIndexStore.addDocuments(spark, dir,
+    LexIndexStore.addDocuments(forced, dir,
       all.filter(col("doc_id") >= 200 && col("doc_id") < 260),
       "doc_id", "text", engine = engine)
-    LexIndexStore.addDocuments(spark, dir,
+    LexIndexStore.addDocuments(forced, dir,
       all.filter(col("doc_id") >= 260 && col("doc_id") < 300),
       "doc_id", "text", engine = engine)
     assert(metaVals == directAgg, "meta != full re-aggregation after grows")
@@ -460,7 +462,7 @@ class LexIndexStoreSpec extends SparkSpec {
     // the live set, must not leak into meta
     engine.append(s"$dir/doclens_sub",
       Seq(("deadbeef.parquet", 999L, 999999L)).toDF("file", "n_docs", "sum_dl"))
-    LexIndexStore.addDocuments(spark, dir,
+    LexIndexStore.addDocuments(forced, dir,
       all.filter(col("doc_id") >= 300 && col("doc_id") < 310),
       "doc_id", "text", engine = engine)
     assert(metaVals == directAgg, "stale cache row leaked into meta")
@@ -468,17 +470,17 @@ class LexIndexStoreSpec extends SparkSpec {
     // losing the whole cache is a recompute, never a wrong answer
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$dir/doclens_sub"))
-    LexIndexStore.addDocuments(spark, dir,
+    LexIndexStore.addDocuments(forced, dir,
       all.filter(col("doc_id") >= 310 && col("doc_id") < 320),
       "doc_id", "text", engine = engine)
     assert(metaVals == directAgg, "meta wrong after cache loss")
 
     // compact + purge rewrite the doclens filenames — refresh must key
     // off the NEW files, and the dead rows must not count
-    LexIndexStore.compact(spark, dir, engine = engine)
-    LexIndexStore.deleteDocuments(spark, dir,
+    LexIndexStore.compact(forced, dir, engine = engine)
+    LexIndexStore.deleteDocuments(forced, dir,
       all.filter(col("doc_id") < 50).select("doc_id"), "doc_id", engine)
-    LexIndexStore.purgeDeleted(spark, dir, engine)
+    LexIndexStore.purgeDeleted(forced, dir, engine)
     assert(metaVals == directAgg, "meta != re-aggregation after compact+purge")
     assert(metaVals._1 == 270L, s"expected 270 surviving docs, got $metaVals")
   }
