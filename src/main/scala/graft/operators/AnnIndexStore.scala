@@ -92,15 +92,22 @@ object AnnIndexStore {
     */
   private[operators] def requireMetadataCoversIds(ids: DataFrame,
       idCol: String, metadata: DataFrame, where: String): Unit = {
-    val dup = metadata.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(dup == 0L,
+    // ONE pass answers both questions (round-16; previously two jobs):
+    // a full-outer join of the metadata's per-id counts against the
+    // batch's distinct ids — max count > 1 ⇒ duplicated metadata id
+    // (anywhere, same global scope as before), a batch id with no count
+    // ⇒ uncovered. Same two failure messages, half the passes.
+    val r = metadata.groupBy(col(idCol)).agg(count(lit(1)).as("_c"))
+      .join(ids.select(col(idCol)).distinct().withColumn("_in", lit(1)),
+        Seq(idCol), "full_outer")
+      .agg(coalesce(max(col("_c")), lit(0L)).as("maxc"),
+        coalesce(sum(when(col("_in").isNotNull && col("_c").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("missing"))
+      .head()
+    require(r.getLong(0) <= 1L,
       s"$where: metadata carries duplicate $idCol rows — each id must " +
         "appear exactly once or the denormalizing join multiplies index rows")
-    val missing = ids.select(col(idCol)).distinct()
-      .join(metadata.select(col(idCol)), Seq(idCol), "left_anti")
-      .limit(1).count()
-    require(missing == 0L,
+    require(r.getLong(1) == 0L,
       s"$where: metadata does not cover every $idCol in the batch — a " +
         "missing row would silently drop that id from the index")
   }
@@ -133,32 +140,74 @@ object AnnIndexStore {
       ivf.assigned.select(col(idCol)), idCol, m, s"ANN index at $indexPath"))
     def withMeta(df: DataFrame): DataFrame =
       metadata.fold(df)(m => df.join(m, Seq(idCol)))
-    // stored-id sidecar FIRST (probe authority — the IdSidecar
-    // commit-order contract), then the data tables
-    IdSidecar.append(indexPath, ivf.assigned.select(col(idCol)), idCol,
-      engine)
     // cluster by list id before the partitioned write: without it every
     // upstream task sprays a file into every cid=N/ directory
     // (tasks × lists tiny files); clustered, each list lands contiguously
     // — fewer, bigger files per inverted list, which is also what a
-    // search wants to scan
-    engine.appendPartitioned(assignedPath(indexPath),
-      withMeta(ivf.assigned).repartition(col("cid")), "cid")
-    // the codes table carries the list id too (one id equi-join at save
-    // time), so BOTH scans prune to the probed lists at search time
-    engine.appendPartitioned(encodedPath(indexPath),
-      withMeta(pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol))
-        .repartition(col("cid")), "cid")
+    // search wants to scan. The codes table carries the list id too (one
+    // id equi-join at save time), so BOTH scans prune to the probed
+    // lists at search time.
+    val assignedFrame = withMeta(ivf.assigned).repartition(col("cid"))
+    val encodedFrame = withMeta(
+        pq.encoded.join(ivf.assigned.select(col(idCol), col("cid")), idCol))
+      .repartition(col("cid"))
+    // stored-id sidecar FIRST (probe authority — the IdSidecar
+    // commit-order contract), then the data tables. Round-16: the two
+    // data tables' files stage concurrently while the sidecar seeds —
+    // the contract orders the COMMITS, which stay sidecar → assigned →
+    // encoded (the appendEncoded rationale).
+    engine match {
+      case me: graft.sinks.ManifestMergeEngine =>
+        val aStaged = StagePool.submit(spark)(
+          me.stageAppend(spark, assignedPath(indexPath), assignedFrame,
+            Some("cid")))
+        val eStaged = StagePool.submit(spark)(
+          me.stageAppend(spark, encodedPath(indexPath), encodedFrame,
+            Some("cid")))
+        try {
+          IdSidecar.append(indexPath, ivf.assigned.select(col(idCol)), idCol,
+            engine)
+          me.commitStaged(spark, StagePool.get(aStaged))
+          me.commitStaged(spark, StagePool.get(eStaged))
+        } finally {
+          StagePool.awaitQuietly(aStaged)
+          StagePool.awaitQuietly(eStaged)
+        }
+      case _ =>
+        IdSidecar.append(indexPath, ivf.assigned.select(col(idCol)), idCol,
+          engine)
+        engine.appendPartitioned(assignedPath(indexPath), assignedFrame, "cid")
+        engine.appendPartitioned(encodedPath(indexPath), encodedFrame, "cid")
+    }
   }
 
   private def loadMatrix(spark: SparkSession, path: String,
       engine: MergeEngine): Array[Array[Double]] =
-    matrixOf(engine.read(spark, path)
-      .getOrElse(throw new IllegalStateException(s"no index table at $path")))
+    // model matrices are FROZEN per store (retraining = new path); cache
+    // the driver collect per committed snapshot (round-16) — searches and
+    // stream-start loads stop re-paying a Spark job for immutable state
+    graft.sinks.MetaCache.cached(spark, path, "ann_matrix", engine) {
+      matrixOf(engine.read(spark, path)
+        .getOrElse(throw new IllegalStateException(s"no index table at $path")))
+    }
 
   private def matrixOf(table: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
     table.select("idx", "vec").orderBy("idx").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** The PQ model (codebooks, m, k) off the stored codebooks table — one
+    * cached driver read per committed snapshot (the matrix collect and
+    * the (m, k) head were separate jobs at every load/grow/stream-start).
+    */
+  private def loadCodebookModel(spark: SparkSession, indexPath: String,
+      engine: MergeEngine, missing: => String): (Array[Array[Double]], Int, Int) =
+    graft.sinks.MetaCache.cached(spark, codebooksPath(indexPath),
+      "ann_codebooks", engine) {
+      val cb = engine.read(spark, codebooksPath(indexPath))
+        .getOrElse(throw new IllegalStateException(missing))
+      val mk = cb.select("m", "k").head()
+      (matrixOf(cb), mk.getInt(0), mk.getInt(1))
+    }
 
   /** Load a stored index: model matrices to the driver (the position
     * [[Similarity.buildIvf]] already takes), data tables as lazy frames —
@@ -168,10 +217,8 @@ object AnnIndexStore {
   def load(spark: SparkSession, indexPath: String,
       engine: MergeEngine = AnnIndexStore.defaultEngine): PersistedAnnIndex = {
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
-    val cb = engine.read(spark, codebooksPath(indexPath))
-      .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
-    val mk = cb.select("m", "k").head()
-    val codebooks = matrixOf(cb)
+    val (codebooks, pqM, pqK) = loadCodebookModel(spark, indexPath, engine,
+      s"no codebooks at $indexPath")
     val assignedAll = engine.read(spark, assignedPath(indexPath))
       .getOrElse(throw new IllegalStateException(s"no assigned table at $indexPath"))
     val encodedAll = engine.read(spark, encodedPath(indexPath))
@@ -193,7 +240,7 @@ object AnnIndexStore {
     // with Similarity's generic search paths (which join cid in from the
     // assigned table themselves)
     PersistedAnnIndex(IvfIndex(centroids, assigned),
-      PqModel(codebooks, mk.getInt(0), mk.getInt(1), encoded.drop("cid")),
+      PqModel(codebooks, pqM, pqK, encoded.drop("cid")),
       encodedWithCid = encoded)
   }
 
@@ -207,11 +254,10 @@ object AnnIndexStore {
       engine: MergeEngine = AnnIndexStore.defaultEngine,
       metadata: Option[DataFrame] = None): Unit = {
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
-    val cb = engine.read(spark, codebooksPath(indexPath))
-      .getOrElse(throw new IllegalStateException(s"no codebooks at $indexPath"))
-    val mk = cb.select("m", "k").head()
+    val (codebooks, pqM, pqK) = loadCodebookModel(spark, indexPath, engine,
+      s"no codebooks at $indexPath")
     appendEncoded(indexPath, vectors, corpusId, corpusVec,
-      centroids, matrixOf(cb), mk.getInt(0), mk.getInt(1), engine, metadata)
+      centroids, codebooks, pqM, pqK, engine, metadata)
   }
 
   /** Frozen-model encode + list-clustered partitioned append of new
@@ -241,25 +287,62 @@ object AnnIndexStore {
           s"but the increment carries ${got.toSeq.sorted.mkString(",")} — supply " +
           "the same metadata columns the index was built with")
     }
+    val enc0 = Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
+      .join(newAssigned0.select(col(corpusId), col("cid")), corpusId)
+    val assignedFrame = newAssigned.repartition(col("cid"))
+    val encodedFrame = metadata.fold(enc0)(m0 => enc0.join(m0, Seq(corpusId)))
+      .repartition(col("cid"))
+    val spark = vectors.sparkSession
     // sidecar first — see the IdSidecar commit-order contract. This is a
     // GROW path, so a pre-sidecar store's first grow BACKFILLS the fold
     // from the complete stored-id set (one full id-column scan, once) —
     // seeding from the increment alone would make every LATER grow
     // re-admit replayed original ids as new (double-indexed rows).
-    graft.tools.PhaseTimer("ann_sidecar_append") {
-      IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)), corpusId,
-        engine, backfillFrom = stored.map(_.select(col(corpusId))))
-    }
-    graft.tools.PhaseTimer("ann_assigned_append") {
-      engine.appendPartitioned(assignedPath(indexPath),
-        newAssigned.repartition(col("cid")), "cid")
-    }
-    val enc0 = Similarity.pqEncode(proj, corpusId, corpusVec, codebooks, m, k)
-      .join(newAssigned0.select(col(corpusId), col("cid")), corpusId)
-    graft.tools.PhaseTimer("ann_encoded_append") {
-      engine.appendPartitioned(encodedPath(indexPath),
-        metadata.fold(enc0)(m0 => enc0.join(m0, Seq(corpusId)))
-          .repartition(col("cid")), "cid")
+    //
+    // Round-16: on the manifest engine the assigned and encoded files
+    // STAGE concurrently while the sidecar append runs — the contract
+    // orders the COMMITS (sidecar → assigned → encoded), which the
+    // manifest publishes below preserve exactly (the LexIndexStore
+    // appendCorpus rationale; a staging failure aborts with zero data
+    // commits, strictly tighter than the sequential partial window).
+    engine match {
+      case me: graft.sinks.ManifestMergeEngine =>
+        val aStaged = StagePool.submit(spark)(
+          me.stageAppend(spark, assignedPath(indexPath), assignedFrame,
+            Some("cid")))
+        val eStaged = StagePool.submit(spark)(
+          me.stageAppend(spark, encodedPath(indexPath), encodedFrame,
+            Some("cid")))
+        try {
+          graft.tools.PhaseTimer("ann_sidecar_append") {
+            IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)),
+              corpusId, engine,
+              backfillFrom = stored.map(_.select(col(corpusId))))
+          }
+          graft.tools.PhaseTimer("ann_assigned_append") {
+            me.commitStaged(spark, StagePool.get(aStaged))
+          }
+          graft.tools.PhaseTimer("ann_encoded_append") {
+            me.commitStaged(spark, StagePool.get(eStaged))
+          }
+        } finally {
+          StagePool.awaitQuietly(aStaged)
+          StagePool.awaitQuietly(eStaged)
+        }
+      case _ =>
+        graft.tools.PhaseTimer("ann_sidecar_append") {
+          IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)),
+            corpusId, engine,
+            backfillFrom = stored.map(_.select(col(corpusId))))
+        }
+        graft.tools.PhaseTimer("ann_assigned_append") {
+          engine.appendPartitioned(assignedPath(indexPath), assignedFrame,
+            "cid")
+        }
+        graft.tools.PhaseTimer("ann_encoded_append") {
+          engine.appendPartitioned(encodedPath(indexPath), encodedFrame,
+            "cid")
+        }
     }
   }
 
@@ -365,11 +448,8 @@ object AnnIndexStore {
     // (a per-trigger reload would pay the manifest read + driver collect
     // on every micro-batch for state that cannot change)
     val centroids = loadMatrix(spark, centroidsPath(indexPath), engine)
-    val cb = engine.read(spark, codebooksPath(indexPath))
-      .getOrElse(throw new IllegalStateException(
-        s"no index at $indexPath — build and save it before streaming growth"))
-    val mk = cb.select("m", "k").head()
-    val codebooks = matrixOf(cb)
+    val (codebooks, pqM, pqK) = loadCodebookModel(spark, indexPath, engine,
+      s"no index at $indexPath — build and save it before streaming growth")
     // in-stream sidecar maintenance cadence (round-14 verdict ask #1a):
     // without it the pending log grows ONE FILE PER TRIGGER until an
     // external compact runs — O(triggers-since-maintenance) probe cost
@@ -407,7 +487,7 @@ object AnnIndexStore {
         try {
           if (!fresh.isEmpty)
             appendEncoded(indexPath, fresh, corpusId, corpusVec,
-              centroids, codebooks, mk.getInt(0), mk.getInt(1), engine)
+              centroids, codebooks, pqM, pqK, engine)
         } finally Dedup.releaseLocalCheckpoint(fresh)
         if (sinceFold.incrementAndGet() >= foldEvery) {
           sinceFold.set(0)

@@ -186,13 +186,25 @@ object AsofJoin {
             newLeft.filter(col(leftTs).cast("long") >= h))
           // replay heal: only genuinely new rows enter the stores (and the
           // affected-set math below); materialize BEFORE appending — the
-          // filter reads the directory the append writes to
-          val freshLeft = newLeftInWindow
+          // filter reads the directory the append writes to. The two
+          // materializations are independent — overlap them (guide §2.6;
+          // round-16); the state WRITES below stay sequential.
+          val freshLeftF = StagePool.submit(s)(newLeftInWindow
             .join(leftStore.select(leftId), Seq(leftId), "left_anti")
-            .localCheckpoint(true)
-          val freshRight = newRight
+            .localCheckpoint(true))
+          val freshRightF = StagePool.submit(s)(newRight
             .join(rightStore.select(rightTieBreak), Seq(rightTieBreak), "left_anti")
-            .localCheckpoint(true)
+            .localCheckpoint(true))
+          val freshLeft =
+            try StagePool.get(freshLeftF)
+            catch { case e: Throwable =>
+              StagePool.awaitQuietly(freshRightF); throw e
+            }
+          val freshRight =
+            try StagePool.get(freshRightF)
+            catch { case e: Throwable =>
+              graft.operators.Dedup.releaseLocalCheckpoint(freshLeft); throw e
+            }
           try {
             // affected left rows: this batch's own, plus stored rows whose
             // key gained a right row at-or-before their ts

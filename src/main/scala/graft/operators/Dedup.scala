@@ -343,12 +343,17 @@ object Dedup {
           .dropDuplicates("id").persist()
         val incBuckets = bandBuckets(incSigs, numHashes, bands).persist()
         try {
-          val pairs = statePairsPlan(s, incSigs, incBuckets, stateDir,
-            numHashes, minJaccard, nStateBuckets)
+          // ONE state read serves both the probe and the growth: the
+          // state dirs cannot change between them inside a batch, and
+          // each readState costs two driver collects over the increment
+          // (round-16; previously paid twice per trigger)
+          val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+          val pairs = statePairsPlan(incSigs, incBuckets, st,
+            numHashes, minJaccard)
             .localCheckpoint(true) // materialize BEFORE the state grows
           try pairs.write.mode("append").parquet(pairsDir)
           finally releaseLocalCheckpoint(pairs)
-          growState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+          growState(s, incSigs, incBuckets, st, stateDir, nStateBuckets)
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
             compactState(s, stateDir)
         } finally { incSigs.unpersist(); incBuckets.unpersist() }
@@ -368,8 +373,13 @@ object Dedup {
     */
   private[graft] def statePairsPlan(s: org.apache.spark.sql.SparkSession,
       incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
-      numHashes: Int, minJaccard: Double, nStateBuckets: Int): DataFrame = {
-    val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+      numHashes: Int, minJaccard: Double, nStateBuckets: Int): DataFrame =
+    statePairsPlan(incSigs, incBuckets,
+      readState(s, incSigs, incBuckets, stateDir, nStateBuckets),
+      numHashes, minJaccard)
+
+  private[operators] def statePairsPlan(incSigs: DataFrame, incBuckets: DataFrame,
+      st: LshState, numHashes: Int, minJaccard: Double): DataFrame = {
     // scoring uses the incoming signature for any re-arrived id —
     // its stored sig AND stored buckets drop out of the probe
     val seenSigs = st.sigs.drop("sb")
@@ -394,24 +404,40 @@ object Dedup {
     */
   private[graft] def growState(s: org.apache.spark.sql.SparkSession,
       incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
-      nStateBuckets: Int): Unit = {
-    val st = readState(s, incSigs, incBuckets, stateDir, nStateBuckets)
+      nStateBuckets: Int): Unit =
+    growState(s, incSigs, incBuckets,
+      readState(s, incSigs, incBuckets, stateDir, nStateBuckets),
+      stateDir, nStateBuckets)
+
+  private[operators] def growState(s: org.apache.spark.sql.SparkSession,
+      incSigs: DataFrame, incBuckets: DataFrame, st: LshState,
+      stateDir: String, nStateBuckets: Int): Unit = {
     val sigIds = st.prunedSigs.select("id")
     val stateIds = sigIds.union(st.prunedBuckets.select("id")).distinct()
     // cluster by the partition column BEFORE the partitioned write —
     // unclustered, every task sprays a file into every bb=/sb= directory
     // (tasks × buckets files per trigger; the LexIndexStore.appendCorpus
-    // rationale)
-    val newBuckets = incBuckets
+    // rationale). The two materializations are independent — overlap
+    // them (guide §2.6); the WRITES below stay in contract order
+    // (buckets first, sigs second).
+    val newBucketsF = StagePool.submit(s)(incBuckets
       .withColumn("bb", stateBb(nStateBuckets))
       .join(stateIds, Seq("id"), "left_anti")
       .repartition(col("bb"))
-      .localCheckpoint(true)
-    val newSigs = incSigs
+      .localCheckpoint(true))
+    val newSigsF = StagePool.submit(s)(incSigs
       .withColumn("sb", stateSb(nStateBuckets))
       .join(sigIds, Seq("id"), "left_anti")
       .repartition(col("sb"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+    val newBuckets =
+      try StagePool.get(newBucketsF)
+      catch { case e: Throwable => StagePool.awaitQuietly(newSigsF); throw e }
+    val newSigs =
+      try StagePool.get(newSigsF)
+      catch { case e: Throwable =>
+        releaseLocalCheckpoint(newBuckets); throw e
+      }
     try {
       newBuckets.write.partitionBy("bb").mode("append")
         .parquet(s"$stateDir/buckets")
@@ -440,7 +466,7 @@ object Dedup {
   private def stateBb(n: Int): Column =
     pmod(col("band_hash"), lit(n.toLong)).cast("int")
 
-  private final case class LshState(sigs: DataFrame, prunedSigs: DataFrame,
+  private[operators] final case class LshState(sigs: DataFrame, prunedSigs: DataFrame,
       prunedBuckets: DataFrame)
 
   /** Read the two state tables with the increment's partition sets
@@ -480,7 +506,7 @@ object Dedup {
     }
   }
 
-  private def readState(s: org.apache.spark.sql.SparkSession,
+  private[operators] def readState(s: org.apache.spark.sql.SparkSession,
       incSigs: DataFrame, incBuckets: DataFrame, stateDir: String,
       nStateBuckets: Int): LshState = {
     val sigsDir = s"$stateDir/sigs"
@@ -769,13 +795,21 @@ object Dedup {
       // never degenerates to one-point cells (k ≈ n would scatter dup
       // groups into singleton leaves and silently miss them); depth,
       // not branch, does the rest of the splitting.
+      // Independent per-partition quantizer trainings overlap on the
+      // scheduler (guide §2.6) instead of serializing their Lloyd jobs
+      // on the driver — results are joined back in frontier order and
+      // each training is deterministic, so the output is byte-identical
+      // to the sequential form (partitions are disjoint; which _subcid a
+      // given id gets depends only on its own partition's training).
       val subMaps = frontier.map { case (p, s) =>
-        val eff = math.min(refineBranch.toLong, math.max(2L, s / 2)).toInt
-        Similarity.buildIvf(
-          assigned.filter(col("part") === p).select(col("id"), col("v")),
-          "id", "v", eff, iters)
-          .assigned.select(col("id"), col("cid").as("_subcid"))
-      }
+        StagePool.submit(assigned.sparkSession) {
+          val eff = math.min(refineBranch.toLong, math.max(2L, s / 2)).toInt
+          Similarity.buildIvf(
+            assigned.filter(col("part") === p).select(col("id"), col("v")),
+            "id", "v", eff, iters)
+            .assigned.select(col("id"), col("cid").as("_subcid"))
+        }
+      }.map(StagePool.get)
       // disjoint partitions → one union, ONE corpus-wide reassignment
       // join per level; checkpoint cuts the per-level lineage the next
       // level's Lloyd passes would otherwise replay iters× over

@@ -98,8 +98,15 @@ private[graft] object IdSidecar {
 
   private def readBuckets(spark: SparkSession, indexPath: String,
       engine: MergeEngine): Option[Int] =
-    engine.read(spark, metaPath(indexPath))
-      .map(_.select("buckets").head().getInt(0))
+    // the bucket modulus is FROZEN at first append, but this head() was a
+    // Spark job paid 2-3× per streaming trigger — cache it per committed
+    // snapshot (round-16; an absent ids_meta has no snapshot token and
+    // stays uncached, so the sidecar's creation is seen immediately)
+    graft.sinks.MetaCache.cached(spark, metaPath(indexPath), "ids_meta",
+      engine) {
+      engine.read(spark, metaPath(indexPath))
+        .map(_.select("buckets").head().getInt(0))
+    }
 
   /** Record `ids` (idCol only) into the sidecar. Call FIRST in every
     * grow path — see the commit-order contract above. The first append
@@ -129,7 +136,8 @@ private[graft] object IdSidecar {
     * [[fold]] would materialize a layout missing the whole seed corpus.
     */
   def append(indexPath: String, ids: DataFrame, idCol: String,
-      engine: MergeEngine, backfillFrom: Option[DataFrame] = None): Unit = {
+      engine: MergeEngine, backfillFrom: Option[DataFrame] = None,
+      knownIdCount: Option[Long] = None): Unit = {
     require(idCol != "ib",
       "id column may not be named 'ib' (reserved for the sidecar bucket)")
     val spark = ids.sparkSession
@@ -141,7 +149,12 @@ private[graft] object IdSidecar {
       case None =>
         val seed = backfillFrom.fold(ids.select(col(idCol)))(stored =>
           stored.select(col(idCol)).unionByName(ids.select(col(idCol))))
-        val b = sizeBuckets(seed.count())
+        // sizing only (clamped [16, 4096], ~64k ids/bucket): a caller-
+        // supplied count skips the extra pass; with a backfill the union's
+        // count is unknown and is paid as before (pre-sidecar grow — rare)
+        val b = sizeBuckets(
+          if (backfillFrom.isEmpty && knownIdCount.isDefined) knownIdCount.get
+          else seed.count())
         // id-sorted within each bucket — see the fold in [[compact]]
         engine.appendPartitioned(path(indexPath),
           seed.withColumn("ib", ib(idCol, b))
@@ -181,22 +194,32 @@ private[graft] object IdSidecar {
     (readBuckets(spark, indexPath, engine),
       engine.read(spark, path(indexPath))) match {
       case (Some(buckets), Some(ids)) =>
-        val ibs = increment.select(ib(idCol, buckets).as("ib")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val folded =
+        // ONE capped collect yields both the increment's id set and its
+        // bucket set (ib is a pure function of the id, so the (id, ib)
+        // distinct has exactly the id-distinct's cardinality) — round-16,
+        // previously two jobs over the increment. A bulk backfill blows
+        // the cap and falls back to the two-sided form it amortizes.
+        val pairs = increment
+          .select(col(idCol), ib(idCol, buckets).as("ib")).distinct()
+          .limit(IsinProbeMax + 1).collect()
+        def foldedFor(ibs: Seq[Long]) =
           if (ibs.length >= buckets) ids.select(col(idCol))
           else ids.filter(col("ib").isin(ibs: _*)).select(col(idCol))
-        val stored = Seq(engine.read(spark, runsPath(indexPath)),
-          engine.read(spark, pendingPath(indexPath)))
-          .flatten.map(_.select(col(idCol)))
-          .foldLeft(folded)(_ unionByName _)
-        // capped collect: a bulk backfill stops at the threshold and
-        // rides the broadcast-semi instead of a driver-sized literal
-        val incIds = increment.select(col(idCol)).distinct()
-          .limit(IsinProbeMax + 1).collect().map(_.get(0)).toSeq
-        if (incIds.length <= IsinProbeMax)
-          stored.filter(col(idCol).isin(incIds: _*)).distinct()
-        else Dedup.presentIds(stored, increment, idCol)
+        def storedOver(folded: DataFrame) =
+          Seq(engine.read(spark, runsPath(indexPath)),
+            engine.read(spark, pendingPath(indexPath)))
+            .flatten.map(_.select(col(idCol)))
+            .foldLeft(folded)(_ unionByName _)
+        if (pairs.length <= IsinProbeMax) {
+          val incIds = pairs.map(_.get(0)).toSeq
+          val ibs = pairs.map(_.getLong(1)).distinct.toSeq
+          storedOver(foldedFor(ibs))
+            .filter(col(idCol).isin(incIds: _*)).distinct()
+        } else {
+          val ibs = increment.select(ib(idCol, buckets).as("ib")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          Dedup.presentIds(storedOver(foldedFor(ibs)), increment, idCol)
+        }
       case _ => Dedup.presentIds(fallback, increment, idCol)
     }
 

@@ -89,20 +89,25 @@ object LexIndexStore {
       idCol: String)
 
   private def readMeta(spark: SparkSession, indexPath: String,
-      engine: MergeEngine): Meta = {
-    val metaDf = engine.read(spark, metaPath(indexPath))
-      .getOrElse(throw new IllegalStateException(
-        s"no lexical index at $indexPath"))
-    // loud refusal for pre-id_col indexes instead of an opaque
-    // UNRESOLVED_COLUMN from deep inside the select
-    if (!metaDf.columns.contains("id_col"))
-      throw new IllegalStateException(
-        s"index at $indexPath predates the id_col meta format — rebuild " +
-          "it (rebuilds go to a new path); positional id inference was " +
-          "removed because metadata denormalization made it unsafe")
-    val r = metaDf.select("n_docs", "total_dl", "n_buckets", "id_col").head()
-    Meta(r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
-  }
+      engine: MergeEngine): Meta =
+    // scalar-metadata cache keyed by the meta table's committed snapshot
+    // (round-16: the head() here was a full Spark job paid several times
+    // per trigger/search for a value that only changes on commit)
+    graft.sinks.MetaCache.cached(spark, metaPath(indexPath), "lex_meta",
+      engine) {
+      val metaDf = engine.read(spark, metaPath(indexPath))
+        .getOrElse(throw new IllegalStateException(
+          s"no lexical index at $indexPath"))
+      // loud refusal for pre-id_col indexes instead of an opaque
+      // UNRESOLVED_COLUMN from deep inside the select
+      if (!metaDf.columns.contains("id_col"))
+        throw new IllegalStateException(
+          s"index at $indexPath predates the id_col meta format — rebuild " +
+            "it (rebuilds go to a new path); positional id inference was " +
+            "removed because metadata denormalization made it unsafe")
+      val r = metaDf.select("n_docs", "total_dl", "n_buckets", "id_col").head()
+      Meta(r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))
+    }
 
   /** Tokenize `docs` and append their lengths + postings. The tf frame is
     * pinned once (two consumers) and released after.
@@ -121,27 +126,35 @@ object LexIndexStore {
   private def appendCorpus(indexPath: String, docs: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, engine: MergeEngine,
       metadata: Option[DataFrame] = None,
-      backfillIds: Option[DataFrame] = None): Unit = {
+      backfillIds: Option[DataFrame] = None,
+      knownDocCount: Option[Long] = None): Unit = {
     // Bound the tf aggregation's PER-TASK hash state (round-14 verdict
     // wrong #1: the 10M-doc datadom6lex build needed a 96 GB heap —
     // per-task partial-agg state tracked the corpus). Pre-shuffling the
-    // exploded token stream on the exact grouping key (id, token), with
-    // a partition count sized from the doc count, means the aggregate's
-    // required distribution is already satisfied: no second exchange,
-    // and per-task state is (corpus postings / nPart) — constant in the
-    // corpus once nPart scales with it. The trade is shuffling token
-    // OCCURRENCES instead of partially-aggregated pairs — disk-backed,
-    // linear, and ~the same volume at word-frequency duplication rates;
-    // heap that tracks the corpus is the build-path scale-killer, a
-    // bigger shuffle is not. ~16k docs/partition ≈ 0.8M postings/task at
-    // the probe's 48-token salad; capped at 4096 like every other
-    // driver-literal bound.
-    val nDocsEst = docs.select(col(idCol)).count()
+    // exploded token stream on the doc id, with a partition count sized
+    // from the doc count, means the aggregate's required distribution
+    // (clustering on (id, token) — id alone co-locates every group) is
+    // already satisfied: no second exchange, and per-task state is
+    // (corpus postings / nPart) — constant in the corpus once nPart
+    // scales with it. Keying the pre-shuffle on id ALONE (round-16;
+    // previously (id, token)) additionally makes the downstream doclens
+    // roll-up `groupBy(id)` reuse the SAME exchange — one less full
+    // shuffle of the tf frame per append, same per-task state bound
+    // (docs-per-partition × tokens-per-doc either way). The trade is
+    // shuffling token OCCURRENCES instead of partially-aggregated pairs —
+    // disk-backed, linear, and ~the same volume at word-frequency
+    // duplication rates; heap that tracks the corpus is the build-path
+    // scale-killer, a bigger shuffle is not. ~16k docs/partition ≈ 0.8M
+    // postings/task at the probe's 48-token salad; capped at 4096 like
+    // every other driver-literal bound. `knownDocCount` rides in from
+    // callers that already counted the increment (the grow path counts
+    // it for the empty-batch check) so sizing costs no extra pass.
+    val nDocsEst = knownDocCount.getOrElse(docs.select(col(idCol)).count())
     val nPart = math.max(
       docs.sparkSession.sessionState.conf.numShufflePartitions,
       math.min(4096L, nDocsEst / 16384L).toInt)
     val tf = Terms.tokens(docs, idCol, textCol)
-      .repartition(nPart, col(idCol), col("token"))
+      .repartition(nPart, col(idCol))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     try {
@@ -178,20 +191,61 @@ object LexIndexStore {
       // `backfillIds` rides through from the GROW path so a pre-sidecar
       // store's first grow seeds the fold from the COMPLETE stored-id
       // set, never from its own increment (IdSidecar.append's contract).
-      graft.tools.PhaseTimer("lex_sidecar_append") {
-        IdSidecar.append(indexPath, dl0.select(col(idCol)), idCol, engine,
-          backfillFrom = backfillIds)
-      }
-      graft.tools.PhaseTimer("lex_doclens_append") {
-        engine.append(doclensPath(indexPath), dl)
-      }
-      // cluster by bucket before the partitioned write (the AnnIndexStore
-      // save rationale: unclustered, every task sprays a file into every
-      // tb=N/ directory)
-      graft.tools.PhaseTimer("lex_postings_append") {
-        engine.appendPartitioned(postingsPath(indexPath),
-          tf.withColumn("tb", tokenBucket(col("token"), nBuckets))
-            .repartition(col("tb")), "tb")
+      //
+      // Round-16: the contract orders the COMMITS, not the staging
+      // writes — so on the manifest engine the doclens and postings
+      // files STAGE concurrently (background Spark jobs over the pinned
+      // tf) while the sidecar append runs, and only the manifest
+      // publishes keep the sidecar → doclens → postings order (guide
+      // §2.6 overlap; a staging failure aborts with ZERO of the three
+      // committed — strictly tighter than the sequential form's
+      // partial-commit window, and the orphaned staged files are the
+      // same crashed-append debris GC already reclaims).
+      val postingsFrame = tf
+        .withColumn("tb", tokenBucket(col("token"), nBuckets))
+        .repartition(col("tb"))
+      val spark = docs.sparkSession
+      engine match {
+        case m: graft.sinks.ManifestMergeEngine =>
+          val dlStaged = StagePool.submit(spark)(
+            m.stageAppend(spark, doclensPath(indexPath), dl, None))
+          val postStaged = StagePool.submit(spark)(
+            m.stageAppend(spark, postingsPath(indexPath), postingsFrame,
+              Some("tb")))
+          try {
+            graft.tools.PhaseTimer("lex_sidecar_append") {
+              IdSidecar.append(indexPath, dl0.select(col(idCol)), idCol,
+                engine, backfillFrom = backfillIds,
+                // bucket sizing only — saves the seed path's own count pass
+                knownIdCount = Some(nDocsEst))
+            }
+            graft.tools.PhaseTimer("lex_doclens_append") {
+              m.commitStaged(spark, StagePool.get(dlStaged))
+            }
+            graft.tools.PhaseTimer("lex_postings_append") {
+              m.commitStaged(spark, StagePool.get(postStaged))
+            }
+          } finally {
+            // an abort must not leave a staging job running against the
+            // checkpointed tf the finally below is about to release
+            StagePool.awaitQuietly(dlStaged)
+            StagePool.awaitQuietly(postStaged)
+          }
+        case _ =>
+          graft.tools.PhaseTimer("lex_sidecar_append") {
+            IdSidecar.append(indexPath, dl0.select(col(idCol)), idCol, engine,
+              backfillFrom = backfillIds, knownIdCount = Some(nDocsEst))
+          }
+          graft.tools.PhaseTimer("lex_doclens_append") {
+            engine.append(doclensPath(indexPath), dl)
+          }
+          // cluster by bucket before the partitioned write (the
+          // AnnIndexStore save rationale: unclustered, every task sprays
+          // a file into every tb=N/ directory)
+          graft.tools.PhaseTimer("lex_postings_append") {
+            engine.appendPartitioned(postingsPath(indexPath), postingsFrame,
+              "tb")
+          }
       }
     } finally Dedup.releaseLocalCheckpoint(tf)
   }
@@ -362,13 +416,18 @@ object LexIndexStore {
         .localCheckpoint(true)
     }
     try {
-      if (!fresh.isEmpty) {
+      // one count replaces the isEmpty probe AND the append's
+      // partition-sizing pass (round-16): same job count when the batch
+      // is empty, one less when it isn't
+      val freshCount = fresh.count()
+      if (freshCount > 0) {
         // grow path: hand the complete stored-id frame down so a
         // pre-sidecar store backfills instead of mis-seeding from the
         // increment (the doclens table physically keeps tombstoned docs
         // until purge, so it IS the complete stored-id set)
         appendCorpus(indexPath, fresh, idCol, textCol, meta.nBuckets, engine,
-          metadata, backfillIds = Some(existing.select(col(idCol))))
+          metadata, backfillIds = Some(existing.select(col(idCol))),
+          knownDocCount = Some(freshCount))
         // recompute, don't ±delta: heals a prior crash-before-meta too
         graft.tools.PhaseTimer("lex_meta_refresh") {
           refreshMeta(spark, indexPath, meta.nBuckets, meta.idCol, engine,
@@ -572,14 +631,15 @@ object LexIndexStore {
     // day a backend reorders columns or a metadata column is named "dl"
     val idCol = meta.idCol
     val qt = Terms.queryTerms(queries, qidCol, qtextCol)
-    val qTokens = qt.select("token").distinct().collect()
-      .map(_.getString(0)).toSeq
-    val buckets = if (qTokens.isEmpty) Seq.empty[Int]
-    else spark.createDataFrame(
-      java.util.Arrays.asList(qTokens.map(Row(_)): _*),
-      StructType(Seq(StructField("token", StringType, nullable = false))))
-      .select(tokenBucket(col("token"), meta.nBuckets)).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE collect yields both the query vocabulary and its bucket ids —
+    // the bucket expression is evaluated Spark-side on the same frame
+    // (never a driver-side hash reimplementation), just in the same job
+    // as the token collect instead of a second one (round-16)
+    val tokRows = qt.select(col("token"),
+        tokenBucket(col("token"), meta.nBuckets).as("tb"))
+      .distinct().collect()
+    val qTokens = tokRows.map(_.getString(0)).toSeq
+    val buckets = tokRows.map(_.getInt(1)).distinct.toSeq
     val pruned = postings
       .filter(col("tb").isin(buckets: _*) && col("token").isin(qTokens: _*))
       .drop("tb")

@@ -69,9 +69,14 @@ object TrainingExport {
           try {
             // partition-pruned probe of the shared sb=/bb= state layout
             // (Dedup.statePairsPlan scaladoc); materialized BEFORE the
-            // state grows since the plan reads the state directories
-            val pairs = Dedup.statePairsPlan(s, incSigs, incBuckets,
-              dedupStateDir, numHashes, minJaccard, nStateBuckets)
+            // state grows since the plan reads the state directories.
+            // ONE state read serves probe AND growth (round-16 — the
+            // streamingMinhashDedup rationale; each read is two driver
+            // collects over the increment)
+            val st = Dedup.readState(s, incSigs, incBuckets, dedupStateDir,
+              nStateBuckets)
+            val pairs = Dedup.statePairsPlan(incSigs, incBuckets, st,
+              numHashes, minJaccard)
               .localCheckpoint(true)
             // pairs' blocks release in a finally scoped to its use: a
             // throw in the gates/clean checkpoint below used to skip the
@@ -89,7 +94,7 @@ object TrainingExport {
                 // state grows with kept AND dropped docs — chains must
                 // keep collapsing across batches; replay healing and the
                 // pruned self-filters are growState's contract
-                Dedup.growState(s, incSigs, incBuckets, dedupStateDir,
+                Dedup.growState(s, incSigs, incBuckets, st, dedupStateDir,
                   nStateBuckets)
                 // gates on the redacted text, x23's order, then the split
                 // (pairs stays pinned until this materializes — kept

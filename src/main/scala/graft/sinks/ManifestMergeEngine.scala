@@ -301,10 +301,87 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
         appendPartitioning(prev, batch, "conditionalOverwrite"))
     }
 
+  /** STAGE an append's files without committing them (pairs with
+    * [[commitStaged]]) — the separation that lets a multi-table grow path
+    * overlap its independent staging WRITES (the expensive Spark jobs)
+    * while keeping the COMMIT order its crash contract demands
+    * (guide-§2.6 overlap: publish order is what degradation semantics
+    * hang on, not staging order). The staged files live under `data/`
+    * with a unique commit prefix — invisible to every reader until the
+    * manifest publishes, reclaimed as orphans by GC if the commit never
+    * happens (exactly a crashed append's window, which the contract
+    * already tolerates; an abort-before-any-commit is strictly SAFER
+    * than the sequential form's partial-commit window).
+    *
+    * `partCol` = Some requires the table be on that layout already (or
+    * empty); None stages under the table's existing layout like
+    * [[append]] does. Layout is re-validated at commit time against the
+    * snapshot actually committed over.
+    */
+  def stageAppend(spark: SparkSession, path: String, batch: DataFrame,
+      partCol: Option[String]): StagedAppend = {
+    val fs = fileSystem(spark, path)
+    val prev = currentManifest(fs, path)
+    val layout = partCol match {
+      case Some(pc) =>
+        require(batch.columns.contains(pc),
+          s"stageAppend($pc) requires the batch to carry $pc")
+        prev.map(_.files).filter(_.nonEmpty).foreach { fls =>
+          require(manifestPartitionCol(fls).contains(pc),
+            s"stageAppend($pc) on a table whose layout is " +
+              s"${manifestPartitionCol(fls).getOrElse("flat")}")
+        }
+        Some(pc)
+      case None => appendPartitioning(prev, batch, "stageAppend")
+    }
+    StagedAppend(path, stageFiles(spark, path, batch, layout), layout)
+  }
+
+  /** Publish a [[stageAppend]]'s files: append them to the CURRENT
+    * manifest (CAS-retried; a retry re-carries the new snapshot's files —
+    * no re-staging, appends never read). Layout is re-validated against
+    * the snapshot committed over, so a concurrent layout change fails
+    * loudly instead of poisoning partition discovery.
+    */
+  def commitStaged(spark: SparkSession, staged: StagedAppend): Unit =
+    retryingCommit(spark, staged.path) { prev =>
+      val existing = prev.map(_.files).getOrElse(Seq.empty)
+      if (existing.nonEmpty) {
+        val have = manifestPartitionCol(existing)
+        require(have == staged.partCol ||
+            (staged.partCol.isEmpty && have.isEmpty),
+          s"commitStaged at ${staged.path}: table layout is " +
+            s"${have.getOrElse("flat")} but the staged files are " +
+            s"${staged.partCol.getOrElse("flat")}")
+      }
+      existing ++ staged.files
+    }
+
   /** Current snapshot of a manifest table (readers' entry point). */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = fileSystem(spark, path)
     currentManifest(fs, path).flatMap(m => readFiles(spark, path, m.files))
+  }
+
+  /** Cheap identity of the table's CURRENT committed snapshot — (version,
+    * newest-log-segment mtime), resolved from the log listing alone (no
+    * data read, no Spark job). The mtime component guards the
+    * delete-and-recreate case: a table torn down and rebuilt at the same
+    * path restarts version numbering, so version alone would alias two
+    * unrelated snapshots. Drives the driver-side scalar-metadata cache
+    * ([[MetaCache]]) — the Delta SnapshotManagement posture.
+    */
+  def snapshotToken(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val fs = fileSystem(spark, path)
+    val (ms, ds) = listLog(fs, path)
+    val all = ms ++ ds
+    if (all.isEmpty) None
+    else {
+      val v = all.max
+      val p = if (ds.contains(v)) deltaPath(path, v) else checkpointPath(path, v)
+      try Some((v, fs.getFileStatus(p).getModificationTime))
+      catch { case _: java.io.IOException => None }
+    }
   }
 
   private def readPrev(spark: SparkSession, path: String,
@@ -416,6 +493,13 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
 object ManifestMergeEngine {
 
   final case class Manifest(version: Long, files: Seq[String])
+
+  /** A [[ManifestMergeEngine.stageAppend]]'s result: files staged under
+    * `path`'s data/ (not yet referenced by any manifest) and the layout
+    * they were staged under.
+    */
+  final case class StagedAppend(path: String, files: Seq[String],
+      partCol: Option[String])
 
   private def dataRoot(path: String) = new Path(path, "data")
   private def manifestDir(path: String) = new Path(path, "_manifests")
@@ -539,6 +623,26 @@ object ManifestMergeEngine {
       partitionBy: Option[String]): Seq[String] = {
     val fs = fileSystem(spark, path)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
+    // Driver-local frames (1-row meta, subtotal caches, model matrices)
+    // write on the DRIVER — no Spark job for rows that never left it (the
+    // Delta/Iceberg commit-metadata posture). The file lands directly
+    // under data/ with this commit's unique prefix: until the manifest
+    // publishes it is exactly as invisible as a staged file, and a crash
+    // strands an orphan the next GC removes — the same guarantee the
+    // staging dir gives the executor path. Empty and partitioned frames
+    // keep the Spark path (file-count parity with the historical writer).
+    if (partitionBy.isEmpty) {
+      LocalParquet.localRows(df) match {
+        case Some((schema, rows)) =>
+          val data = dataRoot(path)
+          fs.mkdirs(data)
+          val rel = s"c$commitId-part-00000-local.parquet"
+          LocalParquet.write(spark, schema, rows, new Path(data, rel),
+            spark.sparkContext.hadoopConfiguration)
+          return Seq(rel)
+        case None => ()
+      }
+    }
     val staging = new Path(path, s"_staging_$commitId")
     val writer = df.write.mode(SaveMode.Overwrite)
     partitionBy.fold(writer)(writer.partitionBy(_)).parquet(staging.toString)

@@ -93,11 +93,15 @@ object F1Pipeline {
     * session conf — [[TableSink]] mutates nothing session-wide), and Spark
     * schedules jobs submitted from multiple threads concurrently, so the 8
     * per-batch loads overlap instead of serializing their driver/commit
-    * latencies. Sized below the table count on purpose: the win is
-    * overlapping per-job fixed costs, not oversubscribing the executor.
+    * latencies. Sized to the table count (round-16; was 4): each sink job
+    * is a small keyed merge whose cost is DRIVER/commit latency, not
+    * executor compute, so a batch that touches all eight tables was
+    * paying two serialized rounds — overlapping all of them cuts the
+    * trigger wall to ~the slowest single merge without oversubscribing
+    * the executor (the jobs' task counts are tiny).
     */
   private lazy val sinkPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(4,
+    java.util.concurrent.Executors.newFixedThreadPool(8,
       (r: Runnable) => {
         val t = new Thread(r, "graft-sink"); t.setDaemon(true); t
       })

@@ -24,6 +24,15 @@ object Harness {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // File listing below this path count happens driver-side (µs on
+      // any FS metadata service) instead of launching a distributed
+      // listing JOB (~100 ms fixed): the manifest stores re-plan their
+      // file lists on every trigger/search, and the default threshold
+      // (32) put a listing job in front of every post-growth postings/
+      // doclens read. At production file counts (>1024/table) the
+      // parallel path still engages — this moves the crossover, not the
+      // mechanism (guide §6 small-files/listing).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       // events.parquet carries TIMESTAMP(NANOS) which Spark can only read
       // as raw nanos longs (see graft.tables.Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
