@@ -158,6 +158,9 @@ object AnnIndexStore {
     // encoded (the appendEncoded rationale).
     engine match {
       case me: graft.sinks.ManifestMergeEngine =>
+        val sidecarStaged = StagePool.submit(spark)(
+          IdSidecar.stageAppend(indexPath, ivf.assigned.select(col(idCol)),
+            idCol, me))
         val aStaged = StagePool.submit(spark)(
           me.stageAppend(spark, assignedPath(indexPath), assignedFrame,
             Some("cid")))
@@ -165,11 +168,12 @@ object AnnIndexStore {
           me.stageAppend(spark, encodedPath(indexPath), encodedFrame,
             Some("cid")))
         try {
-          IdSidecar.append(indexPath, ivf.assigned.select(col(idCol)), idCol,
-            engine)
+          IdSidecar.commitStaged(spark, indexPath, me,
+            StagePool.get(sidecarStaged))
           me.commitStaged(spark, StagePool.get(aStaged))
           me.commitStaged(spark, StagePool.get(eStaged))
         } finally {
+          StagePool.awaitQuietly(sidecarStaged)
           StagePool.awaitQuietly(aStaged)
           StagePool.awaitQuietly(eStaged)
         }
@@ -307,6 +311,10 @@ object AnnIndexStore {
     // commits, strictly tighter than the sequential partial window).
     engine match {
       case me: graft.sinks.ManifestMergeEngine =>
+        val sidecarStaged = StagePool.submit(spark)(
+          IdSidecar.stageAppend(indexPath, newAssigned0.select(col(corpusId)),
+            corpusId, me,
+            backfillFrom = stored.map(_.select(col(corpusId)))))
         val aStaged = StagePool.submit(spark)(
           me.stageAppend(spark, assignedPath(indexPath), assignedFrame,
             Some("cid")))
@@ -315,9 +323,8 @@ object AnnIndexStore {
             Some("cid")))
         try {
           graft.tools.PhaseTimer("ann_sidecar_append") {
-            IdSidecar.append(indexPath, newAssigned0.select(col(corpusId)),
-              corpusId, engine,
-              backfillFrom = stored.map(_.select(col(corpusId))))
+            IdSidecar.commitStaged(spark, indexPath, me,
+              StagePool.get(sidecarStaged))
           }
           graft.tools.PhaseTimer("ann_assigned_append") {
             me.commitStaged(spark, StagePool.get(aStaged))
@@ -326,6 +333,7 @@ object AnnIndexStore {
             me.commitStaged(spark, StagePool.get(eStaged))
           }
         } finally {
+          StagePool.awaitQuietly(sidecarStaged)
           StagePool.awaitQuietly(aStaged)
           StagePool.awaitQuietly(eStaged)
         }

@@ -160,13 +160,70 @@ private[graft] object IdSidecar {
           seed.withColumn("ib", ib(idCol, b))
             .repartition(col("ib"))
             .sortWithinPartitions(col("ib"), col(idCol)), "ib")
-        val schema = StructType(Seq(StructField("buckets", IntegerType,
-          nullable = false)))
-        engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
-          java.util.Collections.singletonList(
-            org.apache.spark.sql.Row(b)), schema).coalesce(1))
+        writeBucketsMeta(spark, indexPath, b, engine)
     }
   }
+
+  private def writeBucketsMeta(spark: SparkSession, indexPath: String,
+      b: Int, engine: MergeEngine): Unit = {
+    val schema = StructType(Seq(StructField("buckets", IntegerType,
+      nullable = false)))
+    engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(b)), schema).coalesce(1))
+  }
+
+  /** Staged form of [[append]]'s WRITE work, for grow paths that overlap
+    * their independent staging jobs and keep only the manifest COMMITS in
+    * contract order (the [[LexIndexStore.appendCorpus]] round-16
+    * rationale). [[stageAppend]] runs the Spark write (pending-log file
+    * in steady state; the folded seed layout on first contact) with
+    * nothing published; [[commitStaged]] publishes — sidecar-first
+    * ordering is then the caller's commit ordering, and the seed's
+    * folded-before-meta ordering is preserved inside commitStaged (meta
+    * is a driver-local write, published last exactly as [[append]] does).
+    */
+  private[graft] sealed trait Staged
+  private[graft] final case class PendingStaged(
+      staged: graft.sinks.ManifestMergeEngine.StagedAppend) extends Staged
+  private[graft] final case class SeedStaged(
+      staged: graft.sinks.ManifestMergeEngine.StagedAppend,
+      buckets: Int) extends Staged
+
+  private[graft] def stageAppend(indexPath: String, ids: DataFrame,
+      idCol: String, engine: graft.sinks.ManifestMergeEngine,
+      backfillFrom: Option[DataFrame] = None,
+      knownIdCount: Option[Long] = None): Staged = {
+    require(idCol != "ib",
+      "id column may not be named 'ib' (reserved for the sidecar bucket)")
+    val spark = ids.sparkSession
+    readBuckets(spark, indexPath, engine) match {
+      case Some(_) =>
+        PendingStaged(engine.stageAppend(spark, pendingPath(indexPath),
+          ids.select(col(idCol)).coalesce(1), None))
+      case None =>
+        val seed = backfillFrom.fold(ids.select(col(idCol)))(stored =>
+          stored.select(col(idCol)).unionByName(ids.select(col(idCol))))
+        val b = sizeBuckets(
+          if (backfillFrom.isEmpty && knownIdCount.isDefined) knownIdCount.get
+          else seed.count())
+        SeedStaged(engine.stageAppend(spark, path(indexPath),
+          seed.withColumn("ib", ib(idCol, b))
+            .repartition(col("ib"))
+            .sortWithinPartitions(col("ib"), col(idCol)), Some("ib")), b)
+    }
+  }
+
+  private[graft] def commitStaged(spark: SparkSession, indexPath: String,
+      engine: graft.sinks.ManifestMergeEngine, staged: Staged): Unit =
+    staged match {
+      case PendingStaged(st) => engine.commitStaged(spark, st)
+      case SeedStaged(st, b) =>
+        // folded layout FIRST, ids_meta LAST — the seed commit-order
+        // contract [[append]] documents
+        engine.commitStaged(spark, st)
+        writeBucketsMeta(spark, indexPath, b, engine)
+    }
 
   /** Increments at or below this id count probe by LITERAL `id IN (…)`
     * pushed to the parquet reader — with [[compact]] sorting each folded

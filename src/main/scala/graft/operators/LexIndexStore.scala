@@ -207,6 +207,11 @@ object LexIndexStore {
       val spark = docs.sparkSession
       engine match {
         case m: graft.sinks.ManifestMergeEngine =>
+          val sidecarStaged = StagePool.submit(spark)(
+            IdSidecar.stageAppend(indexPath, dl0.select(col(idCol)), idCol,
+              m, backfillFrom = backfillIds,
+              // bucket sizing only — saves the seed path's own count pass
+              knownIdCount = Some(nDocsEst)))
           val dlStaged = StagePool.submit(spark)(
             m.stageAppend(spark, doclensPath(indexPath), dl, None))
           val postStaged = StagePool.submit(spark)(
@@ -214,10 +219,8 @@ object LexIndexStore {
               Some("tb")))
           try {
             graft.tools.PhaseTimer("lex_sidecar_append") {
-              IdSidecar.append(indexPath, dl0.select(col(idCol)), idCol,
-                engine, backfillFrom = backfillIds,
-                // bucket sizing only — saves the seed path's own count pass
-                knownIdCount = Some(nDocsEst))
+              IdSidecar.commitStaged(spark, indexPath, m,
+                StagePool.get(sidecarStaged))
             }
             graft.tools.PhaseTimer("lex_doclens_append") {
               m.commitStaged(spark, StagePool.get(dlStaged))
@@ -228,6 +231,7 @@ object LexIndexStore {
           } finally {
             // an abort must not leave a staging job running against the
             // checkpointed tf the finally below is about to release
+            StagePool.awaitQuietly(sidecarStaged)
             StagePool.awaitQuietly(dlStaged)
             StagePool.awaitQuietly(postStaged)
           }

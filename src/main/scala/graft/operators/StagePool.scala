@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * commits stay in contract order. Small on purpose: 2-3 jobs in flight
   * fill the scheduler's tail without fighting the foreground job.
   */
-private[operators] object StagePool {
+private[graft] object StagePool {
 
   private lazy val pool = Executors.newFixedThreadPool(3, (r: Runnable) => {
     val t = new Thread(r, "graft-stage"); t.setDaemon(true); t
