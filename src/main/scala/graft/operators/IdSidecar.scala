@@ -171,6 +171,9 @@ private[graft] object IdSidecar {
     engine.overwrite(spark, metaPath(indexPath), spark.createDataFrame(
       java.util.Collections.singletonList(
         org.apache.spark.sql.Row(b)), schema).coalesce(1))
+    // write-through: the very next probe/append reads the modulus back
+    graft.sinks.MetaCache.put(spark, metaPath(indexPath), "ids_meta",
+      engine, Some(b): Option[Int])
   }
 
   /** Staged form of [[append]]'s WRITE work, for grow paths that overlap

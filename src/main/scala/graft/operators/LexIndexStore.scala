@@ -306,6 +306,11 @@ object LexIndexStore {
       val m = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       engine.overwrite(spark, metaPath(indexPath),
         metaRow(spark, m.getLong(0), m.getLong(1), nBuckets, idColName))
+      // write-through: the next trigger/search's readMeta would miss the
+      // snapshot cache (meta's version advances every refresh) for a
+      // value this writer has in hand
+      graft.sinks.MetaCache.put(spark, metaPath(indexPath), "lex_meta",
+        engine, Meta(m.getLong(0), m.getLong(1), nBuckets, idColName))
       return
     }
     // key on the content-addressed basename: inputFiles and
@@ -365,6 +370,9 @@ object LexIndexStore {
     }
     engine.overwrite(spark, metaPath(indexPath),
       metaRow(spark, nDocs, sumDl, nBuckets, idColName))
+    // write-through — the direct-path rationale above
+    graft.sinks.MetaCache.put(spark, metaPath(indexPath), "lex_meta",
+      engine, Meta(nDocs, sumDl, nBuckets, idColName))
   }
 
   /** Build a fresh index at `indexPath` (must not already hold one — a

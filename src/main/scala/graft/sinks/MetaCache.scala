@@ -41,4 +41,26 @@ private[graft] object MetaCache {
       }
     case _ => compute
   }
+
+  /** Populate the cache at WRITE time with the value the writer just
+    * committed — a maintenance pass that overwrites scalar metadata (a
+    * streaming trigger's meta refresh) advances the snapshot version on
+    * every trigger, so read-side caching alone misses once per trigger
+    * for a value the writer had in hand. The token is resolved AFTER the
+    * commit, so the entry maps the exact committed snapshot; a
+    * concurrent commit between the write and the token read would at
+    * worst cache the newer snapshot's key with this value — impossible
+    * under the stores' single-maintainer contract, and self-healing
+    * anyway (the losing entry is keyed to a version whose next read
+    * recomputes through [[cached]] only if absent).
+    */
+  def put[T <: AnyRef](spark: SparkSession, path: String, kind: String,
+      engine: MergeEngine, value: T): Unit = engine match {
+    case m: ManifestMergeEngine =>
+      m.snapshotToken(spark, path).foreach { case (v, mtime) =>
+        if (cache.size() > MaxEntries) cache.clear()
+        cache.put((path, kind, v, mtime), value)
+      }
+    case _ => ()
+  }
 }
