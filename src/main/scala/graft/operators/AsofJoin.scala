@@ -198,7 +198,11 @@ object AsofJoin {
           val freshLeft =
             try StagePool.get(freshLeftF)
             catch { case e: Throwable =>
-              StagePool.awaitQuietly(freshRightF); throw e
+              // release the sibling's checkpoint if it was built
+              // (round-17 advice fix), don't just await it
+              StagePool.awaitValueQuietly(freshRightF)
+                .foreach(graft.operators.Dedup.releaseLocalCheckpoint)
+              throw e
             }
           val freshRight =
             try StagePool.get(freshRightF)

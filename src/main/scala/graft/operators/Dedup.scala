@@ -432,7 +432,12 @@ object Dedup {
       .localCheckpoint(true))
     val newBuckets =
       try StagePool.get(newBucketsF)
-      catch { case e: Throwable => StagePool.awaitQuietly(newSigsF); throw e }
+      catch { case e: Throwable =>
+        // the sibling may have checkpointed successfully — release its
+        // blocks, don't just await (round-17 advice fix)
+        StagePool.awaitValueQuietly(newSigsF).foreach(releaseLocalCheckpoint)
+        throw e
+      }
     val newSigs =
       try StagePool.get(newSigsF)
       catch { case e: Throwable =>
@@ -597,7 +602,16 @@ object Dedup {
       .select("h")
     val dupWin = hashed.join(dupHashes, "h")
     val okWin =
-      if (verify) verifySpanWindows(docs, idCol, textCol, dupWin, n, minDocs)
+      if (verify)
+        // the verify pass reads the flagged windows through THREE
+        // consumers (the flagged-doc semi-join, the gram attach, and the
+        // regroup's final join reads grams twice more) — unpinned, each
+        // replays the corpus-wide positional-hash explode plus the
+        // frequency join (round-17). O(flagged) rows, the exact frame
+        // the verify contract already bounds; pin released with the
+        // returned plan (the containmentDecontaminate precedent).
+        verifySpanWindows(docs, idCol, textCol,
+          dupWin.localCheckpoint(true), n, minDocs)
       else dupWin
     val dupPos = okWin
       .select(col("doc_id"), col("pos").as("start"),
@@ -653,11 +667,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
       .join(windows.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
     // a planted/out-of-range window yields a null gram, which the inner
-    // regroup join then drops — null can never be "verified verbatim"
+    // regroup join then drops — null can never be "verified verbatim".
+    // Pinned: grams feeds BOTH the (h, gram) threshold count and the
+    // final verify join — unpinned, the text-attach join and gram
+    // kernel run twice (round-17); O(flagged windows) rows.
     val grams = windows.join(flaggedText, Seq("doc_id"))
       .select(col("doc_id"), col("pos"), col("h"),
         graft.functions.TextVectorExpressions
           .token_gram(col("_text"), n, col("pos")).as("_gram"))
+      .localCheckpoint(true)
     val okKeys = grams.groupBy("h", "_gram")
       .agg(countDistinct("doc_id").as("_nd"))
       .filter(col("_nd") >= minDocs)
@@ -809,12 +827,15 @@ object Dedup {
             "id", "v", eff, iters)
             .assigned.select(col("id"), col("cid").as("_subcid"))
         }
-      }.map(StagePool.get)
+      }
+      // await-all abort discipline: a failed training must not leave the
+      // sibling trainings running against frames the caller releases
+      val subMapsDone = StagePool.getAll(subMaps)
       // disjoint partitions → one union, ONE corpus-wide reassignment
       // join per level; checkpoint cuts the per-level lineage the next
       // level's Lloyd passes would otherwise replay iters× over
       assigned = assigned
-        .join(subMaps.reduce(_ union _), Seq("id"), "left")
+        .join(subMapsDone.reduce(_ union _), Seq("id"), "left")
         .withColumn("part", when(col("_subcid").isNotNull,
           concat(col("part"), lit("."), col("_subcid"))).otherwise(col("part")))
         .drop("_subcid")
@@ -966,8 +987,18 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // label init FUSED with the first propagation round (round-17): from
+    // identity labels, round 1's closed-neighborhood minimum is exactly
+    // least(id, min(neighbor)) — one aggregation over edges instead of a
+    // distinct-init checkpoint plus a full join+groupBy+halving round.
+    // The seeded labels still form a decreasing forest (every label is a
+    // component member ≤ its node), labels only decrease from here, and
+    // the loop still runs to its changed==0 fixpoint — so the fixpoint
+    // (component minimum per node) is unchanged; the loop just starts one
+    // round further along.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L

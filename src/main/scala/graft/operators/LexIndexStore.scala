@@ -150,9 +150,20 @@ object LexIndexStore {
     // callers that already counted the increment (the grow path counts
     // it for the empty-batch check) so sizing costs no extra pass.
     val nDocsEst = knownDocCount.getOrElse(docs.select(col(idCol)).count())
-    val nPart = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      math.min(4096L, nDocsEst / 16384L).toInt)
+    // Partition count derived from the INCREMENT SIZE, not floored at
+    // spark.sql.shuffle.partitions (round-17, guide §2 "make partitioning
+    // scale-adaptive rather than a constant tuned for local mode or the
+    // cluster"): the old `max(shufflePartitions, …)` floor made every
+    // micro-batch trigger shuffle into `cores` partitions regardless of
+    // batch size, so the per-trigger task count GREW with local core
+    // count (the round-16 scaling block's anti-scaling family) while the
+    // tf checkpoint's 32 partitions taxed every downstream consumer's
+    // map stage. ~2k docs/partition keeps per-task partial-agg state an
+    // order of magnitude under the round-14 heap bound (≈0.1M postings/
+    // task at the probe's 48-token salad) and still fans out past any
+    // realistic core count for big appends (cap 4096 as before).
+    val nPart = math.max(1L, math.min(4096L,
+      (nDocsEst + 2047L) / 2048L)).toInt
     val tf = Terms.tokens(docs, idCol, textCol)
       .repartition(nPart, col(idCol))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))

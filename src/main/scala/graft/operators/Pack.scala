@@ -33,6 +33,26 @@ object Pack {
     spansOf(cumToks(docs, idCol, textCol), idCol, budget)
   }
 
+  /** Per-group pack manifest in ONE pass: for each distinct `keyCol`
+    * value (a split/source label — bounded-cardinality by the
+    * [[Prefix.cumsumLongByKey]] contract), exactly the manifest
+    * [[packSequences]] would produce over that group's rows alone
+    * (seq_ids restart at 0 per group). One keyed cumsum + one span
+    * explode replaces one full sort+checkpoint+totals pass PER GROUP —
+    * the x43 release path packs train/val/test in one corpus pass
+    * instead of three (round-17, guide §1.2 fewer passes).
+    */
+  def packSequencesByKey(docs: DataFrame, keyCol: String, idCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val toks = docs
+      .select(col(keyCol), col(idCol),
+        TextOps.wsTokenCount(col(textCol)).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    spansOf(Prefix.cumsumLongByKey(toks, keyCol, Seq(col(idCol)), "n_toks",
+      "tok_end_global"), idCol, budget, extraCols = Seq(keyCol))
+  }
+
   /** Incremental pack: manifest spans for `docs` CONTINUING an existing
     * pack — the corpus-growth path (repacking 100 TB because 1 TB
     * arrived is the O(corpus)-per-increment shape this avoids). The
@@ -175,19 +195,20 @@ object Pack {
     Prefix.cumsumLong(toks, Seq(idCol), "n_toks", "tok_end_global")
   }
 
-  private def spansOf(cum: DataFrame, idCol: String, budget: Int): DataFrame =
+  private def spansOf(cum: DataFrame, idCol: String, budget: Int,
+      extraCols: Seq[String] = Nil): DataFrame =
     cum
       .withColumn("tok_start_global",
         col("tok_end_global") - col("n_toks"))
       .withColumn("seq_id", explode(sequence(
         expr(s"tok_start_global div $budget"),
         expr(s"(tok_end_global - 1) div $budget"))))
-      .select(col(idCol), col("seq_id"),
+      .select(extraCols.map(col) ++ Seq(col(idCol), col("seq_id"),
         greatest(lit(0L),
           col("seq_id") * budget - col("tok_start_global")).as("tok_start"),
         (least(col("tok_end_global"), (col("seq_id") + 1) * budget)
           - col("tok_start_global")).as("tok_end"),
-        col("n_toks"))
+        col("n_toks")): _*)
 
   private final case class PackState(prevBase: Long, highWater: Long,
       maxId: Long, lastMinId: Long, lastTotal: Long)

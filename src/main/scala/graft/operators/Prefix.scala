@@ -47,11 +47,19 @@ object Prefix {
       outCol: String, numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "cumsum needs a total order")
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ordered = df
+    // numPartitions=0 (the default) leaves the count to AQE: a
+    // range-repartition WITHOUT an explicit number is REPARTITION_BY_COL,
+    // which AQE's partition coalescing is allowed to shrink by DATA SIZE
+    // (adjacent ranges merge, so partitions stay contiguous in the total
+    // order — the invariant steps 2–3 need). The old default pinned
+    // `spark.sql.shuffle.partitions` partitions into the checkpoint, so
+    // every downstream read of a tiny cumsum paid a core-count-sized map
+    // stage (round-17, guide §2 scale-adaptive partitioning).
+    val base = df
       .withColumn(valueCol, coalesce(col(valueCol).cast(LongType), lit(0L)))
-      .repartitionByRange(n, orderCols.map(col): _*)
+    val ordered = (if (numPartitions > 0)
+        base.repartitionByRange(numPartitions, orderCols.map(col): _*)
+      else base.repartitionByRange(orderCols.map(col): _*))
       .sortWithinPartitions(orderCols.map(col): _*)
       .localCheckpoint(true)
     val vIdx = ordered.schema.fieldIndex(valueCol)
@@ -126,12 +134,15 @@ object Prefix {
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "cumsum needs a total order")
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sortExprs = col(keyCol) +: orderCols
-    val ordered = df
+    // AQE-sized by default — the cumsumLong rationale (adjacent-range
+    // coalescing preserves the key-then-order contiguity the per-key
+    // offset seeding depends on)
+    val base = df
       .withColumn(valueCol, coalesce(col(valueCol).cast(LongType), lit(0L)))
-      .repartitionByRange(n, sortExprs: _*)
+    val ordered = (if (numPartitions > 0)
+        base.repartitionByRange(numPartitions, sortExprs: _*)
+      else base.repartitionByRange(sortExprs: _*))
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint(true)
     val vIdx = ordered.schema.fieldIndex(valueCol)

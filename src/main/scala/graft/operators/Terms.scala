@@ -338,9 +338,17 @@ object Terms {
     require(keepBuckets >= 1 && keepBuckets <= nBuckets,
       s"keepBuckets must be in [1, $nBuckets]")
     // the 4-decimal double is k/10000.0 for exact integer k; the
-    // round-trip recovers k exactly (|k| far below the 2^52 guard)
+    // round-trip recovers k exactly (|k| far below the 2^52 guard).
+    // PINNED: `scored` is typically an expensive scoring plan (the KN
+    // composition joins five model tables) and this frame has THREE
+    // consumers (freq, the n total under it, and the final bucket
+    // attach) — unpinned, the whole upstream scoring subtree executes
+    // three times over (round-17, seen in x97's plan: the 5-join KN
+    // block appeared verbatim 3×). One row per doc — proxy-sized; the
+    // ContextCleaner drops the pin with the returned plan.
     val s2 = scored.withColumn("_si",
       round(col(scoreCol) * 10000.0).cast("long"))
+      .localCheckpoint(true)
     val freq = s2.groupBy(col("_si")).agg(count(lit(1)).as("_f"))
     val nDf = freq.agg(sum(col("_f")).as("_n"))
     // prefix-sum window over the score-frequency frame ONLY (bounded by

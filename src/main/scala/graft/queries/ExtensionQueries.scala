@@ -1430,16 +1430,27 @@ object ExtensionQueries {
           .select(col("doc_id"), col("redacted"), col("split"))
           .localCheckpoint(true)
         try {
-          Seq("train", "val", "test").map { sp =>
-            Pack.packSequences(clean.filter(col("split") === sp),
-              "doc_id", "redacted", budget = 256)
-              .agg(count(lit(1)).as("n_spans"),
-                countDistinct(col("seq_id")).as("n_seqs"),
-                coalesce(sum(col("tok_end") - col("tok_start")), lit(0L))
-                  .as("n_tokens"))
-              .withColumn("split", lit(sp))
-          }.reduce(_ unionByName _)
-            .select("split", "n_spans", "n_seqs", "n_tokens")
+          // ONE keyed-cumsum pack pass over all three splits (round-17;
+          // Pack.packSequencesByKey produces per-split manifests
+          // identical to three independent packSequences runs — the
+          // per-key cumsum in id order IS each split's own token
+          // offset chain). The literal split frame keeps the frozen
+          // 3-row output shape even for an empty split, exactly like
+          // the old per-split agg-over-empty-frame union.
+          val spans = Pack.packSequencesByKey(clean, "split",
+            "doc_id", "redacted", budget = 256)
+          val aggs = spans.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_spans"),
+              countDistinct(col("seq_id")).as("n_seqs"),
+              coalesce(sum(col("tok_end") - col("tok_start")), lit(0L))
+                .as("n_tokens"))
+          import s.implicits._
+          Seq("train", "val", "test").toDF("split")
+            .join(aggs, Seq("split"), "left")
+            .select(col("split"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
             .orderBy("split")
             .localCheckpoint(true) // materialize before releasing `clean`
         } finally Dedup.releaseLocalCheckpoint(clean)
@@ -1877,7 +1888,9 @@ object ExtensionQueries {
           graft.operators.StagePool.submit(s)(
             graft.catalog.Profile.saveStats(lineitem, Seq("l_orderkey"),
               liStats, freqCols = Seq("l_orderkey"))))
-        statJobs.foreach(graft.operators.StagePool.get)
+        // await-all abort discipline (round-17): a failed stats pass must
+        // not leave the sibling passes running unawaited
+        graft.operators.StagePool.getAll(statJobs)
         val broadcastChosen = Skew.statsJoin(orders,
             customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
             "o_custkey", custStats, ordStats)

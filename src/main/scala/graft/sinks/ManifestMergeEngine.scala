@@ -364,12 +364,17 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
   }
 
   /** Cheap identity of the table's CURRENT committed snapshot — (version,
-    * newest-log-segment mtime), resolved from the log listing alone (no
-    * data read, no Spark job). The mtime component guards the
-    * delete-and-recreate case: a table torn down and rebuilt at the same
-    * path restarts version numbering, so version alone would alias two
-    * unrelated snapshots. Drives the driver-side scalar-metadata cache
-    * ([[MetaCache]]) — the Delta SnapshotManagement posture.
+    * newest-log-segment mtime ⊕ length-mix), resolved from the log
+    * listing alone (no data read, no Spark job). The second component
+    * guards the delete-and-recreate case: a table torn down and rebuilt
+    * at the same path restarts version numbering, so version alone would
+    * alias two unrelated snapshots. Folding the segment LENGTH into it
+    * (round-17 advice fix) covers coarse-mtime filesystems (s3a's
+    * second granularity), where a teardown-and-rebuild reaching the same
+    * version within one mtime unit would otherwise alias — two unrelated
+    * snapshots at the same version virtually never serialize to the
+    * byte-identical log segment. Drives the driver-side scalar-metadata
+    * cache ([[MetaCache]]) — the Delta SnapshotManagement posture.
     */
   def snapshotToken(spark: SparkSession, path: String): Option[(Long, Long)] = {
     val fs = fileSystem(spark, path)
@@ -379,8 +384,10 @@ final class ManifestMergeEngine(retainVersions: Int = 3,
     else {
       val v = all.max
       val p = if (ds.contains(v)) deltaPath(path, v) else checkpointPath(path, v)
-      try Some((v, fs.getFileStatus(p).getModificationTime))
-      catch { case _: java.io.IOException => None }
+      try {
+        val st = fs.getFileStatus(p)
+        Some((v, st.getModificationTime * 1000003L + st.getLen))
+      } catch { case _: java.io.IOException => None }
     }
   }
 

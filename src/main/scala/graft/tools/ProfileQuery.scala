@@ -36,10 +36,13 @@ object ProfileQuery {
           val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
           val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
           val verbose = sys.env.contains("GRAFT_PROFILE_JOBS")
+          val nTasks = new java.util.concurrent.atomic.AtomicInteger(0)
           val listener = new org.apache.spark.scheduler.SparkListener {
             val descs = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+            val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
             override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
               starts.put(js.jobId, js.time)
+              jobTasks.put(js.jobId, js.stageInfos.map(_.numTasks).sum)
               if (verbose) descs.put(js.jobId, Seq(
                   "spark.job.description", "callSite.short")
                 .map(k => Option(js.properties.getProperty(k)).getOrElse(""))
@@ -47,9 +50,11 @@ object ProfileQuery {
             }
             override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
               nJobs.incrementAndGet()
+              val t = Option(jobTasks.remove(je.jobId)).map(_.intValue).getOrElse(0)
+              nTasks.addAndGet(t)
               Option(starts.remove(je.jobId)).foreach { s =>
                 jobMs.addAndGet(je.time - s)
-                if (verbose) println(s"JOB ${je.jobId} ${je.time - s}ms " +
+                if (verbose) println(s"JOB ${je.jobId} ${je.time - s}ms ${t}t " +
                   Option(descs.remove(je.jobId)).getOrElse(""))
               }
             }
@@ -61,7 +66,8 @@ object ProfileQuery {
           Thread.sleep(300)
           spark.sparkContext.removeSparkListener(listener)
           println(f"""{"profile":"$name","rep":$i,"sec":$t%.3f,""" +
-            f""""jobs":${nJobs.get},"job_sec":${jobMs.get / 1000.0}%.3f}""")
+            f""""jobs":${nJobs.get},"tasks":${nTasks.get},""" +
+            f""""job_sec":${jobMs.get / 1000.0}%.3f}""")
         }
       }
     }
