@@ -531,10 +531,16 @@ object Dedup {
       if (exists(bucketsDir)) s.read.schema(bucketSchema).parquet(bucketsDir)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         bucketSchema)
-    val incSb = incSigs.select(stateSb(nStateBuckets).as("sb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val incBb = incBuckets.select(stateBb(nStateBuckets).as("bb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // ONE job yields both partition-filter sets (round-17; previously two
+    // driver collects per readState): every id in incSigs appears in
+    // incBuckets (bands >= 1 by requireBands), so the distinct sb set off
+    // the bucket frame equals the one off the sig frame, and both
+    // collect_sets are bounded by nStateBuckets.
+    val sets = incBuckets
+      .agg(collect_set(stateSb(nStateBuckets)).as("_sbs"),
+        collect_set(stateBb(nStateBuckets)).as("_bbs")).head()
+    val incSb = sets.getSeq[Int](0)
+    val incBb = sets.getSeq[Int](1)
     LshState(
       sigs = sigStore,
       prunedSigs =

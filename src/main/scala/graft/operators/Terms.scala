@@ -98,9 +98,12 @@ object Terms {
     */
   def unigramLogprob(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = tokens(docs, idCol, textCol)
+    // pinned — three consumers (model, total would be a second pass, and
+    // the score join); the dsirScore precedent (round-17)
+    val toks = tokens(docs, idCol, textCol).localCheckpoint(true)
     val model = toks.groupBy("token").agg(count(lit(1)).as("tok_n"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // occurrence total = the model's own mass, not a second corpus pass
+    val total = model.agg(coalesce(sum(col("tok_n")), lit(0L)).as("total"))
     // determinism convention (CoreQueries scaladoc): each token's score
     // is a pure double function of (tok_n, total) — identical on both
     // engines — rounded to 6 decimals and summed EXACTLY as DECIMAL
@@ -141,8 +144,15 @@ object Terms {
     require(lambda > 0 && lambda <= 1, s"lambda ($lambda) must be in (0, 1]")
     val toks = tokens(docs, idCol, textCol)
     val uni = toks.groupBy("token").agg(count(lit(1)).as("u_n"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // occurrence total = the unigram model's own mass — never a second
+    // corpus tokenize pass (round-17)
+    val total = uni.agg(coalesce(sum(col("u_n")), lit(0L)).as("total"))
     val arr = split(trim(col(textCol)), "\\s+")
+    // PINNED: the bigram stream has three consumers (the bigram model,
+    // the context model, and the score join) — unpinned, the corpus-wide
+    // explode ran three times per call (round-17; the trainTrigramKn
+    // pinning rationale — at 100 TB persist the stream to a table
+    // instead of executor-local storage)
     val bg = docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), arr.as("_arr"))
       .filter(size(col("_arr")) >= 2)
@@ -151,6 +161,7 @@ object Terms {
         i => struct(element_at(col("_arr"), i + 1).as("w1"),
           element_at(col("_arr"), i + 2).as("w2")))).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .localCheckpoint(true)
     val bModel = bg.groupBy("w1", "w2").agg(count(lit(1)).as("b_n"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1_n"))
     val p = lit(lambda) * col("b_n") / col("c1_n") +
