@@ -47,6 +47,24 @@ object PlanDump {
     dump("lex_build_doclens_after",
       tfNew.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
 
+    // Round-17 evidence: the tf pre-shuffle's PARTITION COUNT. The old
+    // formula floored at spark.sql.shuffle.partitions (= cores on the
+    // bench harness), so the exchange read `hashpartitioning(doc_id,
+    // <cores>)` at any increment size; the new one derives the count
+    // from the doc count (~2k docs/partition, cap 4096) — visible as the
+    // literal partition count in the Exchange node.
+    val nDocs = docs.count()
+    val nOld = math.max(nPart, math.min(4096L, nDocs / 16384L).toInt)
+    val nNew = math.max(1L, math.min(4096L, (nDocs + 2047L) / 2048L)).toInt
+    dump("r17_lex_tf_partitions_before",
+      graft.operators.Terms.tokens(docs, "doc_id", "text")
+        .repartition(nOld, col("doc_id"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+    dump("r17_lex_tf_partitions_after",
+      graft.operators.Terms.tokens(docs, "doc_id", "text")
+        .repartition(nNew, col("doc_id"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+
     spark.stop()
   }
 }
